@@ -1,0 +1,39 @@
+"""Differential test: every registered query with an oracle must match
+DuckDB exactly — the same gate the driver applies (CORRECTNESS_r{N})."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF001
+from tests.oracle_check import compare, duckdb_con
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF001)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, con, name):
+    ok, msg = compare(QUERIES[name](spark, SF001), con, ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_all_queries_run(spark):
+    # Queries without oracles still must run and return a stable schema.
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF001)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
