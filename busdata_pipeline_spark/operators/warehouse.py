@@ -1,0 +1,98 @@
+"""Warehouse writes — the reference's PostgreSQL star-schema load
+(/root/reference/transform.py:62-83,186-201,263-293) as Parquet with
+Spark-native idempotency.
+
+- S11 idempotent day re-load: the reference DELETEs the day's fact rows
+  then re-inserts (transform.py:62-83).  Here: date-partitioned Parquet +
+  dynamic partition overwrite — re-running a day atomically replaces only
+  that day's partitions, no delete pass, safe under retry.
+- S12 upsert-ignore: ``ON CONFLICT (trip_id) DO NOTHING``
+  (transform.py:193) becomes dropDuplicates + left-ANTI join against the
+  existing dim — only genuinely new trip_ids are appended.
+- A11 audit count: the post-load ``SELECT COUNT(*) WHERE DATE(tstamp)=d``
+  (transform.py:291-293).
+
+At scale: the fact table is partitioned by event_date (partition pruning
+for every date-sliced analytic query); within a day, files are written
+from the enrichment shuffle's trip-hash partitions, so a day's write is
+parallel across the cluster.  The dim anti-join broadcasts the *new*
+side when small; the existing dim scan only reads the trip_id column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.schemas import TRIP
+
+FACT = "breadcrumb"
+DIM = "trip"
+
+
+def _fact_path(warehouse: str) -> str:
+    return os.path.join(warehouse, FACT)
+
+
+def _dim_path(warehouse: str) -> str:
+    return os.path.join(warehouse, DIM)
+
+
+def write_fact_idempotent(fact: DataFrame, warehouse: str) -> None:
+    """S11 — overwrite exactly the event-date partitions present in
+    ``fact`` (requires partitionOverwriteMode=dynamic, set in session)."""
+    (
+        fact.withColumn("event_date", F.to_date("tstamp"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(_fact_path(warehouse))
+    )
+
+
+def upsert_trip_ignore(trip: DataFrame, warehouse: str) -> None:
+    """S12 — append only trip_ids not already in the dim."""
+    spark = trip.sparkSession
+    path = _dim_path(warehouse)
+    new = trip.dropDuplicates(["trip_id"])
+    # First-load probe: list the path through Hadoop's FS API (works for
+    # any supported filesystem, not just local) instead of catching a
+    # broad read failure that could mask real errors.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        existing = spark.read.schema(TRIP).parquet(path).select("trip_id")
+        new = new.join(existing, "trip_id", "left_anti")
+    new.write.mode("append").parquet(path)
+
+
+def read_fact(spark: SparkSession, warehouse: str) -> DataFrame:
+    return spark.read.parquet(_fact_path(warehouse))
+
+
+def read_dim(spark: SparkSession, warehouse: str) -> DataFrame:
+    return spark.read.parquet(_dim_path(warehouse))
+
+
+def audit_day_count(spark: SparkSession, warehouse: str, day: str) -> int:
+    """A11 — post-load verification count for one service day; the
+    event_date filter prunes to a single partition directory."""
+    return (
+        read_fact(spark, warehouse)
+        .where(F.col("event_date") == F.lit(day).cast("date"))
+        .count()
+    )
+
+
+def load_day(raw: DataFrame, warehouse: str) -> None:
+    """The reference's whole per-day job (transform.py:86-312): enrich,
+    upsert dim, overwrite the day's fact partitions."""
+    from busdata_pipeline_spark.operators.enrich import (
+        enrich_breadcrumbs,
+        trip_dimension,
+    )
+
+    upsert_trip_ignore(trip_dimension(raw), warehouse)
+    write_fact_idempotent(enrich_breadcrumbs(raw), warehouse)

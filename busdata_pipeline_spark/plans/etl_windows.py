@@ -1,0 +1,142 @@
+"""The transform.py window semantics (SURVEY.md §2.5 W1-W4, §2.1 S12)
+registered as oracle-checked queries over the ``events`` stand-in fact
+(user_id = trip analog, value = odometer analog).
+
+These mirror operators/enrich.py exactly — same window shape, same
+guards — but run on the driver's tables so the DuckDB differential gate
+exercises them every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.functions import epoch_seconds, service_key_for
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+
+def _user_window():
+    # W1 — deterministic total order: event_id breaks ts ties.
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@query(
+    "etl_w2_lag_rate",
+    oracle="""
+SELECT event_id, user_id,
+  ROUND(
+    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 0
+         THEN (value - LAG(value) OVER w) / (epoch(ts) - epoch(LAG(ts) OVER w))
+    END, 6) AS rate
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def etl_w2_lag_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — lag differencing with the Δt>0 guard (transform.py:219-230):
+    speed = Δmeters/Δseconds per trip, NULL on the first row and on
+    non-advancing clocks.  One window exchange, no Python."""
+    ev = table(spark, sf_dir, "events")
+    w = _user_window()
+    dt = epoch_seconds("ts") - epoch_seconds(F.lag("ts").over(w))
+    dv = F.col("value") - F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.when(dt > 0, dv / dt), 6).alias("rate"),
+    )
+
+
+@query(
+    "etl_w3_lead_backfill",
+    oracle="""
+WITH rated AS (
+  SELECT event_id, user_id,
+    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 0
+         THEN (value - LAG(value) OVER w) / (epoch(ts) - epoch(LAG(ts) OVER w))
+    END AS rate,
+    ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+  ROUND(CASE WHEN rn = 1 THEN LEAD(rate) OVER w2 ELSE rate END, 6) AS rate
+FROM rated
+WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+""",
+)
+def etl_w3_lead_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — first-row backfill (transform.py:228-259): row 1 of a
+    multi-row trip takes row 2's computed rate, even if that is NULL;
+    Δt<=0 NULLs elsewhere are never resurrected (SURVEY.md §7.5.2)."""
+    ev = table(spark, sf_dir, "events")
+    w = _user_window()
+    dt = epoch_seconds("ts") - epoch_seconds(F.lag("ts").over(w))
+    dv = F.col("value") - F.lag("value").over(w)
+    rate = F.when(dt > 0, dv / dt)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.when(F.row_number().over(w) == 1, F.lead(rate, 1).over(w)).otherwise(rate),
+            6,
+        ).alias("rate"),
+    )
+
+
+@query(
+    "etl_a10_first_row_dim",
+    oracle="""
+SELECT user_id, event_type AS first_event_type,
+  CASE WHEN isodow(ts) = 6 THEN 'Saturday'
+       WHEN isodow(ts) = 7 THEN 'Sunday'
+       ELSE 'Weekday' END AS service_key
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def etl_a10_first_row_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — group-to-dimension: the first record per trip defines the dim
+    row (transform.py:146-181), incl. the Python-weekday service bucket."""
+    ev = table(spark, sf_dir, "events")
+    w = _user_window()
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_event_type"),
+            service_key_for(F.to_date("ts")).alias("service_key"),
+        )
+    )
+
+
+@query(
+    "etl_s12_upsert_new_keys",
+    oracle="""
+SELECT COUNT(*) AS new_users FROM (
+  SELECT DISTINCT user_id FROM events e2
+  WHERE e2.ts::date = DATE '2024-01-02'
+    AND NOT EXISTS (
+      SELECT 1 FROM events e1
+      WHERE e1.ts::date = DATE '2024-01-01' AND e1.user_id = e2.user_id)
+)
+""",
+)
+def etl_s12_upsert_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — ON CONFLICT DO NOTHING as dedup + left-anti join
+    (transform.py:193): keys arriving on day 2 that day 1 didn't have."""
+    ev = table(spark, sf_dir, "events")
+    day1 = ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date")).select("user_id")
+    day2 = (
+        ev.where(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
+        .select("user_id")
+        .dropDuplicates(["user_id"])
+    )
+    return day2.join(day1, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
