@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (computes every output
+column, no driver collect bottleneck), so timings reflect the full plan
+including shuffles — the thing that must stay flat-ish per-row at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from busdata_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINERS = [
+    "rel_q1_pricing_summary",      # scan + 8-agg hash aggregate
+    "rel_q3_top_revenue",          # broadcast dim + big join + top-k
+    "rel_q5_region_revenue",       # snowflake multi-join
+    "rel_q6_forecast_revenue",     # pure pushdown scan
+    "bus_q3_avg_per_dow",          # date-derivation groupBy
+    "bus_q7_value_histogram",      # high-cardinality countDistinct
+    "bus_q8_longest_trip",         # grouped min/max + top-1
+    "etl_w3_lead_backfill",        # window lag/lead enrichment
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("busdata-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINERS if n in queries]
+
+    # Warm the JVM + parquet footer caches with the cheapest headliner so
+    # per-query numbers measure plans, not first-touch JIT.
+    queries["rel_q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

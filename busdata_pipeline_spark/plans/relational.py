@@ -1,0 +1,334 @@
+"""Relational coverage beyond the reference's own query shapes — the
+join / aggregate / set-op / rollup / semi-anti / rank surface a user of a
+warehouse engine expects, expressed over the TPC-H-ish driver tables.
+
+The reference delegates all of this to PostgreSQL's planner
+(/root/reference/analytic.sql); here Catalyst owns it.  Scale posture per
+query is noted inline: which side broadcasts, where the shuffles are, and
+what AQE does at runtime.  These are also the bench headliners (bench.py)
+since they stress the biggest tables (lineitem/orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape — scan-heavy partial+final hash aggregation.
+
+@query(
+    "rel_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: the canonical scan+agg stress test.  Whole plan is
+    one WholeStageCodegen span over the parquet scan with a 6-group hash
+    agg — map-side partial agg means the shuffle moves 6 rows per task
+    regardless of input size.  Sums rounded to 2 (summation-order noise at
+    1e10 magnitude is ~1e-6)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — dim-filter -> big join -> top-k.
+
+@query(
+    "rel_q3_top_revenue",
+    oracle="""
+SELECT l.l_orderkey AS l_orderkey,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  o.o_orderdate AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def rel_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10.  customer is filtered on the segment then
+    broadcast into orders (no fact shuffle for the first join); the
+    orders⨝lineitem join shuffles on orderkey — at 100 TB that is the
+    bottleneck shuffle, bounded by pre-filtering both sides first.
+    Ordering uses the ROUNDED revenue so the top-k cut matches the oracle
+    bit-for-bit; orderkey breaks ties deterministically."""
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — snowflake multi-join with two broadcast tiers.
+
+@query(
+    "rel_q5_region_revenue",
+    oracle="""
+SELECT n.n_name AS n_name,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume.  region→nation→customer collapse to one
+    broadcast-joined dim chain (all tiny); the only real shuffles are
+    orders⨝lineitem on orderkey and the supplier equality — supplier is
+    broadcast too.  The s_nationkey = c_nationkey residual keeps only
+    intra-nation sales, matching TPC-H Q5 semantics."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == dim.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — pure pushdown filter + single scalar agg.
+
+@query(
+    "rel_q6_forecast_revenue",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change: every predicate is pushable, so the scan
+    should show 4 PushedFilters and read 4 columns — the plan-shape test
+    for pushdown (see tests/test_plan_shapes.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals (free via Catalyst Expand).
+
+@query(
+    "rel_rollup_customer_counts",
+    oracle="""
+SELECT r.r_name AS r_name, n.n_name AS n_name,
+       COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def rel_rollup_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ⊃ nation subtotal hierarchy.  Spark plans ROLLUP as a single
+    Expand (3 grouping sets) + one hash agg — one pass over the fact, not
+    three queries."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins — EXISTS / NOT EXISTS.
+
+@query(
+    "rel_semi_customers_with_orders",
+    oracle="""
+SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+)
+def rel_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI — customers that ordered at least once, by segment."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "rel_anti_customers_without_orders",
+    oracle="""
+SELECT COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def rel_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI — the S12 upsert-ignore building block, standalone."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window rank over a join — top order per customer.
+
+@query(
+    "rel_rank_top_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1 AND o_custkey < 100
+""",
+)
+def rel_rank_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking (absent from the reference but free in the same Window
+    machinery as W1-W4); the rn=1 filter plans as a WindowGroupLimit —
+    Spark keeps only the per-partition top row before the full sort."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.where(F.col("o_custkey") < 100)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (distinct semantics).
+
+@query(
+    "rel_set_retained_users",
+    oracle="""
+SELECT user_id FROM events WHERE ts::date = DATE '2024-01-01'
+INTERSECT
+SELECT user_id FROM events WHERE ts::date = DATE '2024-01-02'
+""",
+)
+def rel_set_retained_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — users active on both days (plans as a semi-join agg)."""
+    ev = table(spark, sf_dir, "events")
+    d1 = ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date")).select("user_id")
+    d2 = ev.where(F.to_date("ts") == F.lit("2024-01-02").cast("date")).select("user_id")
+    return d1.intersect(d2)
+
+
+@query(
+    "rel_set_churned_users",
+    oracle="""
+SELECT user_id FROM events WHERE ts::date = DATE '2024-01-01'
+EXCEPT
+SELECT user_id FROM events WHERE ts::date = DATE '2024-01-02'
+""",
+)
+def rel_set_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — users active on day 1 but not day 2 (anti-join plan)."""
+    ev = table(spark, sf_dir, "events")
+    d1 = ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date")).select("user_id")
+    d2 = ev.where(F.to_date("ts") == F.lit("2024-01-02").cast("date")).select("user_id")
+    return d1.subtract(d2)  # EXCEPT DISTINCT (exceptAll would keep multiset leftovers)
