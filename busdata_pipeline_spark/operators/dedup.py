@@ -1,0 +1,231 @@
+"""Deduplication operators for the training-data tier: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.  (BASELINE.json north star; no analog in
+the reference, which dedups only by primary key — transform.py:193.)
+
+Design for 100 TB:
+
+- Exact dedup is a hash-groupBy on a fingerprint — one shuffle keyed by
+  md5, no full-text comparison ever crosses the wire.
+- MinHash+LSH: per-doc signatures are computed in one pass (explode
+  shingles -> k min-aggregations, map-side combined); candidate pairs
+  come from an equi-join on (band_id, band_hash) — i.e. a shuffle keyed
+  by tiny band buckets instead of an O(n²) cross join.  Verification
+  (exact Jaccard) runs only on candidates.
+- SimHash: 64 per-bit weighted sums in a single hash-aggregate;
+  near-dup candidates join on 16-bit chunks (Hamming<=3 ⇒ at least one
+  of 4 chunks equal — pigeonhole), again avoiding n².
+- Everything is built-in expressions (xxhash64, explode, groupBy);
+  nothing row-at-a-time in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.functions.text import fingerprint
+
+# ---------------------------------------------------------------------------
+# shingling
+
+def with_shingles(docs: DataFrame, n: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """Word n-gram shingle set per document (distinct), as an array column.
+    Pure array algebra: split -> positional transform -> distinct."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(split(trim({text_col}), ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), ' '), i + 1, {n})))"
+    )
+    # guard: < n words -> empty shingle set (Spark's sequence(0, neg)
+    # would count DOWN, not produce an empty array)
+    safe = F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.withColumn("shingles", safe).withColumn("n_words", F.size(words))
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row summary: total docs, distinct fingerprints, dupes."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(fingerprint(text_col)).alias("distinct_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(fingerprint(text_col))).alias("duplicate_docs"),
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each fingerprint class.
+    (row_number over the fingerprint, not dropDuplicates, so the survivor
+    is deterministic.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+
+def minhash_signatures(docs: DataFrame, k: int = 32,
+                       id_col: str = "doc_id") -> DataFrame:
+    """k-permutation MinHash signature per doc.
+
+    h_i(s) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
+    One explode + one groupBy with k min() aggregates — map-side partial
+    mins keep the shuffle at k longs per doc.
+    """
+    exploded = with_shingles(docs).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(k)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH: split the k-length signature into ``bands`` rows of
+    length k/bands, hash each band, and self-join on (band, hash).
+    Returns distinct candidate (a, b) pairs with a < b."""
+    k = bands  # rows derived below from signature length at runtime
+    banded = signatures.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"xxhash64(concat_ws(',', slice(signature, b * (size(signature) div {bands}) + 1, "
+                f"size(signature) div {bands})), b))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact word-n-gram Jaccard for given (a, b) pairs — the verify
+    stage after LSH candidate generation."""
+    sh = with_shingles(docs, n=n).select(
+        F.col(id_col), F.col("shingles")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
+                            k: int = 32, bands: int = 8,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Full near-dup pipeline: signatures -> banded candidates -> exact
+    Jaccard verify -> pairs over threshold."""
+    sigs = minhash_signatures(docs, k=k, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    return jaccard_pairs(docs, cands, id_col=id_col).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: bit b of the hash of each token
+    votes +1/-1; the sign of the per-bit sum forms the output bit.
+    Implemented as 64 conditional-sum aggregates in ONE hash aggregate —
+    no UDF, no per-row Python."""
+    tokens = docs.select(
+        id_col, F.explode(F.split(F.trim(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(64)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63)))
+        .otherwise(0)
+        for b in range(64)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return per_doc.select(F.col(id_col), total.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Near-dups by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole: split 64 bits into 4 chunks of 16; distance <= 3 implies
+    at least one chunk is identical, so candidates come from 4 equi-joins
+    on (chunk_idx, chunk_value) instead of a cross join.
+    """
+    sh = simhash64(docs, id_col=id_col)
+    chunked = sh.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("a", "b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

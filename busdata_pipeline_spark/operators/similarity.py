@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, matching how a 100 TB corpus is actually searched:
+
+1. ``cosine_topk`` — exact brute force.  The baseline and the verifier
+   for the approximate tiers.  Per-row arithmetic is JVM-side
+   (zip_with/aggregate fold), queries are broadcast, and top-k per query
+   is a WindowGroupLimit — no global sort, no driver collect.
+2. ``lsh_ann_topk`` — random-hyperplane LSH: b sign-bits per vector form
+   a bucket id; candidates share a bucket (or a probe-neighbor bucket).
+   Cross-join cost drops from n·q to (n/2^b)·q per probe.
+3. ``ivf_ann_topk`` — IVF: k-means-style coarse centroids (here: the
+   label column's per-class mean, computed distributively), queries probe
+   the ``nprobe`` nearest centroids and scan only those partitions.
+
+The hyperplanes are generated from a seeded RNG on the driver and shipped
+as literals — deterministic, no state on executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Exact top-k neighbors per query by cosine.  ``queries`` is small
+    and broadcast; self-matches (qid == vec_id) are excluded.  Ordering
+    ties break on vec_id so results are deterministic."""
+    joined = embeddings.join(F.broadcast(queries))
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+    ).where(F.col(qid_col) != F.col(id_col))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
+                    vec_col: str = "embedding", seed: int = 42,
+                    out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature: bit p = sign(v · plane_p)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(0)
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
+                 k: int = 10, n_planes: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket OR any
+    bucket at Hamming distance 1 (multi-probe) — recall knob without
+    recomputing signatures."""
+    emb_b = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    q_b = with_lsh_bucket(queries, dim, n_planes, qvec_col, out_col="qbucket")
+    # probe set: own bucket + flip each bit once
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)],
+    )
+    q_probed = q_b.withColumn("probe", F.explode(probes))
+    cands = emb_b.join(
+        F.broadcast(q_probed), F.col("bucket") == F.col("probe")
+    ).where(F.col(qid_col) != F.col(id_col))
+    scored = cands.select(
+        qid_col, id_col, cosine(F.col(vec_col), F.col(qvec_col)).alias("cos")
+    ).dropDuplicates([qid_col, id_col])
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
+                  part_col: str = "label") -> DataFrame:
+    """Coarse quantizer: per-partition mean vector, computed with
+    posexplode + groupBy (distributed; never collects vectors)."""
+    dims = embeddings.select(
+        part_col, F.posexplode(vec_col).alias("i", "x")
+    )
+    return (
+        dims.groupBy(part_col, "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(part_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+        .select(
+            part_col,
+            F.expr("transform(s, e -> e.m)").alias("centroid"),
+        )
+    )
+
+
+def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                 nprobe: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding", part_col: str = "label",
+                 qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF search: route each query to its ``nprobe`` nearest centroids,
+    scan only embeddings in those partitions."""
+    cents = ivf_centroids(embeddings, vec_col, part_col)
+    q_scored = queries.join(F.broadcast(cents)).select(
+        qid_col, qvec_col, part_col,
+        cosine(F.col(qvec_col), F.col("centroid")).alias("c_cos"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("c_cos"), F.asc(part_col))
+    routed = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= nprobe)
+        .select(qid_col, qvec_col, part_col)
+    )
+    cands = embeddings.join(F.broadcast(routed), part_col).where(
+        F.col(qid_col) != F.col(id_col)
+    )
+    scored = cands.select(
+        qid_col, id_col, cosine(F.col(vec_col), F.col(qvec_col)).alias("cos")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, F.round("cos", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,277 @@
+"""Training-data pipeline surface (BASELINE.json north star): text
+analysis, dedup, similarity search, multimodal plumbing — registered as
+driver-checked queries over ``documents`` / ``embeddings``.
+
+Oracle-checked where ANSI SQL can express the exact same arithmetic
+(marker counting, shingle Jaccard, double-precision cosine); the LSH /
+SimHash / IVF approximate operators are rows-only here and verified
+against ground truth in tests/test_training_data.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from busdata_pipeline_spark.operators import dedup, multimodal, similarity
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+@query(
+    "td_text_stats",
+    oracle="""
+SELECT doc_id,
+  LENGTH(text) AS n_chars_calc,
+  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+  ROUND(CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 > 0
+       THEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+            / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) END, 6) AS avg_token_len
+FROM documents
+""",
+)
+def td_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats as pure length arithmetic — the same
+    formula on both engines, no regex dialect in play."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        token_count("text").alias("n_tokens"),
+        F.round(avg_token_len("text"), 6).alias("avg_token_len"),
+    )
+
+
+def _occ_sql(marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (
+        f"CAST((LENGTH(text) - LENGTH(REPLACE(text, '{m}', ''))) / {len(marker)} AS BIGINT)"
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ", ".join(
+        " + ".join(_occ_sql(m) for m in ms) + f" AS s_{lang}"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    whens = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS)
+    return f"""
+WITH scored AS (SELECT doc_id, {score_cols} FROM documents),
+best AS (SELECT *, {greatest} AS best FROM scored)
+SELECT doc_id, CASE WHEN best = 0 THEN 'und' {whens} END AS lang_pred FROM best
+"""
+
+
+@query("td_lang_id", oracle=_lang_id_oracle())
+def td_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-count language ID (argmax with fixed tie order) — the
+    n-gram-profile heuristic structure, engine-portable."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "td_quality_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS n,
+    CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 > 0
+         THEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+              / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) END AS atl
+  FROM documents)
+SELECT doc_id,
+  ROUND((CASE WHEN n >= 10 AND n <= 100000 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 0.5 ELSE 0.0 END), 6) AS quality
+FROM t
+""",
+)
+def td_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-shaped quality scoring (length + token-shape bands)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "td_fingerprint",
+    oracle="SELECT doc_id, md5(TRIM(text)) AS fp FROM documents",
+)
+def td_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc fingerprint (md5) — the exact-dedup key."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+@query(
+    "td_dedup_exact",
+    oracle="""
+SELECT COUNT(*) AS total_docs,
+       COUNT(DISTINCT md5(TRIM(text))) AS distinct_docs,
+       COUNT(*) - COUNT(DISTINCT md5(TRIM(text))) AS duplicate_docs
+FROM documents
+""",
+)
+def td_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: hash-groupBy on the fingerprint; only 16-byte
+    digests shuffle, never document bodies."""
+    return dedup.exact_dedup_stats(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "td_jaccard_adjacent",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, GREATEST(len(string_split(TRIM(text), ' ')) - 1, 1)),
+      i -> string_split(TRIM(text), ' ')[i] || ' ' ||
+           string_split(TRIM(text), ' ')[i+1] || ' ' ||
+           string_split(TRIM(text), ' ')[i+2])) AS shingles
+  FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+""",
+)
+def td_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on a linear pair set (adjacent doc ids):
+    the verify kernel of the near-dup pipeline, oracle-checked end to end
+    (shingling included) against DuckDB's list algebra."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("a")).join(
+        docs.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b")),
+        "a",
+    )
+    out = dedup.jaccard_pairs(docs, pairs)
+    return out.where(F.col("jaccard").isNotNull())
+
+
+@query("td_minhash_near_dups")  # rows-only: LSH banding has no SQL analog
+def td_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidates + exact-Jaccard verify >= 0.5.
+    Ground-truth recall/precision is asserted in
+    tests/test_training_data.py on planted near-duplicates."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(docs, threshold=0.5)
+
+
+@query("td_simhash_near_dups")  # rows-only
+def td_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dups (Hamming <= 3) via 16-bit chunk pigeonhole."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+@query(
+    "td_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0)
+SELECT qid, vec_id,
+  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 6) AS cosine,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY qid
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec) DESC,
+             vec_id) AS INT) AS rank
+FROM embeddings, q
+WHERE vec_id <> qid
+QUALIFY rank <= 10
+""",
+)
+def td_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 — the ANN baseline.  Arithmetic is
+    a double-precision left fold on both engines, so even the unrounded
+    ordering agrees; rank is a WindowGroupLimit, not a global sort."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _queries_df(spark, sf_dir), k=10)
+
+
+@query("td_lsh_ann")  # rows-only: hyperplane signatures have no SQL analog
+def td_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (8 planes, multi-probe Hamming-1);
+    recall vs brute force asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, _queries_df(spark, sf_dir), dim=64, k=10)
+
+
+@query("td_ivf_ann")  # rows-only
+def td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over label-partition centroids, nprobe=2."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(emb, _queries_df(spark, sf_dir), k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+@query(
+    "td_multimodal_bytes",
+    oracle="""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  md5(text) AS checksum
+FROM documents
+""",
+)
+def td_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct construction (the ingestion half
+    of the multimodal path; decode half is rows-only below)."""
+    media = multimodal.attach_binary_payload(table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@query("td_multimodal_decode")  # rows-only: decode stub, no SQL analog
+def td_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (deterministic fake in this
+    container — see operators/multimodal.py) + frame sampling."""
+    media = multimodal.attach_binary_payload(table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(multimodal.decode_items(media), every_n=2)
+
+
+# ---------------------------------------------------------------------------
+# sketches
+
+@query("td_sketches")  # rows-only: HLL/KLL internals differ per engine
+def td_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable approximations: HyperLogLog++ distinct counts and
+    approximate quantiles — the 100 TB replacements for exact
+    COUNT(DISTINCT) / percentile sorts.  Accuracy bounds asserted in
+    tests against exact answers."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )

@@ -1,0 +1,184 @@
+"""Ground-truth tests for the approximate / non-SQL-expressible
+training-data operators (dedup LSH, SimHash, ANN, multimodal, sketches).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators import dedup, multimodal, similarity
+from busdata_pipeline_spark.sources import table
+from tests.conftest import SF0001
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+         "pi", "rho", "sigma", "tau", "upsilon"]
+
+
+def make_docs(spark):
+    """20 random docs + planted near-dups + one exact dup (seeded)."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        words = [rng.choice(VOCAB) for _ in range(60)]
+        rows.append((i, " ".join(words)))
+    # near-dups of docs 0..4: perturb 3 words of 60 (~Jaccard 0.85+)
+    for j in range(5):
+        words = rows[j][1].split(" ")
+        for p in range(3):
+            words[10 + 7 * p] = "zz%d" % p
+        rows.append((100 + j, " ".join(words)))
+    rows.append((200, rows[10][1]))  # exact dup of doc 10
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def brute_jaccard_pairs(rows, n=3, threshold=0.5):
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    out = set()
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1:]:
+            a, b = sh(ta), sh(tb)
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                out.add((min(ida, idb), max(ida, idb)))
+    return out
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = make_docs(spark)
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    truth = brute_jaccard_pairs(rows, threshold=0.5)
+    got = {(r.a, r.b) for r in
+           dedup.minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert truth, "fixture must plant near-dups"
+    # verify stage => no false positives; banded LSH at J>=0.8 => full recall here
+    assert got <= brute_jaccard_pairs(rows, threshold=0.5 - 1e-9)
+    planted = {(j, 100 + j) for j in range(5)} | {(10, 200)}
+    assert planted <= got
+
+
+def test_minhash_jaccard_matches_exact(spark):
+    docs = make_docs(spark)
+    rows = dict((r.doc_id, r.text) for r in docs.collect())
+    for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect():
+        w_a, w_b = rows[r.a].split(" "), rows[r.b].split(" ")
+        sa = {" ".join(w_a[i:i + 3]) for i in range(len(w_a) - 2)}
+        sb = {" ".join(w_b[i:i + 3]) for i in range(len(w_b) - 2)}
+        assert r.jaccard == pytest.approx(len(sa & sb) / len(sa | sb), abs=1e-6)
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    docs = make_docs(spark)
+    got = {(r.a, r.b): r.hamming for r in
+           dedup.simhash_near_duplicates(docs, max_hamming=10).collect()}
+    assert got.get((10, 200)) == 0  # exact dup => identical simhash
+
+
+def test_drop_exact_duplicates_keeps_lowest_id(spark):
+    docs = make_docs(spark)
+    kept = {r.doc_id for r in dedup.drop_exact_duplicates(docs).collect()}
+    assert 10 in kept and 200 not in kept
+    assert len(kept) == docs.count() - 1
+
+
+def make_clustered_embeddings(spark, n_clusters=10, per=30, dim=16):
+    """Tight gaussian clusters — the regime ANN indexes are built for."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((n_clusters, dim)) * 5
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.standard_normal(dim) * 0.3
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    emb = make_clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r.qid, r.vec_id) for r in
+             similarity.cosine_topk(emb, q, k=10).collect()}
+    return emb, q, exact
+
+
+def test_lsh_ann_recall_on_clustered(spark, clustered):
+    emb, q, exact = clustered
+    got = {(r.qid, r.vec_id) for r in
+           similarity.lsh_ann_topk(emb, q, dim=16, k=10).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} too low on clustered data"
+
+
+def test_ivf_ann_recall_on_clustered(spark, clustered):
+    emb, q, exact = clustered
+    got = {(r.qid, r.vec_id) for r in
+           similarity.ivf_ann_topk(emb, q, k=10, nprobe=2).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall} too low on clustered data"
+
+
+def test_ann_results_bounded_and_deterministic(spark):
+    emb = table(spark, SF0001, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = similarity.lsh_ann_topk(emb, q, dim=64, k=10).collect()
+    b = similarity.lsh_ann_topk(emb, q, dim=64, k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r.qid, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert len(ranks) <= 10 and len(set(ranks)) == len(ranks)
+
+
+def test_multimodal_decode_shape_and_determinism(spark):
+    docs = table(spark, SF0001, "documents").limit(50)
+    media = multimodal.attach_binary_payload(docs)
+    d1 = multimodal.decode_items(media).collect()
+    d2 = multimodal.decode_items(media).collect()
+    assert sorted(map(tuple, d1)) == sorted(map(tuple, d2))
+    for r in d1:
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert 1 <= r.n_frames <= 8
+        assert len(r.feature) == 8
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = table(spark, SF0001, "documents").limit(1)
+    media = multimodal.attach_binary_payload(docs)
+    if not multimodal.HAVE_IMAGE_CODEC:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_items(media, real=True)
+
+
+def test_frame_sample_keeps_even_frames(spark):
+    docs = table(spark, SF0001, "documents").limit(20)
+    media = multimodal.attach_binary_payload(docs)
+    frames = multimodal.frame_sample(multimodal.decode_items(media), every_n=2)
+    for r in frames.collect():
+        assert r.frame_idx % 2 == 0
+
+
+def test_sketches_accuracy(spark):
+    ev = table(spark, SF0001, "events")
+    exact_users = ev.select("user_id").distinct().count()
+    exact_events = ev.select("event_id").distinct().count()
+    row = ev.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("u"),
+        F.approx_count_distinct("event_id", 0.01).alias("e"),
+    ).first()
+    assert abs(row.u - exact_users) / exact_users < 0.05
+    assert abs(row.e - exact_events) / exact_events < 0.05
