@@ -1,0 +1,78 @@
+"""Batch-mode contract entries for the streaming window builders
+(streaming/windows.py): the SAME lineage objects the streaming tests run
+against a readStream, executed here over the batch events table so the
+DuckDB oracle can pin the semantics (window alignment, session gap
+boundaries, inclusive/exclusive edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+from busdata_pipeline_spark.streaming.windows import (
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "st_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window == epoch-aligned hour truncation."""
+    return tumbling_counts(table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "st_sliding_2h_1h",
+    oracle="""
+WITH starts AS (
+  SELECT date_trunc('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM starts GROUP BY 1
+""",
+)
+def st_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h: every event lands in exactly two hour-aligned
+    windows — the oracle materializes that membership explicitly."""
+    return sliding_counts(table(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@query(
+    "st_session_5min",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 300 OR LAG(ts) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM numbered GROUP BY user_id, session_id
+""",
+)
+def st_session_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5 min gap) == gaps-and-islands: a gap of exactly
+    the window length starts a NEW session (session end is exclusive) —
+    the edge case the oracle's >= 300 encodes."""
+    return session_stats(table(spark, sf_dir, "events"), "5 minutes")

@@ -1,0 +1,98 @@
+"""Streaming ingest — the reference's collector -> Pub/Sub -> subscriber
+-> daily JSONL -> transform chain (/root/reference/data_subscriber.py,
+SURVEY.md §2.9) as Structured Streaming.
+
+Mapping (reference -> here):
+
+- Pub/Sub streaming pull (data_subscriber.py:107-110)  -> file-source
+  ``readStream`` over a drop directory (Kafka would be a one-line source
+  swap; the drop dir reproduces the at-least-once queue in this repro).
+- JSON decode per message (:70)                        -> schema'd stream read
+- event-date routing from the RECORD's timestamp, not arrival time
+  (:74-79, T2)                                          -> event_date column
+  from F1, processing-date fallback
+- daily append files + reopen-on-late (:49-56,85, T3)  -> ``writeStream
+  .partitionBy("event_date")`` — late rows append to their (old) partition
+- ack/redelivery at-least-once (:89,98, T4)            -> checkpointed source
+  offsets + idempotent sink (S11) = exactly-once end to end
+- shutdown -> transform.main(date) handoff (:122-143, T5) -> foreachBatch
+  running the SAME batch enrichment (operators/enrich.py) per micro-batch;
+  Trigger.AvailableNow replays a backlog then stops.
+
+At scale: the stream never aggregates unbounded state here — enrichment
+is per-trip windowing INSIDE a micro-batch (trips don't span batches in
+the reference's day-file model), so state stores stay empty and
+throughput is the batch engine's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from busdata_pipeline_spark.functions.timestamps import breadcrumb_timestamp
+from busdata_pipeline_spark.schemas import RAW_BREADCRUMB
+
+RAW_STREAM_SCHEMA = T.StructType(
+    [f for f in RAW_BREADCRUMB.fields if f.name != "_corrupt_record"]
+)
+
+
+def stream_breadcrumbs(spark: SparkSession, drop_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """S5 — streaming source over the subscriber drop directory."""
+    reader = spark.readStream.schema(RAW_STREAM_SCHEMA).option("mode", "DROPMALFORMED")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(drop_dir)
+
+
+def with_event_date(stream: DataFrame) -> DataFrame:
+    """T2 — route by the record's own event time; fall back to processing
+    date only when the record carries no usable timestamp
+    (data_subscriber.py:74-79)."""
+    ts = breadcrumb_timestamp("OPD_DATE", "ACT_TIME")
+    return stream.withColumn("tstamp", ts).withColumn(
+        "event_date", F.coalesce(F.to_date("tstamp"), F.current_date())
+    )
+
+
+def write_bronze(stream: DataFrame, out_dir: str, checkpoint: str,
+                 available_now: bool = True):
+    """S7 — date-partitioned append sink with checkpointed offsets.
+    A late record lands in its original event_date partition (the
+    reference reopens old day files in append mode — T3)."""
+    writer = (
+        with_event_date(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_into_warehouse(stream: DataFrame, warehouse: str, checkpoint: str,
+                          available_now: bool = True):
+    """T5 — the stream->batch handoff: each micro-batch runs the SAME
+    enrichment lineage as the batch job (one code path, two execution
+    modes) and lands with idempotent partition overwrite, so redelivered
+    messages (T4 at-least-once) cannot double-load a day."""
+    from busdata_pipeline_spark.operators.warehouse import load_day
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        load_day(batch, warehouse)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,194 @@
+"""Structured Streaming behavior tests: file-source replay of the
+subscriber drop dir, event-date routing, stream==batch window equality,
+foreachBatch warehouse handoff, and watermark late-data dropping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators.warehouse import read_dim, read_fact
+from busdata_pipeline_spark.sources import table
+from busdata_pipeline_spark.sources.jsonl import read_breadcrumb_jsonl
+from busdata_pipeline_spark.streaming.ingest import (
+    stream_breadcrumbs,
+    stream_into_warehouse,
+    write_bronze,
+)
+from busdata_pipeline_spark.streaming.windows import (
+    tumbling_counts,
+    with_watermark,
+)
+from tests.conftest import SF0001
+from tests.test_breadcrumb_etl import fixture_lines
+
+
+@pytest.fixture()
+def drop_dir(tmp_path):
+    d = tmp_path / "drop"
+    d.mkdir()
+    lines = fixture_lines()
+    half = len(lines) // 2
+    (d / "chunk_0.jsonl").write_text("\n".join(lines[:half]) + "\n")
+    (d / "chunk_1.jsonl").write_text("\n".join(lines[half:]) + "\n")
+    return str(d)
+
+
+def test_bronze_event_date_routing(spark, drop_dir, tmp_path):
+    """T2/S7 — records route to partitions by the RECORD's event date."""
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt1")
+    q = write_bronze(stream_breadcrumbs(spark, drop_dir), out, ckpt)
+    q.awaitTermination(120)
+    bronze = spark.read.parquet(out)
+    batch = read_breadcrumb_jsonl(spark, drop_dir + "/*.jsonl")
+    # every JSON-valid record landed exactly once (the unparseable-date
+    # record routes to the processing-date fallback partition, T2)
+    assert bronze.count() == batch.count()
+    fallback = bronze.where("OPD_DATE = 'notadate:00:00:00'").collect()
+    assert len(fallback) == 1 and fallback[0].tstamp is None
+    # rollover trip (ACT_TIME>=86400) landed on the NEXT day's partition
+    dates = {
+        str(r.event_date)
+        for r in bronze.where("EVENT_NO_TRIP = 9004").select("event_date").collect()
+    }
+    assert dates == {"2023-01-01", "2023-01-02"}
+
+
+def test_stream_warehouse_equals_batch(spark, drop_dir, tmp_path):
+    """T5 — foreachBatch handoff produces the same warehouse as the batch
+    job (same enrichment lineage, different engine)."""
+    wh_s, ckpt = str(tmp_path / "wh_stream"), str(tmp_path / "ckpt2")
+    q = stream_into_warehouse(stream_breadcrumbs(spark, drop_dir), wh_s, ckpt)
+    q.awaitTermination(180)
+
+    from busdata_pipeline_spark.operators.warehouse import load_day
+
+    wh_b = str(tmp_path / "wh_batch")
+    load_day(read_breadcrumb_jsonl(spark, drop_dir + "/*.jsonl"), wh_b)
+
+    def canon_fact(wh):
+        return sorted(
+            (
+                (str(r.tstamp), r.latitude, r.longitude,
+                 None if r.speed is None else round(r.speed, 9), r.trip_id)
+                for r in read_fact(spark, wh).collect()
+            ),
+            key=repr,
+        )
+
+    assert canon_fact(wh_s) == canon_fact(wh_b)
+    assert read_dim(spark, wh_s).count() == read_dim(spark, wh_b).count()
+
+
+def test_stream_windows_equal_batch_windows(spark, tmp_path):
+    """One window definition, two engines: tumbling counts over a
+    readStream == the same builder over the batch table."""
+    events = table(spark, SF0001, "events")
+    src = str(tmp_path / "ev_json")
+    events.select(
+        "event_id", F.col("ts").cast("string").alias("ts"),
+        "user_id", "event_type", "value",
+    ).coalesce(2).write.json(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).json(src)
+    agg = tumbling_counts(with_watermark(stream, "2 hours"), "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_stream").collect()
+    }
+    want = {
+        (str(r.window_start), r.n_events, r.total_value)
+        for r in tumbling_counts(
+            events.select("event_id", "ts", "user_id", "event_type", "value")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T3 — a record later than the watermark is excluded from its
+    (already-finalized) window in append mode."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    on_time = [
+        {"event_id": i, "ts": f"2024-03-01 {h:02d}:15:00", "user_id": 1, "value": 1.0}
+        for i, h in enumerate([9, 10, 11, 12])
+    ]
+    f0 = os.path.join(src, "a_batch0.json")
+    with open(f0, "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in on_time) + "\n")
+    # batch1 advances processing so the 09/10 windows get EVICTED (a
+    # watermark drops input only once the window's state is gone —
+    # while state is live, a late row still merges; Spark semantics).
+    f1 = os.path.join(src, "b_batch1.json")
+    with open(f1, "w") as fh:
+        fh.write(json.dumps(
+            {"event_id": 50, "ts": "2024-03-01 13:15:00", "user_id": 1, "value": 1.0}
+        ) + "\n")
+    late = {"event_id": 99, "ts": "2024-03-01 09:20:00", "user_id": 1, "value": 1.0}
+    f2 = os.path.join(src, "c_batch2.json")
+    with open(f2, "w") as fh:
+        fh.write(json.dumps(late) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 600, now - 600))  # modTime => batch order
+    os.utime(f1, (now - 300, now - 300))
+    os.utime(f2, (now, now))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    agg = tumbling_counts(with_watermark(stream, "1 hour"), "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        str(r.window_start): r.n_events
+        for r in spark.sql("SELECT * FROM late_stream").collect()
+    }
+    # the 09:20 row arrived after the 09:00 window was finalized+evicted
+    # (watermark 12:15 by then) -> dropped, window count stays 1.
+    assert rows.get("2024-03-01 09:00:00") == 1
+    assert rows.get("2024-03-01 10:00:00") == 1
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
