@@ -107,6 +107,42 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     )
 
 
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
+                              dim: int = 64, n_planes: int = 8,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Candidates come from the random-hyperplane bucket join — same bucket
+    or any bucket at Hamming distance 1 (one marginal sign flip) — so the
+    pairing cost is (n/2^b)² per bucket instead of n²; exact cosine then
+    verifies every candidate.  At high thresholds (near-dup territory,
+    angle a few degrees) same-bucket probability per plane is ~1-θ/π, so
+    8 planes + 1-probe keeps recall ~1 while pruning ~99% of pairs.
+    """
+    emb = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    left = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)],
+    )
+    right = emb.withColumn("probe", F.explode(probes)).select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "probe"
+    )
+    cands = (
+        left.join(right, (F.col("bucket") == F.col("probe"))
+                  & (F.col("a") < F.col("b")))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                   part_col: str = "label") -> DataFrame:
     """Coarse quantizer: per-partition mean vector, computed with

@@ -180,6 +180,42 @@ def td_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(docs, max_hamming=3)
 
 
+@query(
+    "td_embed_near_dups",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x + 0.01) AS embedding
+  FROM base WHERE vec_id % 50 = 0),
+all_vecs AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.vec_id AS a, b.vec_id AS b,
+  ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+""",
+)
+def td_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, oracle-checked end to end.
+
+    The corpus is the embeddings table plus deterministic perturbed
+    copies of every 50th vector (+0.01 per dimension, id +1e6) — planted
+    near-duplicates at cosine ~0.9999 against a background whose max
+    pairwise cosine is ~0.51, so LSH-bucketed candidates + exact-cosine
+    verify must recover exactly the planted pairs to hash-match the
+    oracle's O(n²) cross join."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return similarity.embedding_near_duplicates(corpus, threshold=0.98)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 

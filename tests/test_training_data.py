@@ -144,6 +144,28 @@ def test_ann_results_bounded_and_deterministic(spark):
         assert len(ranks) <= 10 and len(set(ranks)) == len(ranks)
 
 
+def test_embedding_near_dups_ground_truth(spark):
+    """Planted perturbed copies are recovered exactly: LSH candidate
+    pruning loses none of them and the cosine verify admits no random
+    pair (background max cosine ~0.5 on the synthetic table)."""
+    emb = table(spark, SF0001, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    n_planted = planted.count()
+    got = similarity.embedding_near_duplicates(
+        emb.unionByName(planted), threshold=0.98
+    ).collect()
+    assert n_planted > 0
+    assert {(r.a, r.b) for r in got} == {
+        (r.vec_id - 1000000, r.vec_id) for r in planted.collect()
+    }
+    assert all(r.cosine >= 0.98 for r in got)
+
+
 def test_multimodal_decode_shape_and_determinism(spark):
     docs = table(spark, SF0001, "documents").limit(50)
     media = multimodal.attach_binary_payload(docs)
