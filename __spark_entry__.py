@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 import busdata_pipeline_spark.plans.analytics  # noqa: F401
 import busdata_pipeline_spark.plans.etl_windows  # noqa: F401
 import busdata_pipeline_spark.plans.relational  # noqa: F401
+import busdata_pipeline_spark.plans.sql_twins  # noqa: F401
 import busdata_pipeline_spark.plans.streaming_windows  # noqa: F401
 import busdata_pipeline_spark.plans.training_data  # noqa: F401
 from busdata_pipeline_spark.plans.registry import ORACLES, QUERIES
