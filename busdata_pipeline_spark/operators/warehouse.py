@@ -68,6 +68,29 @@ def upsert_trip_ignore(trip: DataFrame, warehouse: str) -> None:
     new.write.mode("append").parquet(path)
 
 
+def write_jdbc(df: DataFrame, url: str, table_name: str,
+               batchsize: int = 1000, mode: str = "append",
+               **options: str) -> None:
+    """S10 — the reference's psycopg2 batched INSERT into Postgres
+    (transform.py:190-201,263-288, batch_size=1000 at :271) as Spark's
+    JDBC sink: each task opens its own connection and writes its
+    partition in ``batchsize`` batches, so the load parallelizes across
+    the cluster instead of single-threading through one cursor.
+
+    Untestable in this container (no JDBC endpoint); the Parquet
+    warehouse above is the primary sink, this is the relational egress.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_name)
+        .option("batchsize", str(batchsize))
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def read_fact(spark: SparkSession, warehouse: str) -> DataFrame:
     return spark.read.parquet(_fact_path(warehouse))
 

@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator — live per-trip progress tracking
+via ``applyInPandasWithState``.
+
+The reference's subscriber accumulates per-day state in open file handles
+and only produces trip-level facts when the batch transform runs at
+shutdown (/root/reference/data_subscriber.py:49-56,122-143).  A streaming
+engine can do better: maintain per-trip running state ACROSS micro-batches
+and emit an updated trip summary every time new pings arrive — the
+"custom stateful operator" tier that tumbling/session windows
+(streaming/windows.py) can't express, because the aggregate (odometer
+span from arbitrary-order pings) folds over all history per key.
+
+State per trip is four scalars (count, odometer min/max, time min/max) —
+bounded per key regardless of volume, hash-partitioned by trip_id across
+the cluster's state stores.  Arrow moves each group's rows in columnar
+batches; the per-group fold is numpy, not per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Persistent per-trip state: ping count, odometer span, time span.
+TRIP_STATE = T.StructType([
+    T.StructField("n_pings", T.LongType()),
+    T.StructField("min_meters", T.DoubleType()),
+    T.StructField("max_meters", T.DoubleType()),
+    T.StructField("min_time", T.LongType()),
+    T.StructField("max_time", T.LongType()),
+])
+
+#: Emitted on every micro-batch that touches the trip (update mode).
+TRIP_PROGRESS = T.StructType([
+    T.StructField("trip_id", T.LongType()),
+    T.StructField("n_pings", T.LongType()),
+    T.StructField("meters_traveled", T.DoubleType()),
+    T.StructField("duration_sec", T.LongType()),
+])
+
+
+def _update_trip(key: tuple, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    (trip_id,) = key
+    n, mn_m, mx_m, mn_t, mx_t = (
+        state.get if state.exists else (0, None, None, None, None)
+    )
+    for pdf in pdfs:
+        meters = pdf["METERS"].dropna()
+        times = pdf["ACT_TIME"].dropna()
+        n += len(pdf)
+        if len(meters):
+            lo, hi = float(meters.min()), float(meters.max())
+            mn_m = lo if mn_m is None else min(mn_m, lo)
+            mx_m = hi if mx_m is None else max(mx_m, hi)
+        if len(times):
+            lo_t, hi_t = int(times.min()), int(times.max())
+            mn_t = lo_t if mn_t is None else min(mn_t, lo_t)
+            mx_t = hi_t if mx_t is None else max(mx_t, hi_t)
+    state.update((n, mn_m, mx_m, mn_t, mx_t))
+    yield pd.DataFrame(
+        {
+            "trip_id": [trip_id],
+            "n_pings": [n],
+            "meters_traveled": [
+                (mx_m - mn_m) if mn_m is not None else None
+            ],
+            "duration_sec": [
+                (mx_t - mn_t) if mn_t is not None else None
+            ],
+        }
+    )
+
+
+def track_trip_progress(stream: DataFrame,
+                        trip_col: str = "EVENT_NO_TRIP") -> DataFrame:
+    """Cross-batch per-trip running summary.  Each micro-batch emits one
+    updated row per touched trip; state persists in the checkpointed
+    state store, so a trip whose pings span many micro-batches reports
+    cumulative totals (asserted in tests/test_streaming.py)."""
+    return stream.groupBy(trip_col).applyInPandasWithState(
+        _update_trip,
+        outputStructType=TRIP_PROGRESS,
+        stateStructType=TRIP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

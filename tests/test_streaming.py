@@ -127,6 +127,57 @@ def test_stream_windows_equal_batch_windows(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_trip_progress_across_batches(spark, tmp_path):
+    """applyInPandasWithState — per-trip state persists ACROSS
+    micro-batches: the second batch's emission reports cumulative
+    totals, not batch-local ones."""
+    from busdata_pipeline_spark.streaming.stateful import track_trip_progress
+
+    src = str(tmp_path / "trips_src")
+    os.makedirs(src)
+
+    def rec(trip, act_time, meters):
+        return json.dumps({
+            "EVENT_NO_TRIP": trip, "EVENT_NO_STOP": 1,
+            "OPD_DATE": "25DEC2022:00:00:00", "VEHICLE_ID": 1,
+            "METERS": meters, "ACT_TIME": act_time,
+            "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6,
+        })
+
+    f0 = os.path.join(src, "a_batch0.jsonl")
+    with open(f0, "w") as fh:
+        fh.write("\n".join([rec(1, 100, 0.0), rec(1, 160, 500.0),
+                            rec(2, 100, 0.0)]) + "\n")
+    f1 = os.path.join(src, "b_batch1.jsonl")
+    with open(f1, "w") as fh:
+        fh.write("\n".join([rec(1, 220, 1200.0), rec(1, 280, 1500.0)]) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 600, now - 600))
+    os.utime(f1, (now, now))
+
+    stream = stream_breadcrumbs(spark, src, max_files_per_trigger=1)
+    q = (
+        track_trip_progress(stream)
+        .writeStream.format("memory")
+        .queryName("trip_progress")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM trip_progress").collect()
+    per_trip = {}
+    for r in rows:
+        per_trip.setdefault(r.trip_id, []).append(
+            (r.n_pings, r.meters_traveled, r.duration_sec)
+        )
+    # trip 1: batch0 emits (2, 500, 60); batch1 emits CUMULATIVE (4, 1500, 180)
+    assert (2, 500.0, 60) in per_trip[1]
+    assert (4, 1500.0, 180) in per_trip[1]
+    # trip 2 only seen in batch0; exactly one emission
+    assert per_trip[2] == [(1, 0.0, 0)]
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """T3 — a record later than the watermark is excluded from its
     (already-finalized) window in append mode."""
