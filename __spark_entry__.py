@@ -18,6 +18,7 @@ import busdata_pipeline_spark.plans.etl_windows  # noqa: F401
 import busdata_pipeline_spark.plans.relational  # noqa: F401
 import busdata_pipeline_spark.plans.sql_twins  # noqa: F401
 import busdata_pipeline_spark.plans.streaming_windows  # noqa: F401
+import busdata_pipeline_spark.plans.temporal  # noqa: F401
 import busdata_pipeline_spark.plans.training_data  # noqa: F401
 from busdata_pipeline_spark.plans.registry import ORACLES, QUERIES
 

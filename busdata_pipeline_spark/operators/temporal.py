@@ -1,0 +1,139 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bounded range join, composed from existing DataFrame ops (no UDFs).
+
+Neither exists in the reference (SURVEY.md §2.3: only the fact×dim
+equi-join), but both are bread-and-butter for telemetry like the bus
+breadcrumbs — "latest schedule update at or before this ping", "pings
+within 5 minutes of an incident".
+
+Scale posture:
+
+- ``asof_join`` is the union-and-carry-forward formulation: tag both
+  sides, union, and per key take the running last right-side value in
+  time order.  ONE shuffle (the window's hash partition by key) instead
+  of an O(n·m) inequality join; state per key is one row.  This is how
+  a 100 TB as-of lands: sort-within-partition + single pass.
+- ``range_join_count`` bins the time axis at the lookback width, so
+  each left row probes exactly two (key, bin) buckets — an equi-join
+  Catalyst hash-partitions — and the exact range predicate refines the
+  candidates.  The naive formulation (equi-key + inequality) degrades
+  to per-key cross products on hot keys; binning bounds candidates by
+  wall-clock density instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: dict[str, str] | None = None,
+              tolerance_sec: int | None = None) -> DataFrame:
+    """Backward inclusive as-of: each left row picks the latest right row
+    with ``right_ts <= left_ts`` for the same ``key`` (LEFT semantics —
+    unmatched left rows keep nulls).  ``right_cols`` maps right column ->
+    output alias.  ``tolerance_sec`` optionally voids matches older than
+    the window (pandas ``merge_asof(tolerance=...)`` semantics).
+    """
+    right_cols = right_cols or {right_ts: f"asof_{right_ts}"}
+    carried = list(right_cols)
+
+    l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_t", F.col(left_ts)
+    )
+    r_tagged = right.select(
+        key,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    for c in carried:
+        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None))
+
+    u = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+    # right rows sort BEFORE left rows at equal timestamps => inclusive
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if tolerance_sec is not None and right_ts not in carried:
+        raise ValueError("tolerance_sec requires right_ts in right_cols")
+    carried_exprs = {
+        c: F.last(f"_r_{c}", ignorenulls=True).over(w) for c in carried
+    }
+    out = u
+    for c, e in carried_exprs.items():
+        out = out.withColumn(f"_o_{c}", e)
+    out = out.where(F.col("_is_left") == 1)
+    if tolerance_sec is not None:
+        # materialize the staleness flag BEFORE voiding any carried
+        # column — the flag reads the matched timestamp, which the loop
+        # below may null out.
+        out = out.withColumn(
+            "_too_old",
+            (
+                F.col("_t").cast("double")
+                - F.col(f"_o_{right_ts}").cast("double")
+            ) > F.lit(float(tolerance_sec)),
+        )
+        for c in carried:
+            out = out.withColumn(
+                f"_o_{c}",
+                F.when(F.col("_too_old"), F.lit(None))
+                .otherwise(F.col(f"_o_{c}")),
+            )
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep,
+        *[F.col(f"_o_{c}").alias(alias) for c, alias in right_cols.items()],
+    )
+
+
+def range_join_count(left: DataFrame, right: DataFrame, key: str,
+                     left_id: str, right_id: str,
+                     left_ts: str = "ts", right_ts: str = "ts",
+                     lookback_sec: int = 1800,
+                     out_col: str = "n_in_range") -> DataFrame:
+    """Per left row, count right rows with the same ``key`` whose
+    timestamp falls in ``(left_ts - lookback, left_ts]``.
+
+    Time axis is binned at the lookback width: a right row lands in one
+    (key, bin) bucket; a left row's window spans at most its own bin and
+    the previous one, so candidates come from an exploded 2-bucket
+    equi-join and the exact predicate refines.
+    """
+    bin_w = F.lit(float(lookback_sec))
+    r_binned = right.select(
+        F.col(key).alias("_rk"),
+        F.col(right_ts).alias("_rt"),
+        F.col(right_id).alias("_rid"),
+        F.floor(F.col(right_ts).cast("double") / bin_w).alias("_rbin"),
+    )
+    l_binned = left.withColumn(
+        "_lbin", F.floor(F.col(left_ts).cast("double") / bin_w)
+    ).withColumn(
+        "_probe", F.explode(F.array(F.col("_lbin"), F.col("_lbin") - 1))
+    )
+    in_range = (
+        (F.col("_rt") > F.col(left_ts) - F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), bin_w))
+        & (F.col("_rt") <= F.col(left_ts))
+    )
+    joined = l_binned.join(
+        r_binned,
+        (F.col(key) == F.col("_rk"))
+        & (F.col("_probe") == F.col("_rbin"))
+        & in_range,
+        "left",
+    )
+    return (
+        joined.groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.count("_rid").alias(out_col))
+    )

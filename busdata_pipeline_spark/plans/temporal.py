@@ -1,0 +1,105 @@
+"""Temporal-join query surface: as-of join, bounded range join, and the
+time-hierarchy (hypertable-style) rollup — operators Spark has no
+built-in for, composed per operators/temporal.py and oracle-checked
+against DuckDB (which HAS a native ASOF JOIN — the strongest possible
+differential test for our union-and-carry-forward formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join_count,
+)
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+
+@query(
+    "rel_asof_attribution",
+    oracle="""
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+       c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def rel_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→latest-click attribution: backward inclusive as-of per
+    user.  One window shuffle keyed by user_id — no inequality join —
+    checked against DuckDB's native ASOF LEFT JOIN."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click")
+    return asof_join(
+        purchases, clicks, key="user_id",
+        right_cols={"ts": "click_ts", "value": "click_value"},
+    )
+
+
+@query(
+    "rel_range_click_burst",
+    oracle="""
+SELECT e.event_id AS event_id, COUNT(c.event_id) AS n_recent_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts > e.ts - INTERVAL 30 MINUTE
+ AND c.ts <= e.ts
+GROUP BY e.event_id
+""",
+)
+def rel_range_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks in the 30 minutes before each error, per user — the
+    bounded range join.  The time axis is binned at the lookback width
+    so candidates come from a 2-bucket equi-join, not an inequality
+    join; DuckDB's IEJoin over the raw predicate is the oracle."""
+    ev = table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = range_join_count(
+        errors, clicks, key="user_id", left_id="event_id",
+        right_id="click_id", lookback_sec=1800,
+        out_col="n_recent_clicks",
+    )
+    return out.select("event_id", "n_recent_clicks")
+
+
+@query(
+    "rel_time_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (1, 2)
+""",
+)
+def rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: hour rollups,
+    day subtotals, and the grand total from ONE Expand+hash-agg pass —
+    the materialized-rollup pattern for time-series marts."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Edge semantics of the composed temporal joins (the oracle-parity
+driver covers the bulk behavior; these pin the corners)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join_count,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 10:00:00")),   # exact-tie match
+            (2, 10, ts("2024-01-01 11:30:00")),   # normal backward match
+            (3, 10, ts("2024-01-01 09:00:00")),   # before any right -> null
+            (4, 20, ts("2024-01-01 12:00:00")),   # key with no right rows
+        ],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 10:00:00"), 1.0),  # ties with left id=1
+            (10, ts("2024-01-01 11:00:00"), 2.0),
+        ],
+        ["k", "ts", "v"],
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_nulls(spark, sides):
+    left, right = sides
+    out = {
+        r.id: (None if r.m_ts is None else str(r.m_ts), r.m_v)
+        for r in asof_join(
+            left, right, key="k",
+            right_cols={"ts": "m_ts", "v": "m_v"},
+        ).collect()
+    }
+    assert out[1] == ("2024-01-01 10:00:00", 1.0)   # inclusive tie
+    assert out[2] == ("2024-01-01 11:00:00", 2.0)   # latest <= left
+    assert out[3] == (None, None)                   # nothing earlier
+    assert out[4] == (None, None)                   # key absent on right
+
+
+def test_asof_tolerance_voids_stale_matches(spark, sides):
+    left, right = sides
+    out = {
+        r.id: r.m_v
+        for r in asof_join(
+            left, right, key="k",
+            right_cols={"ts": "m_ts", "v": "m_v"},
+            tolerance_sec=600,
+        ).collect()
+    }
+    assert out[1] == 1.0     # 0s old
+    assert out[2] is None    # 30min old > 10min tolerance
+
+
+def test_asof_tolerance_requires_ts_carried(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="tolerance_sec"):
+        asof_join(left, right, key="k", right_cols={"v": "m_v"},
+                  tolerance_sec=60)
+
+
+def test_range_count_bins_and_zeros(spark, sides):
+    left, right = sides
+    out = {
+        r.id: r.n
+        for r in range_join_count(
+            left, right, key="k", left_id="id", right_id="v",
+            lookback_sec=3600, out_col="n",
+        ).collect()
+    }
+    # id=1: right@10:00 inside (09:00,10:00] -> 1 (inclusive upper edge)
+    # id=2: right@11:00 inside (10:30,11:30]; right@10:00 outside -> 1
+    # id=3/4: no candidates -> 0, rows still present (left semantics)
+    assert out == {1: 1, 2: 1, 3: 0, 4: 0}
