@@ -198,6 +198,41 @@ def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q14 shape — conditional-aggregate ratio over a fact×dim join.
+
+@query(
+    "rel_q14_promo_revenue",
+    oracle="""
+SELECT ROUND(
+  100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount)
+                   ELSE 0 END)
+        / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+""",
+)
+def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share: the shipdate slice prunes the fact scan,
+    part joins broadcast (dim carries only partkey+type after pruning),
+    and the CASE ratio folds into one hash aggregate — no second pass."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROLLUP — hierarchical subtotals (free via Catalyst Expand).
 
 @query(

@@ -63,6 +63,12 @@ def get_spark(app_name: str = "busdata-pipeline-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # saveAsTable target for bucketed layouts (operators/bucketing.py);
+        # kept out of the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     for k, v in TUNING.items():
         builder = builder.config(k, v)

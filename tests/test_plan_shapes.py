@@ -56,6 +56,83 @@ def test_rank_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in formatted_plan(spark, "rel_rank_top_order_per_customer")
 
 
+def test_asof_single_exchange(spark):
+    """The as-of join is one window pass: exactly one shuffle, no
+    join operator at all in the plan (union-and-carry-forward)."""
+    import re
+
+    plan = formatted_plan(spark, "rel_asof_attribution")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_range_join_is_hash_equi_join(spark):
+    """The binned range join must plan as an equi-join (hash or
+    sort-merge on (key, bin)) — never BroadcastNestedLoopJoin."""
+    plan = formatted_plan(spark, "rel_range_click_burst")
+    assert "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan
+
+
+def test_near_dup_candidates_no_cartesian(spark):
+    """MinHash/SimHash/embedding near-dup pipelines must never fall back
+    to a cartesian product — candidates come from equi-joins on band /
+    chunk / bucket keys."""
+    for name in ("td_minhash_near_dups", "td_simhash_near_dups",
+                 "td_embed_near_dups"):
+        plan = formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cosine_topk_group_limit(spark):
+    """Brute-force top-k keeps per-query rank pushdown (WindowGroupLimit)
+    instead of a global sort."""
+    plan = formatted_plan(spark, "td_cosine_topk")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-bucketed orders⨝lineitem joins with ZERO exchanges — the
+    pay-the-shuffle-once layout for repeated order-grain joins."""
+    from busdata_pipeline_spark.operators.bucketing import (
+        bucketed_join,
+        cobucket_tables,
+    )
+
+    cobucket_tables(
+        spark, SF001,
+        {"b_orders": ("orders", "o_orderkey"),
+         "b_lineitem": ("lineitem", "l_orderkey")},
+        buckets=4,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("b_orders")
+            .withColumnRenamed("o_orderkey", "key")
+            .join(
+                spark.table("b_lineitem").withColumnRenamed("l_orderkey", "key"),
+                "key",
+            )
+        )
+        jexp = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(jexp)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the unbucketed join
+        from busdata_pipeline_spark.sources import table as src_table
+
+        o, li = src_table(spark, SF001, "orders"), src_table(spark, SF001, "lineitem")
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_enrichment_single_window_exchange(spark):
     """The whole lag+lead+row_number enrichment shares ONE window sort."""
     import re
