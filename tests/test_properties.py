@@ -1,0 +1,100 @@
+"""Property tests (hypothesis) for the delicate scalar semantics —
+SURVEY.md §7.5 watch list items 1 and 3.
+
+The model implementations here are written from the spec (FIXTURES.md /
+SURVEY.md §2.8), independent of both the reference's code and the
+engine's Column expressions: timestamp = service-day midnight +
+ACT_TIME seconds (days roll naturally past 86400); service bucket from
+Python-convention weekday (0=Monday).
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.functions.core import (
+    dow_pg,
+    service_key_for,
+    weekday_python,
+)
+from busdata_pipeline_spark.functions.timestamps import (
+    breadcrumb_timestamp,
+    opd_date,
+)
+
+MONTHS = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+          "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
+
+
+def encode_opd(d: date) -> str:
+    return f"{d.day:02d}{MONTHS[d.month - 1]}{d.year}:00:00:00"
+
+
+def model_timestamp(d: date, act_time: int) -> datetime:
+    return datetime(d.year, d.month, d.day) + timedelta(seconds=act_time)
+
+
+def model_service_key(d: date) -> str:
+    wd = d.weekday()
+    return "Saturday" if wd == 5 else ("Sunday" if wd == 6 else "Weekday")
+
+
+_rows = st.lists(
+    st.tuples(
+        st.dates(min_value=date(1990, 1, 1), max_value=date(2049, 12, 31)),
+        st.integers(min_value=0, max_value=3 * 86400),  # up to 2-day rollover
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_rows)
+def test_timestamp_and_service_key_match_model(spark, rows):
+    df = spark.createDataFrame(
+        [(encode_opd(d), act) for d, act in rows],
+        ["OPD_DATE", "ACT_TIME"],
+    ).select(
+        breadcrumb_timestamp("OPD_DATE", "ACT_TIME").alias("ts"),
+        service_key_for(opd_date("OPD_DATE")).alias("sk"),
+        weekday_python(opd_date("OPD_DATE")).alias("wd"),
+        dow_pg(breadcrumb_timestamp("OPD_DATE", "ACT_TIME")).alias("dow"),
+    )
+    got = df.collect()
+    for (d, act), r in zip(rows, got):
+        want_ts = model_timestamp(d, act)
+        assert r.ts == want_ts, (d, act)
+        assert r.sk == model_service_key(d)
+        assert r.wd == d.weekday()
+        # PG DOW: 0=Sunday..6=Saturday, on the ROLLED date
+        assert r.dow == (want_ts.date().weekday() + 1) % 7
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(garbage=st.lists(
+    st.text(min_size=0, max_size=12).filter(lambda s: ":" not in s),
+    min_size=1, max_size=10,
+))
+def test_unparseable_opd_yields_null_not_error(spark, garbage):
+    """The reference skips records whose date can't parse
+    (transform.py:212-215); our expressions must yield NULL, never raise
+    (ANSI-mode runtime errors would kill the whole job)."""
+    df = spark.createDataFrame(
+        [(g + ":00:00:00", 100) for g in garbage],
+        ["OPD_DATE", "ACT_TIME"],
+    ).select(breadcrumb_timestamp("OPD_DATE", "ACT_TIME").alias("ts"))
+    for g, r in zip(garbage, df.collect()):
+        try:
+            datetime.strptime(g[:9].capitalize(), "%d%b%Y")
+            parseable = True
+        except ValueError:
+            parseable = False
+        if not parseable:
+            assert r.ts is None, repr(g)
