@@ -243,11 +243,13 @@ QUALIFY rank <= 10
 """,
 )
 def td_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-10 — the ANN baseline.  Arithmetic is
-    a double-precision left fold on both engines, so even the unrounded
-    ordering agrees; rank is a WindowGroupLimit, not a global sort."""
+    """Exact brute-force cosine top-10 — the ANN baseline, scored as one
+    BLAS matmul per Arrow batch (cosine_topk_vectorized; bit-identical
+    to the fold-expression formulation and the DuckDB oracle — float64
+    dot products agree exactly at dim 64); rank is a WindowGroupLimit,
+    not a global sort."""
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, _queries_df(spark, sf_dir), k=10)
+    return similarity.cosine_topk_vectorized(emb, _queries_df(spark, sf_dir), k=10)
 
 
 @query("td_lsh_ann")  # rows-only: hyperplane signatures have no SQL analog

@@ -144,6 +144,20 @@ def test_ann_results_bounded_and_deterministic(spark):
         assert len(ranks) <= 10 and len(set(ranks)) == len(ranks)
 
 
+def test_vectorized_cosine_identical_to_fold(spark):
+    """The matmul scorer must be bit-identical to the fold-expression
+    formulation (same float64 arithmetic, different engine path)."""
+    emb = table(spark, SF0001, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(tuple(r) for r in
+               similarity.cosine_topk(emb, q, k=10).collect())
+    b = sorted(tuple(r) for r in
+               similarity.cosine_topk_vectorized(emb, q, k=10).collect())
+    assert a == b
+
+
 def test_embedding_near_dups_ground_truth(spark):
     """Planted perturbed copies are recovered exactly: LSH candidate
     pruning loses none of them and the cosine verify admits no random
