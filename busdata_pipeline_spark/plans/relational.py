@@ -264,6 +264,78 @@ def rel_rollup_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4 shape — EXISTS semi-join with a per-row range condition.
+
+@query(
+    "rel_q4_late_ship_priority",
+    oracle="""
+SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def rel_q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts for orders with at least one lineitem
+    shipped after the order date: LEFT SEMI with a non-equi residual —
+    the probe stops at the first match per order, and only
+    (orderkey, shipdate) crosses the wire from the fact side."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — HAVING on an aggregate, joined back to dimensions.
+
+@query(
+    "rel_q18_large_orders",
+    oracle="""
+SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_name, o.o_orderkey
+HAVING ROUND(SUM(l.l_quantity), 2) > 250
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+)
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: aggregate-then-filter (HAVING) with the
+    customer name joined in.  The quantity rollup happens BEFORE the
+    customer join, so the dim join sees only surviving orders."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", F.col("o_orderkey"), "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semi / anti joins — EXISTS / NOT EXISTS.
 
 @query(

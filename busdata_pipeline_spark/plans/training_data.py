@@ -298,6 +298,32 @@ def td_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(multimodal.decode_items(media), every_n=2)
 
 
+@query(
+    "td_profile_documents",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+  COUNT(DISTINCT lang) AS n_langs,
+  COUNT(DISTINCT source) AS n_sources,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars,
+  ROUND(AVG(n_chars), 6) AS avg_chars,
+  ROUND(SUM(CASE WHEN LENGTH(text) <> n_chars THEN 1 ELSE 0 END)
+        / COUNT(*), 6) AS len_mismatch_rate
+FROM documents
+""",
+)
+def td_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile (volume, null-rates, cardinalities,
+    length bounds + metadata-consistency rate) — the acceptance gate a
+    training-data pipeline runs on every new drop.  ``approximate=True``
+    swaps exact distincts for HLL++ at scale (same schema, one shuffle
+    less)."""
+    from busdata_pipeline_spark.operators.profile import profile_documents
+
+    return profile_documents(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # sketches
 
