@@ -91,6 +91,32 @@ def write_jdbc(df: DataFrame, url: str, table_name: str,
     writer.mode(mode).save()
 
 
+def compact_day(spark: SparkSession, warehouse: str, day: str,
+                target_files: int = 1) -> None:
+    """Small-files compaction for one fact partition.
+
+    A streaming sink appends a file per micro-batch per partition; after
+    a day closes, thousands of small files tax every later scan (footer
+    reads, task scheduling).  Rewrite the closed day into
+    ``target_files`` right-sized files — dynamic partition overwrite
+    makes the swap atomic and scoped to that day, identical to the S11
+    re-load path, so a concurrent reader sees old or new files, never a
+    mix.
+    """
+    fact = read_fact(spark, warehouse)
+    day_df = fact.where(F.col("event_date") == F.lit(day).cast("date"))
+    # Break lineage from the source files: Spark refuses to overwrite a
+    # path its own plan still reads.  localCheckpoint materializes the
+    # (single-day) slice to executor-local storage first.
+    day_df = day_df.localCheckpoint(eager=True)
+    (
+        day_df.repartition(target_files)
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(_fact_path(warehouse))
+    )
+
+
 def read_fact(spark: SparkSession, warehouse: str) -> DataFrame:
     return spark.read.parquet(_fact_path(warehouse))
 

@@ -127,6 +127,87 @@ def test_stream_windows_equal_batch_windows(spark, tmp_path):
     assert got == want
 
 
+def test_stream_dedup_drops_redelivered(spark, tmp_path):
+    """At-least-once redelivery (same EVENT_NO_TRIP/ACT_TIME record in a
+    later micro-batch) is dropped in flight by
+    dropDuplicatesWithinWatermark."""
+    from busdata_pipeline_spark.streaming.dedup import dedup_stream
+    from busdata_pipeline_spark.streaming.ingest import with_event_date
+
+    src = str(tmp_path / "redeliver_src")
+    os.makedirs(src)
+
+    def rec(trip, act):
+        return json.dumps({
+            "EVENT_NO_TRIP": trip, "EVENT_NO_STOP": 1,
+            "OPD_DATE": "25DEC2022:00:00:00", "VEHICLE_ID": 1,
+            "METERS": 1.0, "ACT_TIME": act,
+            "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6,
+        })
+
+    f0 = os.path.join(src, "a0.jsonl")
+    with open(f0, "w") as fh:
+        fh.write("\n".join([rec(1, 100), rec(1, 160), rec(2, 100)]) + "\n")
+    # batch 1 redelivers (1,100) and (2,100), plus one genuinely new row
+    f1 = os.path.join(src, "b1.jsonl")
+    with open(f1, "w") as fh:
+        fh.write("\n".join([rec(1, 100), rec(2, 100), rec(2, 220)]) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 600, now - 600))
+    os.utime(f1, (now, now))
+
+    stream = with_event_date(stream_breadcrumbs(spark, src, max_files_per_trigger=1))
+    deduped = dedup_stream(stream, ["EVENT_NO_TRIP", "ACT_TIME"],
+                           ts_col="tstamp", watermark="24 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT EVENT_NO_TRIP, ACT_TIME FROM dedup_stream_t"
+    ).collect()
+    got = sorted((r.EVENT_NO_TRIP, r.ACT_TIME) for r in rows)
+    assert got == [(1, 100), (1, 160), (2, 100), (2, 220)]
+
+
+def test_compact_day_preserves_rows(spark, drop_dir, tmp_path):
+    """Compaction rewrites one day partition into target_files files with
+    identical rows; other days untouched."""
+    import glob
+
+    from busdata_pipeline_spark.operators.enrich import enrich_breadcrumbs
+    from busdata_pipeline_spark.operators.warehouse import (
+        compact_day,
+        write_fact_idempotent,
+    )
+
+    wh = str(tmp_path / "wh_compact")
+    raw = read_breadcrumb_jsonl(spark, drop_dir + "/*.jsonl")
+    # micro-batch analog: rows scattered over many writer tasks => many
+    # small files inside each day partition
+    write_fact_idempotent(enrich_breadcrumbs(raw).repartition(6), wh)
+
+    day = "2023-01-02"
+    part_glob = os.path.join(wh, "breadcrumb", f"event_date={day}", "*.parquet")
+    before_rows = sorted(
+        map(repr, read_fact(spark, wh).where(F.col("event_date") == day).collect())
+    )
+    total_before = read_fact(spark, wh).count()
+    assert len(glob.glob(part_glob)) > 1
+
+    compact_day(spark, wh, day, target_files=1)
+    assert len(glob.glob(part_glob)) == 1
+    after_rows = sorted(
+        map(repr, read_fact(spark, wh).where(F.col("event_date") == day).collect())
+    )
+    assert after_rows == before_rows
+    assert read_fact(spark, wh).count() == total_before
+
+
 def test_stateful_trip_progress_across_batches(spark, tmp_path):
     """applyInPandasWithState — per-trip state persists ACROSS
     micro-batches: the second batch's emission reports cumulative
