@@ -42,6 +42,46 @@ def avg_token_len(text: Column | str) -> Column:
     return F.when(n > 0, non_space.cast("double") / n)
 
 
+#: Punctuation set for the quality-ratio features (fixed, engine-neutral).
+PUNCT = "!?.,;:"
+
+#: Stopword markers (space-delimited match, same arithmetic as lang
+#: markers — no regex dialect in play).
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+#: "BPE-ish" token pattern: letter runs, digit runs, or single
+#: non-alphanumeric-non-space symbols — the coarse pre-tokenization
+#: BPE vocabularies start from.  Plain character classes only, so the
+#: Java (Spark) and RE2-style (DuckDB) dialects agree exactly.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (NULL on empty text)."""
+    col = text if isinstance(text, Column) else F.col(text)
+    n_punct = F.length(col) - F.length(F.translate(col, PUNCT, ""))
+    return F.when(F.length(col) > 0, n_punct.cast("double") / F.length(col))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Stopword tokens / all tokens (NULL when no tokens).  Counted as
+    space-delimited occurrences over a space-padded copy so edge tokens
+    match too — identical arithmetic in the SQL oracle."""
+    col = text if isinstance(text, Column) else F.col(text)
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    hits = sum(
+        (occurrences(padded, f" {w} ") for w in STOPWORDS), F.lit(0)
+    )
+    n = token_count(col)
+    return F.when(n > 0, hits.cast("double") / n)
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization count via regexp_extract_all."""
+    col = text if isinstance(text, Column) else F.col(text)
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("long")
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the trimmed text.
     (Standard MD5 over UTF-8 — identical on every engine; the rolling-

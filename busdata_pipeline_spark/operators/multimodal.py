@@ -105,6 +105,27 @@ def decode_items(media: DataFrame, real: bool = False,
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+def resize_items(decoded: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize planning: scale every item so its longest side is
+    ``max_side``, preserving aspect ratio.  The geometry (scale factor,
+    output dims) is pure Column algebra; the pixel resample itself
+    belongs in the decode UDF body once a real codec is present —
+    keeping the plan identical either way."""
+    longest = F.greatest("width", "height")
+    scale = F.round(
+        F.when(longest > max_side, F.lit(max_side) / longest).otherwise(F.lit(1.0)),
+        6,
+    )
+    return decoded.withColumn("scale", scale).withColumns({
+        "out_width": F.greatest(
+            F.floor(F.col("width") * F.col("scale")), F.lit(1)
+        ).cast("int"),
+        "out_height": F.greatest(
+            F.floor(F.col("height") * F.col("scale")), F.lit(1)
+        ).cast("int"),
+    })
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling: explode n_frames into frame indexes, keep every
     n-th — pure Column algebra (no Python), prunes before any heavy

@@ -14,12 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
     LANG_MARKERS,
+    PUNCT,
+    STOPWORDS,
     avg_token_len,
     fingerprint,
     lang_id,
+    punct_ratio,
     quality_score,
+    stopword_ratio,
     token_count,
+    token_count_bpe,
 )
 from busdata_pipeline_spark.operators import dedup, multimodal, similarity
 from busdata_pipeline_spark.plans.registry import query
@@ -103,6 +109,48 @@ def td_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-shaped quality scoring (length + token-shape bands)."""
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def _stopword_hits_sql() -> str:
+    padded = "(' ' || text || ' ')"
+    terms = [
+        f"(LENGTH({padded}) - LENGTH(REPLACE({padded}, ' {w} ', ''))) / {len(w) + 2}"
+        for w in STOPWORDS
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "td_text_ratios",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS n_tok
+  FROM documents)
+SELECT doc_id,
+  ROUND(CASE WHEN LENGTH(text) > 0 THEN
+    CAST(LENGTH(text) - LENGTH(translate(text, '{PUNCT}', '')) AS DOUBLE)
+      / LENGTH(text) END, 6) AS punct_ratio,
+  ROUND(CASE WHEN n_tok > 0 THEN
+    CAST({_stopword_hits_sql()} AS DOUBLE) / n_tok END, 6) AS stopword_ratio,
+  CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT)
+    AS n_bpe_tokens
+FROM t
+""",
+)
+def td_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ratio features: punctuation density, stopword share
+    (non-overlapping padded-match arithmetic, identical in the oracle),
+    and the BPE-ish pre-tokenization count via regexp_extract_all —
+    all whole-stage-codegen column algebra."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        token_count_bpe("text").alias("n_bpe_tokens"),
+    )
 
 
 @query(

@@ -200,6 +200,26 @@ def test_multimodal_real_decode_raises(spark):
             multimodal.decode_items(media, real=True)
 
 
+def test_resize_preserves_aspect_and_bounds(spark):
+    docs = table(spark, SF0001, "documents").limit(80)
+    decoded = multimodal.decode_items(multimodal.attach_binary_payload(docs))
+    out = multimodal.resize_items(decoded, max_side=32).collect()
+    assert out
+    import math
+
+    for r in out:
+        assert 1 <= max(r.out_width, r.out_height) <= 32
+        if max(r.width, r.height) <= 32:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+            assert r.scale == 1.0
+        else:
+            # exact geometry contract: round-6 scale, floored dims, min 1
+            want_scale = round(32 / max(r.width, r.height), 6)
+            assert r.scale == want_scale
+            assert r.out_width == max(1, math.floor(r.width * want_scale))
+            assert r.out_height == max(1, math.floor(r.height * want_scale))
+
+
 def test_frame_sample_keeps_even_frames(spark):
     docs = table(spark, SF0001, "documents").limit(20)
     media = multimodal.attach_binary_payload(docs)
