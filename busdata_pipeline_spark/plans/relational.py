@@ -376,6 +376,129 @@ def rel_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q13 shape — LEFT OUTER join + two-level aggregation histogram.
+
+@query(
+    "rel_q13_order_count_histogram",
+    oracle="""
+SELECT c_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def rel_q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: the outer join keeps
+    zero-order customers (COUNT of the null orderkey = 0), then a second
+    aggregation histograms the counts.  Both aggs are partial+final;
+    the second one's input is already customer-cardinality."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — scalar-subquery filter + NOT EXISTS.
+
+@query(
+    "rel_q22_rich_active_customers",
+    oracle="""
+SELECT SUBSTRING(c.c_name, 1, 9) AS name_prefix,
+       COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY SUBSTRING(c.c_name, 1, 9)
+""",
+)
+def rel_q22_rich_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers who have ordered: the global
+    average is a 1-row aggregate broadcast as a cross join (a scalar
+    subquery's physical form), the has-orders test is a LEFT SEMI (the
+    anti flavor is covered by rel_anti_customers_without_orders)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — two-nation trade flow with year extraction.
+
+@query(
+    "rel_q7_nation_trade",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+""",
+)
+def rel_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border revenue by (supplier nation, customer nation, year).
+    supplier+nation and customer+nation collapse into two broadcast dim
+    chains; the only fact shuffle is orders⨝lineitem on orderkey.  The
+    inequality (different nations) is a cheap post-join residual."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s_dim = (
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c_dim = (
+        table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s_dim), li.l_suppkey == s_dim.s_suppkey)
+        .join(F.broadcast(c_dim), F.col("o_custkey") == c_dim.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window rank over a join — top order per customer.
 
 @query(
