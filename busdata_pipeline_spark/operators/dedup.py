@@ -101,7 +101,6 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     """Banded LSH: split the k-length signature into ``bands`` rows of
     length k/bands, hash each band, and self-join on (band, hash).
     Returns distinct candidate (a, b) pairs with a < b."""
-    k = bands  # rows derived below from signature length at runtime
     banded = signatures.select(
         id_col,
         F.posexplode(

@@ -25,8 +25,8 @@ from busdata_pipeline_spark.sources import table
     oracle="""
 SELECT l_returnflag, l_linestatus,
   ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
   ROUND(AVG(l_quantity), 6) AS avg_qty,
   ROUND(AVG(l_extendedprice), 6) AS avg_price,
@@ -41,8 +41,10 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary: the canonical scan+agg stress test.  Whole plan is
     one WholeStageCodegen span over the parquet scan with a 6-group hash
     agg — map-side partial agg means the shuffle moves 6 rows per task
-    regardless of input size.  Sums rounded to 2 (summation-order noise at
-    1e10 magnitude is ~1e-6)."""
+    regardless of input size.  Money sums rounded where no tie edge exists: 4-decimal-exact
+    sums at 4; the 6-decimal charge at 2 (round-6 would expose real
+    summation noise at 1e9 magnitude, and half-cent ties there need a
+    1-in-10^4 coincidence instead of 1-in-10^2)."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -50,8 +52,8 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
@@ -68,7 +70,7 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q3_top_revenue",
     oracle="""
 SELECT l.l_orderkey AS l_orderkey,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
   o.o_orderdate AS o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -102,7 +104,7 @@ def rel_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
             .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -118,7 +120,7 @@ def rel_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q5_region_revenue",
     oracle="""
 SELECT n.n_name AS n_name,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -161,7 +163,7 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
             .alias("revenue")
         )
     )
