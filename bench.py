@@ -30,6 +30,7 @@ HEADLINERS = [
     "bus_q7_value_histogram",      # high-cardinality countDistinct
     "bus_q8_longest_trip",         # grouped min/max + top-1
     "etl_w3_lead_backfill",        # window lag/lead enrichment
+    "rel_q7_nation_trade",         # two-dim-chain multi-join + year agg
     "td_dedup_exact",              # fingerprint hash-groupBy dedup
     "td_cosine_topk",              # brute-force ANN baseline (fold + group-limit)
     "st_tumbling_hourly",          # event-time window aggregate (batch twin)
