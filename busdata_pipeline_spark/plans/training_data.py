@@ -163,6 +163,90 @@ def td_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+@query(
+    "td_vocabulary_top50",
+    oracle="""
+SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS tok
+      FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY tf DESC, tok
+LIMIT 50
+""",
+)
+def td_vocabulary_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode tokens once, count term and
+    document frequencies in one hash aggregate (df via count distinct),
+    top-50 by TakeOrderedAndProject.  The vocabulary-building pass every
+    tokenizer-training pipeline starts from."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+@query(
+    "td_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS tok
+  FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok <> '' GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+       WHERE tok <> '' GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT doc_id, tok,
+  ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (tok) CROSS JOIN n
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY doc_id
+  ORDER BY ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, tok) <= 3
+""",
+)
+def td_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (first 100 docs): term frequency
+    and document frequency from one exploded pass, the corpus size as a
+    broadcast scalar, per-doc ranking as a WindowGroupLimit.  Ranking
+    uses the ROUNDED score so the cut is engine-stable."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id", "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 
