@@ -55,13 +55,16 @@ def st_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st_session_5min",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 300 OR LAG(ts) OVER w IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  -- event_id tiebreak: with duplicate (user_id, ts) rows the island
+  -- numbering must see the SAME total order in both window passes, or
+  -- a tie group can split across sessions nondeterministically
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

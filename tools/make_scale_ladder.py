@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from busdata_pipeline_spark.session import get_spark  # noqa: E402
+from busdata_pipeline_spark.sources import table  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 OFFSET = 10_000_000
@@ -48,7 +49,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for t, key in SPECS.items():
         p = os.path.join(dst, f"{t}.parquet")
-        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        # the table loader normalizes nano-long timestamp columns to
+        # TimestampType, so the replica parquet keeps proper timestamp
+        # annotations (DuckDB reads them directly)
+        df = table(spark, SRC, t)
         if key is None:
             df.write.mode("overwrite").parquet(p)
             continue
