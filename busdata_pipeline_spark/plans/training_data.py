@@ -111,6 +111,37 @@ def td_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+@query(
+    "td_train_val_split",
+    oracle="""
+SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
+            THEN 'val' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def td_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% holdout split: membership is a pure function
+    of the stable doc_id's md5 (hex '00'..'19' of 'ff' ≈ 10.2%), so the
+    split is reproducible across runs, engines, and cluster sizes — no
+    RNG state, no sampling shuffle, new documents never reshuffle old
+    assignments.  The split column is a one-expression projection any
+    downstream query can filter on."""
+    docs = table(spark, sf_dir, "documents")
+    split = F.when(
+        F.md5(F.col("doc_id").cast("string")) < "1a", "val"
+    ).otherwise("train")
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
 def _stopword_hits_sql() -> str:
     padded = "(' ' || text || ' ')"
     terms = [
