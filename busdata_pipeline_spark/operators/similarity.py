@@ -89,12 +89,29 @@ def cosine_topk_vectorized(embeddings: DataFrame, queries: DataFrame,
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = Vn @ Qn.T
-            yield pd.DataFrame({
-                id_col: np.repeat(pdf[id_col].values, len(qids)),
-                qid_col: np.tile(qids, len(pdf)),
-                "cos": S.ravel(),
-            })
+            S = Vn @ Qn.T  # (n, q)
+            n = len(pdf)
+            ids = pdf[id_col].values
+            if n > k:
+                # combiner: emit only this batch's top-k rows per query
+                # (global top-k is a subset of the union of batch top-ks),
+                # shrinking the shuffle from n*q rows to k*q per batch.
+                # argpartition is O(n) per query; ordering is finalized
+                # by the global rank, so partial order here is fine.
+                top = np.argpartition(-S, k, axis=0)[:k + 1]   # (k+1, q)
+                q_idx = np.repeat(np.arange(len(qids)), top.shape[0])
+                v_idx = top.T.ravel()
+                yield pd.DataFrame({
+                    id_col: ids[v_idx],
+                    qid_col: qids[q_idx],
+                    "cos": S[v_idx, q_idx],
+                })
+            else:
+                yield pd.DataFrame({
+                    id_col: np.repeat(ids, len(qids)),
+                    qid_col: np.tile(qids, n),
+                    "cos": S.ravel(),
+                })
 
     scored = (
         embeddings.select(id_col, vec_col)
