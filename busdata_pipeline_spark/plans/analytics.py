@@ -391,6 +391,27 @@ def bus_q10_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # props JSON extraction (F12 from_json analog over events.props)
 
 @query(
+    "fn_from_json_decode",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def fn_from_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/F12 proper — schema'd JSON payload decode with from_json (the
+    ingest path's message parsing), vs DuckDB's json_extract."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.from_json("props", "k BIGINT").getField("k").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "fn_props_extract",
     oracle="""
 SELECT CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k, COUNT(*) AS n

@@ -532,6 +532,63 @@ def rel_rank_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# PIVOT — wide conditional-aggregate matrix.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query(
+    "rel_pivot_segment_by_type",
+    oracle="""
+SELECT c.c_mktsegment AS c_mktsegment,
+  {cols}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""".format(cols=",\n  ".join(
+        f"SUM(CASE WHEN e.event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        for t in _EVENT_TYPES)),
+)
+def rel_pivot_segment_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts per market segment pivoted over event type.  The
+    explicit value list keeps the plan a single pass (no distinct-values
+    pre-query) and the output schema static — the requirement for a
+    PIVOT to be sane at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles — interpolated, per group.
+
+@query(
+    "rel_value_percentiles",
+    oracle="""
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+)
+def rel_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    SQL-standard continuous quantile == DuckDB quantile_cont).  The
+    exact form needs the group's values collected per partition-key —
+    fine per-group; the corpus-wide scalable variant is
+    ``approx_percentile`` (td_sketches)."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Set operations — INTERSECT / EXCEPT (distinct semantics).
 
 @query(
