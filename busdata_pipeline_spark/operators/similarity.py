@@ -65,7 +65,8 @@ def cosine_topk_vectorized(embeddings: DataFrame, queries: DataFrame,
                            k: int = 10, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            qid_col: str = "qid",
-                           qvec_col: str = "qvec") -> DataFrame:
+                           qvec_col: str = "qvec",
+                           max_queries: int = 100_000) -> DataFrame:
     """Exact cosine top-k with an Arrow-batched numpy matmul scorer.
 
     Semantically identical to ``cosine_topk`` (verified bit-for-bit in
@@ -75,10 +76,18 @@ def cosine_topk_vectorized(embeddings: DataFrame, queries: DataFrame,
     of per-element fold expressions.  This is the 100 TB scorer: corpus
     stays partitioned, work per executor is a dense GEMM, and only the
     per-query top-k (WindowGroupLimit) shuffles.
+
+    The query matrix is the broadcast side and must fit on the driver:
+    beyond ``max_queries`` this routes to the fully distributed
+    ``cosine_topk`` join path instead of collecting — the 100 TB
+    contract made explicit rather than an OOM.
     """
     import pandas as pd
 
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        return cosine_topk(embeddings, queries, k, id_col, vec_col,
+                           qid_col, qvec_col)
     Q = np.array([r[qvec_col] for r in qrows], dtype=np.float64)
     qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -92,15 +101,18 @@ def cosine_topk_vectorized(embeddings: DataFrame, queries: DataFrame,
             S = Vn @ Qn.T  # (n, q)
             n = len(pdf)
             ids = pdf[id_col].values
-            if n > k:
-                # combiner: emit only this batch's top-k rows per query
+            if n > k + 1:
+                # combiner: emit only this batch's top rows per query
                 # (global top-k is a subset of the union of batch top-ks),
-                # shrinking the shuffle from n*q rows to k*q per batch.
-                # argpartition is O(n) per query; ordering is finalized
-                # by the global rank, so partial order here is fine.
-                top = np.argpartition(-S, k, axis=0)[:k + 1]   # (k+1, q)
-                q_idx = np.repeat(np.arange(len(qids)), top.shape[0])
-                v_idx = top.T.ravel()
+                # shrinking the shuffle from n*q rows to ~k*q per batch.
+                # Keep every row scoring >= the (k+2)-th largest value:
+                # ties at the boundary ALL survive, so the global
+                # (cos desc, id asc) rank sees the same candidate set as
+                # the unpruned scorer — bit-identical results even when
+                # the k-th score is duplicated within a batch.  (k+2
+                # spare covers one self-match row filtered later.)
+                kth = -np.partition(-S, k + 1, axis=0)[k + 1]   # (q,)
+                v_idx, q_idx = np.nonzero(S >= kth[None, :])
                 yield pd.DataFrame({
                     id_col: ids[v_idx],
                     qid_col: qids[q_idx],

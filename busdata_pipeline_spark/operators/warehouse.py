@@ -30,6 +30,7 @@ from busdata_pipeline_spark.schemas import TRIP
 
 FACT = "breadcrumb"
 DIM = "trip"
+STAGE = "breadcrumb_stage"
 
 
 def _fact_path(warehouse: str) -> str:
@@ -40,12 +41,19 @@ def _dim_path(warehouse: str) -> str:
     return os.path.join(warehouse, DIM)
 
 
+def _stage_path(warehouse: str) -> str:
+    return os.path.join(warehouse, STAGE)
+
+
 def write_fact_idempotent(fact: DataFrame, warehouse: str) -> None:
     """S11 — overwrite exactly the event-date partitions present in
-    ``fact`` (requires partitionOverwriteMode=dynamic, set in session)."""
+    ``fact``.  partitionOverwriteMode is pinned on the writer itself:
+    on a vanilla session (static mode) a session-level dependency would
+    silently truncate every OTHER date partition of the fact table."""
     (
         fact.withColumn("event_date", F.to_date("tstamp"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date")
         .parquet(_fact_path(warehouse))
     )
@@ -112,9 +120,101 @@ def compact_day(spark: SparkSession, warehouse: str, day: str,
     (
         day_df.repartition(target_files)
         .write.mode("overwrite")
+        # Writer-local dynamic mode: only the compacted day's partition
+        # is replaced, regardless of the caller session's conf.
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date")
         .parquet(_fact_path(warehouse))
     )
+
+
+def stage_raw_batch(raw: DataFrame, warehouse: str, batch_id: int) -> None:
+    """Incremental-stream landing: write one micro-batch's RAW rows to a
+    batch-id-keyed staging directory — the Spark analog of the
+    reference's subscriber appending messages to the day's JSONL file
+    (data_subscriber.py:49-56) with transform deferred to day close.
+
+    The path is deterministic in ``batch_id`` and written with
+    ``overwrite``, so a replayed micro-batch (foreachBatch re-runs after
+    failure — at-least-once) replaces exactly its own output and nothing
+    else: per-batch idempotency without touching the main fact table.
+    Multiple batches of the same event_date coexist side by side — the
+    round-1 design overwrote the whole day per batch, silently erasing
+    earlier batches whenever a day spanned micro-batches.
+
+    Staging raw (not enriched) rows also keeps the per-trip window
+    semantics exact when a trip spans micro-batches: enrichment runs
+    once over the FULL day at ``promote_stage``, identical to the batch
+    job, instead of per-batch with truncated lag context.
+    """
+    raw.write.mode("overwrite").parquet(
+        os.path.join(_stage_path(warehouse), f"ingest_batch={batch_id}")
+    )
+
+
+def promote_stage(spark: SparkSession, warehouse: str) -> int:
+    """Day-close transform: enrich ALL staged raw rows (full-day window
+    context, same lineage as ``load_day``) and dynamic-overwrite the
+    touched event-date partitions of the fact table.
+
+    The stage is NOT deleted — promote is a pure function of the staged
+    raw, so re-running it (crash-retry, or after more batches landed) is
+    exactly idempotent: it recomputes the touched days wholesale.  Late
+    rows staged after an earlier promote re-enter the recomputation with
+    their day's full raw context still present.  ``vacuum_stage``
+    reclaims closed days once the retention boundary passes them.
+    Returns the number of staged raw rows promoted.
+    """
+    from busdata_pipeline_spark.operators.enrich import enrich_breadcrumbs
+
+    stage = _stage_path(warehouse)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(stage)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    staged = spark.read.option("basePath", stage).parquet(stage).drop("ingest_batch")
+    n = staged.count()
+    if n:
+        write_fact_idempotent(enrich_breadcrumbs(staged), warehouse)
+    return n
+
+
+def vacuum_stage(spark: SparkSession, warehouse: str, before_day: str) -> int:
+    """Drop staged raw for event-days strictly before ``before_day``
+    (the retention boundary: days that can no longer receive late data).
+
+    A day must stay in the stage until it is closed — ``promote_stage``
+    recomputes a day ONLY from staged raw, so vacuuming an open day
+    would make a later promote clobber it with partial data.  Offline
+    maintenance op: do not run concurrently with an active stream.
+    Returns the number of retained rows.
+    """
+    from busdata_pipeline_spark.functions.timestamps import breadcrumb_timestamp
+
+    stage = _stage_path(warehouse)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(stage)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    staged = spark.read.option("basePath", stage).parquet(stage)
+    day = F.coalesce(
+        F.to_date(breadcrumb_timestamp("OPD_DATE", "ACT_TIME")), F.current_date()
+    )
+    kept = staged.where(day >= F.lit(before_day).cast("date"))
+    kept = kept.localCheckpoint(eager=True)  # break lineage before rewrite
+    n = kept.count()
+    fs.delete(hpath, True)
+    if n:
+        for (bid,) in kept.select("ingest_batch").distinct().collect():
+            (
+                kept.where(F.col("ingest_batch") == bid)
+                .drop("ingest_batch")
+                .write.mode("overwrite")
+                .parquet(os.path.join(stage, f"ingest_batch={bid}"))
+            )
+    return n
 
 
 def read_fact(spark: SparkSession, warehouse: str) -> DataFrame:

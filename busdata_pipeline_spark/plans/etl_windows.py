@@ -29,7 +29,7 @@ SELECT event_id, user_id,
   ROUND(
     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 0
          THEN (value - LAG(value) OVER w) / (epoch(ts) - epoch(LAG(ts) OVER w))
-    END, 6) AS rate
+    END, 6) + 0.0 AS rate
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
@@ -62,7 +62,7 @@ WITH rated AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id,
-  ROUND(CASE WHEN rn = 1 THEN LEAD(rate) OVER w2 ELSE rate END, 6) AS rate
+  ROUND(CASE WHEN rn = 1 THEN LEAD(rate) OVER w2 ELSE rate END, 6) + 0.0 AS rate
 FROM rated
 WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
 """,

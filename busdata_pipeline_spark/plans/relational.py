@@ -544,7 +544,9 @@ SELECT c.c_mktsegment AS c_mktsegment,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """.format(cols=",\n  ".join(
-        f"SUM(CASE WHEN e.event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        # CAST: DuckDB SUM(int) yields HUGEINT (int128); Spark's pivot
+        # count is BIGINT — the round-1 hash mismatch was that width.
+        f"CAST(SUM(CASE WHEN e.event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
         for t in _EVENT_TYPES)),
 )
 def rel_pivot_segment_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,7 +560,10 @@ def rel_pivot_segment_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .agg(F.count(F.lit(1)))
+        # A (segment, type) combo absent at some SF pivots to NULL;
+        # the oracle's SUM(CASE) makes it 0 — align.
+        .na.fill(0, subset=list(_EVENT_TYPES))
     )
 
 

@@ -100,8 +100,11 @@ WITH t AS (
               / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) END AS atl
   FROM documents)
 SELECT doc_id,
-  ROUND((CASE WHEN n >= 10 AND n <= 100000 THEN 0.5 ELSE 0.0 END)
-      + (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 0.5 ELSE 0.0 END), 6) AS quality
+  -- CAST: DuckDB types the 0.5 literals as DECIMAL(2,1) and keeps the
+  -- sum decimal; Spark's quality_score is DOUBLE — align the width.
+  ROUND(CAST((CASE WHEN n >= 10 AND n <= 100000 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 0.5 ELSE 0.0 END)
+      AS DOUBLE), 6) AS quality
 FROM t
 """,
 )
@@ -465,7 +468,7 @@ def td_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "td_profile_documents",
     oracle="""
 SELECT COUNT(*) AS n_docs,
-  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
   COUNT(DISTINCT lang) AS n_langs,
   COUNT(DISTINCT source) AS n_sources,
   MIN(n_chars) AS min_chars,

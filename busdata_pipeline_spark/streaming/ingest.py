@@ -77,20 +77,60 @@ def write_bronze(stream: DataFrame, out_dir: str, checkpoint: str,
 
 
 def stream_into_warehouse(stream: DataFrame, warehouse: str, checkpoint: str,
-                          available_now: bool = True):
+                          available_now: bool = True,
+                          incremental: bool = False):
     """T5 — the stream->batch handoff: each micro-batch runs the SAME
     enrichment lineage as the batch job (one code path, two execution
-    modes) and lands with idempotent partition overwrite, so redelivered
-    messages (T4 at-least-once) cannot double-load a day."""
-    from busdata_pipeline_spark.operators.warehouse import load_day
+    modes), with exactly-once semantics from checkpointed offsets plus
+    an idempotent sink (T4).
 
-    def handle(batch: DataFrame, batch_id: int) -> None:
+    Two sink modes, because partition-overwrite per micro-batch is only
+    safe when a micro-batch covers a whole day:
+
+    - ``incremental=False`` (whole-day replay): each batch dynamic-
+      overwrites its days via ``load_day``.  ONLY safe with
+      ``availableNow`` and no ``maxFilesPerTrigger`` — i.e. exactly one
+      batch holding every record of each day.  If a day ever spans two
+      batches, the second overwrite erases the first's rows, so this
+      mode refuses a live (non-availableNow) trigger.
+    - ``incremental=True`` (live / multi-batch): each batch upserts the
+      dim (anti-join append — naturally replay-idempotent) and lands
+      its RAW rows in a batch-id-keyed staging dir (``stage_raw_batch``);
+      ``promote_stage`` enriches the full day and folds it into the
+      fact table at day close.  A replayed batch overwrites only its
+      own staging dir — no cross-batch data loss — and trips that span
+      micro-batches get exact window semantics because enrichment runs
+      over the whole day, not per batch.
+    """
+    from busdata_pipeline_spark.operators.enrich import trip_dimension
+    from busdata_pipeline_spark.operators.warehouse import (
+        load_day,
+        stage_raw_batch,
+        upsert_trip_ignore,
+    )
+
+    if not incremental and not available_now:
+        raise ValueError(
+            "whole-day replay mode overwrites day partitions per batch; "
+            "with a live trigger a day can span batches and lose rows — "
+            "use incremental=True for live streams"
+        )
+
+    def handle_replay(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         load_day(batch, warehouse)
 
+    def handle_incremental(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_trip_ignore(trip_dimension(batch), warehouse)
+        stage_raw_batch(batch, warehouse, batch_id)
+
     writer = (
-        stream.writeStream.foreachBatch(handle)
+        stream.writeStream.foreachBatch(
+            handle_incremental if incremental else handle_replay
+        )
         .option("checkpointLocation", checkpoint)
     )
     if available_now:

@@ -324,3 +324,84 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_incremental_mode_survives_multibatch_day(spark, drop_dir, tmp_path):
+    """Round-2 regression (ADVICE): a day spanning multiple micro-batches
+    must not lose the earlier batches' rows.  maxFilesPerTrigger=1 forces
+    each drop-dir chunk into its own batch; both chunks carry the same
+    days.  After promote_stage the warehouse equals the batch job's."""
+    from busdata_pipeline_spark.operators.warehouse import (
+        load_day,
+        promote_stage,
+    )
+
+    wh_s, ckpt = str(tmp_path / "wh_inc"), str(tmp_path / "ckpt_inc")
+    q = stream_into_warehouse(
+        stream_breadcrumbs(spark, drop_dir, max_files_per_trigger=1),
+        wh_s, ckpt, incremental=True,
+    )
+    q.awaitTermination(180)
+    promoted = promote_stage(spark, wh_s)
+    assert promoted > 0
+
+    wh_b = str(tmp_path / "wh_inc_batch")
+    load_day(read_breadcrumb_jsonl(spark, drop_dir + "/*.jsonl"), wh_b)
+
+    def canon_fact(wh):
+        return sorted(
+            (
+                (str(r.tstamp), r.latitude, r.longitude,
+                 None if r.speed is None else round(r.speed, 9), r.trip_id)
+                for r in read_fact(spark, wh).collect()
+            ),
+            key=repr,
+        )
+
+    assert canon_fact(wh_s) == canon_fact(wh_b)
+    assert read_dim(spark, wh_s).count() == read_dim(spark, wh_b).count()
+    # promote is a pure function of the retained stage: re-running it
+    # (crash-retry) recomputes the same days with the same rows
+    assert promote_stage(spark, wh_s) == promoted
+    assert canon_fact(wh_s) == canon_fact(wh_b)
+    # vacuum everything (all days closed) -> next promote is a no-op
+    from busdata_pipeline_spark.operators.warehouse import vacuum_stage
+
+    assert vacuum_stage(spark, wh_s, "2099-01-01") == 0
+    assert promote_stage(spark, wh_s) == 0
+    assert canon_fact(wh_s) == canon_fact(wh_b)
+
+
+def test_vacuum_stage_keeps_open_days(spark, drop_dir, tmp_path):
+    """vacuum_stage drops only days before the retention boundary; a
+    later promote still recomputes the retained days in full."""
+    from busdata_pipeline_spark.operators.warehouse import (
+        promote_stage,
+        vacuum_stage,
+    )
+
+    wh, ckpt = str(tmp_path / "wh_vac"), str(tmp_path / "ckpt_vac")
+    q = stream_into_warehouse(
+        stream_breadcrumbs(spark, drop_dir, max_files_per_trigger=1),
+        wh, ckpt, incremental=True,
+    )
+    q.awaitTermination(180)
+    total = promote_stage(spark, wh)
+    kept = vacuum_stage(spark, wh, "2023-01-04")
+    assert 0 < kept < total
+    before = sorted(map(repr, read_fact(spark, wh).collect()))
+    # promote again: only open days recomputed, closed days untouched
+    assert promote_stage(spark, wh) == kept
+    after = sorted(map(repr, read_fact(spark, wh).collect()))
+    assert before == after
+
+
+def test_replay_mode_refuses_live_trigger(spark, drop_dir, tmp_path):
+    """Whole-day-overwrite mode on a live trigger can erase earlier
+    batches of the same day — must refuse loudly."""
+    with pytest.raises(ValueError, match="incremental"):
+        stream_into_warehouse(
+            stream_breadcrumbs(spark, drop_dir),
+            str(tmp_path / "wh_live"), str(tmp_path / "ckpt_live"),
+            available_now=False,
+        )

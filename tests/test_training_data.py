@@ -238,3 +238,43 @@ def test_sketches_accuracy(spark):
     ).first()
     assert abs(row.u - exact_users) / exact_users < 0.05
     assert abs(row.e - exact_events) / exact_events < 0.05
+
+
+def test_vectorized_cosine_boundary_ties(spark):
+    """Round-2 regression (ADVICE): duplicate vectors create cosine ties
+    at the k-boundary inside a batch; the batch-local prune must keep
+    every tied row so the global (cos desc, vec_id asc) rank matches the
+    unpruned scorer exactly."""
+    from pyspark.sql import types as T
+
+    base = [1.0] + [0.0] * 7
+    off = [0.9] + [0.1] * 7
+    # 30 identical vectors (all tie at cosine 1.0 vs the query) + filler
+    rows = [(i, base) for i in range(30)] + [(100 + i, off) for i in range(10)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    emb = spark.createDataFrame(rows, schema).repartition(4)
+    q = spark.createDataFrame([(0, base)], schema).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(tuple(r) for r in similarity.cosine_topk(emb, q, k=5).collect())
+    b = sorted(tuple(r) for r in
+               similarity.cosine_topk_vectorized(emb, q, k=5).collect())
+    assert a == b
+    # deterministic tie-break: lowest vec_ids (excluding self 0) win
+    assert [r[1] for r in sorted(b, key=lambda r: r[3])] == [1, 2, 3, 4, 5]
+
+
+def test_vectorized_cosine_large_queryset_routes_to_join(spark):
+    """The driver-collect side is guarded: beyond max_queries the call
+    must route to the fully distributed join path (same results)."""
+    emb = table(spark, SF0001, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(tuple(r) for r in
+               similarity.cosine_topk_vectorized(emb, q, k=5, max_queries=2).collect())
+    b = sorted(tuple(r) for r in similarity.cosine_topk(emb, q, k=5).collect())
+    assert a == b

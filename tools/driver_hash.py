@@ -1,0 +1,176 @@
+"""Strict replica of the external driver's hash-level comparison.
+
+Round 1 taught us `tests/oracle_check.compare` (Python ``==`` on values)
+is WEAKER than the driver's check: three queries passed locally but
+failed the driver's ``hash_match``.  The two failure classes were
+
+  1. IEEE signed zero: DuckDB ``ROUND`` of a tiny negative yields
+     ``-0.0`` while Spark yields ``0.0`` — equal under ``==``, different
+     bytes/repr (etl_w2_lag_rate, etl_w3_lead_backfill).
+  2. Integer width: DuckDB ``SUM(int)`` returns HUGEINT (int128) while
+     Spark emits BIGINT — identical values, different type-level
+     serialization (rel_pivot_segment_by_type).
+
+This comparator is therefore deliberately STRICTER than value equality:
+
+  * floats compare by their IEEE-754 bit pattern (catches -0.0, and any
+    last-ulp divergence the driver's hash would see);
+  * column types on both engines map to a canonical lattice and must
+    match exactly (hugeint != bigint, float32 != float64,
+    decimal(p,s) scale-sensitive);
+  * rows and columns are canonically sorted the same way on both sides
+    before comparison, mirroring the driver's sort-columns-by-name rule.
+
+Anything green here should be green under the driver; anything red here
+must be fixed by canonicalizing BOTH engines (cast in the oracle SQL,
+cast/normalize in the Spark plan — see plans/registry.normalize_output).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+from datetime import date, datetime
+from decimal import Decimal
+
+# ---------------------------------------------------------------------------
+# Canonical type lattice.
+
+_SPARK_CANON = {
+    "tinyint": "i8",
+    "smallint": "i16",
+    "int": "i32",
+    "bigint": "i64",
+    "float": "f32",
+    "double": "f64",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "binary": "bytes",
+}
+
+_DUCK_CANON = {
+    "TINYINT": "i8",
+    "SMALLINT": "i16",
+    "INTEGER": "i32",
+    "BIGINT": "i64",
+    "HUGEINT": "i128",
+    "UTINYINT": "u8",
+    "USMALLINT": "u16",
+    "UINTEGER": "u32",
+    "UBIGINT": "u64",
+    "FLOAT": "f32",
+    "DOUBLE": "f64",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+    "TIMESTAMP_NS": "ts",
+    "BLOB": "bytes",
+}
+
+_DEC_RE = re.compile(r"^decimal\((\d+),\s*(-?\d+)\)$", re.I)
+_ARR_SPARK_RE = re.compile(r"^array<(.+)>$")
+_ARR_DUCK_RE = re.compile(r"^(.+)\[\]$")
+
+
+def canon_spark_type(dt: str) -> str:
+    dt = dt.strip()
+    m = _ARR_SPARK_RE.match(dt)
+    if m:
+        return f"list<{canon_spark_type(m.group(1))}>"
+    m = _DEC_RE.match(dt)
+    if m:
+        return f"dec({m.group(1)},{m.group(2)})"
+    return _SPARK_CANON.get(dt, dt)
+
+
+def canon_duck_type(dt: str) -> str:
+    dt = str(dt).strip()
+    m = _ARR_DUCK_RE.match(dt)
+    if m:
+        return f"list<{canon_duck_type(m.group(1))}>"
+    m = _DEC_RE.match(dt)
+    if m:
+        return f"dec({m.group(1)},{m.group(2)})"
+    return _DUCK_CANON.get(dt.upper(), dt)
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact value canonicalization.
+
+
+def canon_value(v) -> str:
+    """Serialize one cell so that two cells collide iff the driver's
+    hash would treat them as identical."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        # bit pattern: -0.0 != 0.0, last-ulp differences visible
+        return "f:" + struct.pack("<d", v).hex()
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, Decimal):
+        return f"d:{v}"
+    if isinstance(v, datetime):
+        return "t:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return "D:" + v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}={canon_value(v[k])}" for k in sorted(v)
+        ) + "}"
+    return "s:" + str(v)
+
+
+def canon_rows(rows, col_order):
+    out = [
+        "|".join(canon_value(r[i]) for i in col_order) for r in rows
+    ]
+    out.sort()
+    return out
+
+
+def strict_compare(spark_df, con, sql: str) -> tuple[bool, str]:
+    """Run the Spark plan and the DuckDB oracle; compare at driver-hash
+    strictness.  Returns (ok, message)."""
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_types = {c.lower(): canon_spark_type(t) for c, t in spark_df.dtypes}
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    rel = con.sql(sql)
+    d_cols = [c.lower() for c in rel.columns]
+    d_types = {
+        c.lower(): canon_duck_type(t)
+        for c, t in zip(rel.columns, rel.types)
+    }
+    d_rows = rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    for c in sorted(s_cols):
+        if s_types[c] != d_types[c]:
+            return False, f"type of '{c}': spark={s_types[c]} duckdb={d_types[c]}"
+    if len(s_rows) != len(d_rows):
+        return False, f"rows: spark={len(s_rows)} duckdb={len(d_rows)}"
+
+    s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    a = canon_rows(s_rows, s_order)
+    b = canon_rows(d_rows, d_order)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        return False, f"value bits differ, first diffs: {diffs}"
+    return True, f"ok ({len(s_rows)} rows, strict)"

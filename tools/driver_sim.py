@@ -1,5 +1,7 @@
-"""Simulates the external verification driver: vanilla session, hostile TZ."""
-import sys, os, math, datetime
+"""Simulates the external verification driver: vanilla session, hostile TZ,
+and the STRICT hash-level comparator (tools/driver_hash.py) that
+reproduces the driver's round-1 failures byte-for-byte."""
+import sys, os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 from pyspark.sql import SparkSession
@@ -18,20 +20,31 @@ df = E.entry(spark)
 rows = df.collect()
 print("ENTRY_OK rows=%d schema=%s" % (len(rows), df.schema.simpleString()))
 
-# 2. each query vs oracle at sf0.01
+# 2. each query vs oracle at sf0.01, at driver-hash strictness
 sys.path.insert(0, os.path.join(REPO, "tests"))
-from oracle_check import duckdb_con, compare
-con = duckdb_con("/root/testdata/sf0.01")
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from oracle_check import duckdb_con
+from driver_hash import strict_compare
+
+SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
+only = sys.argv[1:]  # optional query-name filter
+con = duckdb_con(SF)
 qs, os_ = E.queries(), E.oracle_sql()
 missing = set(os_) - set(qs)
 print("ORACLE_KEYS_SUBSET=%s (extra oracle keys: %s)" % (not missing, missing))
 fails = 0
 for name in sorted(qs):
-    d = qs[name](spark, "/root/testdata/sf0.01")
-    if name in os_:
-        ok, msg = compare(d, con, os_[name])
-        print(("PASS" if ok else "FAIL"), name, msg)
-        fails += (not ok)
-    else:
-        print("ROWSONLY", name, d.count())
+    if only and name not in only:
+        continue
+    try:
+        d = qs[name](spark, SF)
+        if name in os_:
+            ok, msg = strict_compare(d, con, os_[name])
+            print(("PASS" if ok else "FAIL"), name, msg, flush=True)
+            fails += (not ok)
+        else:
+            print("ROWSONLY", name, d.count(), flush=True)
+    except Exception as exc:  # noqa: BLE001 - driver records err, so do we
+        print("ERROR", name, repr(exc), flush=True)
+        fails += 1
 print("TOTAL_FAILS=%d" % fails)
