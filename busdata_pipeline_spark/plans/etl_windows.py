@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.functions import epoch_seconds, service_key_for
+from busdata_pipeline_spark.functions.timestamps import breadcrumb_timestamp
 from busdata_pipeline_spark.plans.registry import query
 from busdata_pipeline_spark.sources import table
 
@@ -112,6 +113,39 @@ def etl_a10_first_row_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("first_event_type"),
             service_key_for(F.to_date("ts")).alias("service_key"),
         )
+    )
+
+
+@query(
+    "fn_opd_timestamp_decode",
+    oracle="""
+SELECT event_id,
+  strptime(substr(enc, 1, 9), '%d%b%Y')
+    + (event_id % 130000) * INTERVAL 1 SECOND AS decoded
+FROM (
+  SELECT event_id,
+    upper(strftime(CAST(ts AS DATE), '%d%b%Y')) || ':00:00:00' AS enc
+  FROM events)
+""",
+)
+def fn_opd_timestamp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — the reference's riskiest semantic, driver-visible: encode an
+    OPD_DATE-style string (``25DEC2022:00:00:00``, uppercase month) plus
+    an ACT_TIME seconds-since-midnight column from the events table
+    deterministically, then decode with ``breadcrumb_timestamp``
+    (functions/timestamps.py, matching /root/reference/transform.py:25-59).
+    ``event_id % 130000`` yields many values >= 86400, so the service-day
+    rollover past midnight (transform.py:42-54) is exercised on every
+    run; the oracle decodes the same string independently with DuckDB
+    strptime + interval arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    enc = F.concat(
+        F.upper(F.date_format(F.to_date("ts"), "ddMMMyyyy")),
+        F.lit(":00:00:00"),
+    )
+    act = F.pmod(F.col("event_id"), F.lit(130000))
+    return ev.select(
+        "event_id", breadcrumb_timestamp(enc, act).alias("decoded")
     )
 
 
