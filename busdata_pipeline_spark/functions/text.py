@@ -131,3 +131,38 @@ def quality_score(text: Column | str) -> Column:
     len_ok = F.when((n >= 10) & (n <= 100000), 0.5).otherwise(0.0)
     atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), 0.5).otherwise(0.0)
     return F.round(len_ok + atl_ok, 6)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data hygiene)
+
+#: Regexes restricted to constructs with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): literal classes, bounded repetition,
+#: no backrefs/lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (codegen'd regexp_count)."""
+    col = text if isinstance(text, Column) else F.col(text)
+    return {
+        "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)).cast("long"),
+        "n_phones": F.regexp_count(col, F.lit(PHONE_RE)).cast("long"),
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every email/phone occurrence with a class tag.  Pure
+    regexp_replace chain — no Python, safe over billions of docs."""
+    col = text if isinstance(text, Column) else F.col(text)
+    out = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def repetition_ratio_inputs(text: Column | str) -> Column:
+    """Token array for the repetition-ratio aggregate (see
+    plans/training_data.py:td_repetition): most-frequent-token share is
+    a groupBy over (doc, token), not a per-row expression."""
+    col = text if isinstance(text, Column) else F.col(text)
+    return F.split(F.trim(col), " ")

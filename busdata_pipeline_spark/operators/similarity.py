@@ -102,17 +102,32 @@ def cosine_topk_vectorized(embeddings: DataFrame, queries: DataFrame,
             n = len(pdf)
             ids = pdf[id_col].values
             if n > k + 1:
-                # combiner: emit only this batch's top rows per query
-                # (global top-k is a subset of the union of batch top-ks),
-                # shrinking the shuffle from n*q rows to ~k*q per batch.
-                # Keep every row scoring >= the (k+2)-th largest value:
-                # ties at the boundary ALL survive, so the global
-                # (cos desc, id asc) rank sees the same candidate set as
-                # the unpruned scorer — bit-identical results even when
-                # the k-th score is duplicated within a batch.  (k+2
-                # spare covers one self-match row filtered later.)
-                kth = -np.partition(-S, k + 1, axis=0)[k + 1]   # (q,)
-                v_idx, q_idx = np.nonzero(S >= kth[None, :])
+                # combiner: emit only this batch's top-(k+1) rows per
+                # query under the FULL result order (cos desc, id asc),
+                # shrinking the shuffle from n*q rows to (k+1)*q per
+                # batch (the +1 covers the self-match filtered later).
+                # Score-only pruning is not enough: ties at the k-th
+                # score must resolve by id or a duplicate-heavy corpus
+                # (or the 100x-replicated scale ladder, where every
+                # boundary has ~100 equal scores) diverges from the
+                # unpruned scorer — and emitting ALL ties is unbounded.
+                # So: rows strictly above the (k+1)-th score all win;
+                # rows tying it are lexsorted by (query, id) — only the
+                # tie set, typically tiny — and the smallest ids fill
+                # the remaining slots.  Bit-identical AND bounded.
+                nq = len(qids)
+                kth = -np.partition(-S, k, axis=0)[k]           # (q,)
+                above = S > kth[None, :]
+                need = (k + 1) - above.sum(axis=0)              # >= 1
+                tv, tq = np.nonzero(S == kth[None, :])
+                order = np.lexsort((ids[tv], tq))               # by (q, id)
+                tv, tq = tv[order], tq[order]
+                starts = np.searchsorted(tq, np.arange(nq))
+                pos = np.arange(len(tq)) - starts[tq]
+                keep = pos < need[tq]
+                av, aq = np.nonzero(above)
+                v_idx = np.concatenate([av, tv[keep]])
+                q_idx = np.concatenate([aq, tq[keep]])
                 yield pd.DataFrame({
                     id_col: ids[v_idx],
                     qid_col: qids[q_idx],

@@ -198,6 +198,132 @@ def td_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_pii_redact",
+    oracle="""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN t || ' call 503-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE t END AS t
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0
+           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           ELSE text END AS t
+    FROM documents)
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+FROM planted
+""",
+)
+def td_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (training-data hygiene): emails and
+    phone numbers are planted deterministically into the synthetic docs
+    (doc_id % 3 / % 5), counted (regexp_count) and redacted
+    (regexp_replace chain, compared via md5 of the redacted text).  The
+    regex subset is restricted to constructs identical in Java regex and
+    RE2, so both engines see the same matches.  Pure codegen'd column
+    expressions — redaction at 100 TB is a map-only pass, no shuffle."""
+    from busdata_pipeline_spark.functions.text import pii_counts, redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                "text", F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com now"),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                "t", F.lit(" call 503-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("t")),
+    )
+    counts = pii_counts("t")
+    return planted.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(redact_pii("t")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "td_contamination",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, GREATEST(len(string_split(TRIM(text), ' ')) - 1, 1)),
+      i -> string_split(TRIM(text), ' ')[i] || ' ' ||
+           string_split(TRIM(text), ' ')[i+1] || ' ' ||
+           string_split(TRIM(text), ' ')[i+2])) AS shingles
+  FROM documents),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 10),
+rex AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+bench AS (SELECT DISTINCT shingle, doc_id AS bdoc FROM rex WHERE doc_id % 17 = 0),
+train AS (SELECT doc_id, shingle FROM rex WHERE doc_id % 17 <> 0)
+SELECT t.doc_id AS doc_id,
+  CAST(COUNT(DISTINCT b.bdoc) AS BIGINT) AS n_bench_docs
+FROM train t JOIN bench b USING (shingle)
+GROUP BY t.doc_id
+""",
+)
+def td_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: training docs (doc_id % 17 != 0)
+    sharing any RARE word-3-gram with the benchmark slice (% 17 == 0).
+    Candidates come from a df-filtered shingle equi-join (stop-shingles
+    with df > 10 are dropped BEFORE the join) — the skew-bounded
+    formulation that survives 100 TB, never a pairwise comparison.  See
+    operators/contamination.py."""
+    from busdata_pipeline_spark.operators.contamination import (
+        contamination_hits,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return contamination_hits(docs, F.col("doc_id") % 17 == 0)
+
+
+@query(
+    "td_repetition",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS t FROM documents),
+cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+SELECT doc_id,
+  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) + 0.0 AS rep_ratio
+FROM cnt GROUP BY doc_id
+""",
+)
+def td_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio (most-frequent-token share) — the
+    boilerplate/spam signal C4-style filters threshold on.  Two hash
+    aggregates after one explode; both shuffles are on (doc, token) /
+    doc keys, so the plan is flat at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("t")
+    )
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("rep_ratio")
+    )
+
+
+@query(
     "td_vocabulary_top50",
     oracle="""
 SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

@@ -1,13 +1,27 @@
 """Differential test: every registered query with an oracle must match
-DuckDB exactly — the same gate the driver applies (CORRECTNESS_r{N})."""
+DuckDB at DRIVER-HASH strictness (tools/driver_hash.py) — IEEE bit
+patterns and canonical column types, not just Python ``==``.  Round 1
+proved the weaker value-equality comparator passes queries the external
+driver fails (signed zero, integer width)."""
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
 import __spark_entry__ as entrymod
+from driver_hash import strict_compare
 from tests.conftest import SF001
-from tests.oracle_check import compare, duckdb_con
+from tests.oracle_check import duckdb_con
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -22,7 +36,7 @@ def con():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, con, name):
-    ok, msg = compare(QUERIES[name](spark, SF001), con, ORACLES[name])
+    ok, msg = strict_compare(QUERIES[name](spark, SF001), con, ORACLES[name])
     assert ok, f"{name}: {msg}"
 
 

@@ -278,3 +278,43 @@ def test_vectorized_cosine_large_queryset_routes_to_join(spark):
                similarity.cosine_topk_vectorized(emb, q, k=5, max_queries=2).collect())
     b = sorted(tuple(r) for r in similarity.cosine_topk(emb, q, k=5).collect())
     assert a == b
+
+
+def test_contamination_flags_planted_copy(spark):
+    """A train doc that verbatim-copies a benchmark doc must be flagged;
+    a doc with entirely unique text must not."""
+    from busdata_pipeline_spark.operators.contamination import (
+        contamination_hits,
+    )
+
+    bench_text = "zeta omega kappa lambda sigma tau upsilon phi chi psi"
+    rows = [
+        (17, bench_text),                       # benchmark (17 % 17 == 0)
+        (1, bench_text),                        # train copy -> flagged
+        (2, "one two three four five six seven eight nine ten"),  # clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    hits = {
+        r.doc_id: r.n_bench_docs
+        for r in contamination_hits(docs, F.col("doc_id") % 17 == 0).collect()
+    }
+    assert hits == {1: 1}
+
+
+def test_contamination_drops_stop_shingles(spark):
+    """Shingles above the df threshold must not create hits: 20 train
+    docs sharing one common 3-gram with the benchmark are NOT flagged
+    when that 3-gram's df exceeds max_df."""
+    from busdata_pipeline_spark.operators.contamination import (
+        contamination_hits,
+    )
+
+    common = "alpha beta gamma"
+    rows = [(17, common + " delta epsilon")] + [
+        (i, common + f" unique{i}a unique{i}b") for i in range(1, 15)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = contamination_hits(
+        docs, F.col("doc_id") % 17 == 0, max_df=5
+    ).collect()
+    assert out == []  # 'alpha beta gamma' has df 15 > 5 -> filtered
