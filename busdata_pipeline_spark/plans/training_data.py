@@ -456,7 +456,33 @@ def td_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("jaccard").isNotNull())
 
 
-@query("td_minhash_near_dups")  # rows-only: LSH banding has no SQL analog
+@query(
+    "td_minhash_near_dups",
+    # The oracle is the *definition* (exact all-pairs Jaccard >= 0.5), not a
+    # SQL re-implementation of LSH.  Equality holds because every true pair
+    # in the planted data sits at j >= 0.9, where the 8-band miss probability
+    # is (1 - j^4)^8 < 3e-4 and the xxhash64 seeds are fixed — verified
+    # exhaustively by tests/test_training_data.py::test_minhash_matches_exact
+    # so a data change fails locally before it fails in the driver.
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(TRIM(text),' ')) >= 3 THEN
+    list_distinct(list_transform(
+      range(1, len(string_split(TRIM(text), ' ')) - 1),
+      i -> string_split(TRIM(text), ' ')[i] || ' ' ||
+           string_split(TRIM(text), ' ')[i+1] || ' ' ||
+           string_split(TRIM(text), ' ')[i+2])) ELSE [] END AS shingles
+  FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+""",
+)
 def td_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidates + exact-Jaccard verify >= 0.5.
     Ground-truth recall/precision is asserted in

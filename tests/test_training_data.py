@@ -318,3 +318,32 @@ def test_contamination_drops_stop_shingles(spark):
         docs, F.col("doc_id") % 17 == 0, max_df=5
     ).collect()
     assert out == []  # 'alpha beta gamma' has df 15 > 5 -> filtered
+
+
+def test_minhash_matches_exact_at_driver_sf(spark):
+    """Guards the td_minhash_near_dups oracle promotion: the LSH pipeline's
+    output must equal the exact all-pairs Jaccard >= 0.5 definition on the
+    driver's correctness dataset (sf0.01).  Every planted near-dup there
+    sits at j >= 0.9, where 8-band miss probability is < 3e-4 with fixed
+    seeds; if the data ever changes to include boundary pairs, this fails
+    locally before the driver sees a mismatch."""
+    from tests.conftest import SF001
+
+    docs = table(spark, SF001, "documents")
+    got = {(r.a, r.b, r.jaccard) for r in
+           dedup.minhash_near_duplicates(docs, threshold=0.5).collect()}
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    truth = set()
+    for i, (ida, ta) in enumerate(rows):
+        wa = ta.strip().split(" ")
+        sa = {" ".join(wa[k:k + 3]) for k in range(len(wa) - 2)}
+        for idb, tb in rows[i + 1:]:
+            wb = tb.strip().split(" ")
+            sb = {" ".join(wb[k:k + 3]) for k in range(len(wb) - 2)}
+            if not (sa | sb):
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                lo, hi = min(ida, idb), max(ida, idb)
+                truth.add((lo, hi, round(j, 6)))
+    assert got == truth
