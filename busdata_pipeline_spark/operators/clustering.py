@@ -1,0 +1,99 @@
+"""Connected components over the near-duplicate pair graph — turns
+pairwise near-dup hits (operators/dedup.py) into cluster ids so dedup can
+keep exactly one representative per duplicate *group*, not per pair.
+
+No analog in the reference (it dedups only by primary key,
+/root/reference/transform.py:193); this is the standard third stage of a
+large-scale training-data dedup pipeline (pairs -> components ->
+survivors).
+
+Design for 100 TB:
+
+- Hash-min label propagation: every vertex starts labeled with its own
+  id; each round, labels flow across edges and every vertex keeps the
+  minimum label it has seen.  Each round is ONE shuffle (a join keyed by
+  vertex id + a min-aggregate) — no adjacency matrices, no driver-side
+  graph.
+- Rounds needed = graph diameter.  Near-dup clusters are near-cliques
+  (every member pairs with most others), so diameter is 2-3 in practice;
+  ``max_iter`` bounds pathological chains.
+- ``localCheckpoint(eager=True)`` after every round truncates the
+  lineage, keeping the plan O(1) per round instead of O(rounds) — the
+  classic iterative-algorithm failure mode on Spark.
+- Convergence is detected with a count of changed labels (an aggregate,
+  not a collect); the loop runs on the driver but only scalars cross it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(a, b) undirected edge list -> (id, component) with component =
+    the minimum vertex id reachable from ``id``.
+
+    Only vertices that appear in at least one edge are returned (isolated
+    docs are their own trivial cluster and need no shuffle to prove it).
+    """
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # Push each vertex's current label to its neighbors, then take the
+        # min of (own label, incoming labels) — one shuffle keyed by id.
+        incoming = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(incoming)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup pairs (a, b, ...) -> (doc_id, cluster_id) where
+    cluster_id is the lowest doc_id in the connected component."""
+    return connected_components(pairs.select("a", "b")).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def dedup_summary(docs: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """One-row dedup plan summary: total docs, docs in some near-dup
+    cluster, number of clusters, and docs surviving keep-one-per-cluster."""
+    clusters = dedup_clusters(pairs)
+    return clusters.agg(
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs"))).select(
+        "n_docs",
+        "n_clustered_docs",
+        "n_clusters",
+        (F.col("n_docs") - F.col("n_clustered_docs") + F.col("n_clusters"))
+        .alias("n_after_dedup"),
+    )

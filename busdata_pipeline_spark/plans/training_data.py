@@ -27,7 +27,13 @@ from busdata_pipeline_spark.functions.text import (
     token_count,
     token_count_bpe,
 )
-from busdata_pipeline_spark.operators import dedup, multimodal, similarity
+from busdata_pipeline_spark.operators import (
+    clustering,
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+)
 from busdata_pipeline_spark.plans.registry import query
 from busdata_pipeline_spark.sources import table
 
@@ -323,6 +329,112 @@ def td_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKENS_SQL = """CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT)"""
+
+_QUALITY_SQL = """ROUND(CAST(
+  (CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END)
+        BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+  + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+        / NULLIF(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1, 0))
+        BETWEEN 2.0 AND 12.0 THEN 0.5 ELSE 0.0 END) AS DOUBLE), 6)"""
+
+
+@query(
+    "td_domain_quota",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents),
+r AS (
+  SELECT doc_id, source, quality,
+    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+  FROM q)
+SELECT doc_id, source, quality, rk FROM r WHERE rk <= 15
+""",
+)
+def td_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: keep at most 15 docs per source, best
+    quality first (ties broken by doc_id so the survivor set is
+    deterministic).  The standard over-represented-domain guard in a
+    training-data mix; one window shuffle keyed by source — domains are
+    many and the per-domain cap bounds skew by construction."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", quality_score("text").alias("quality")
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 15)
+    )
+
+
+@query(
+    "td_stratified_sample",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents)
+SELECT doc_id, lang, rk FROM r WHERE rk <= 50
+""",
+)
+def td_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sample: 50 docs per lang, selected by md5
+    rank of the stable doc_id — deterministic across runs, engines, and
+    cluster sizes (same contract as td_train_val_split), no RNG state.
+    Rebalancing language mixes is a first-class training-data op."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 50)
+    )
+
+
+@query(
+    "td_sequence_packing",
+    # The oracle states packing as ONE global window cumsum; the Spark
+    # side computes the identical numbers with a two-level distributed
+    # prefix sum (operators/packing.py) so no stage is single-partition.
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens
+  FROM t)
+SELECT CAST(FLOOR(cum_tokens / 1024.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c
+GROUP BY 1
+""",
+)
+def td_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 1024-token bins: docs are
+    assigned to the bin containing their first token in stable doc_id
+    order.  Per-bin summary (bin_id, n_docs, total_tokens)."""
+    docs = table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return packing.pack_bins(with_tokens, budget=1024)
+
+
 @query(
     "td_vocabulary_top50",
     oracle="""
@@ -489,6 +601,70 @@ def td_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_training_data.py on planted near-duplicates."""
     docs = table(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(docs, threshold=0.5)
+
+
+# Shared CTE prefix: exact all-pairs near-dup edges (the definitional
+# ground truth the LSH pipeline provably matches on this data — see
+# td_minhash_near_dups) feeding transitive closure.
+_CLUSTER_CTE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(TRIM(text),' ')) >= 3 THEN
+    list_distinct(list_transform(
+      range(1, len(string_split(TRIM(text), ' ')) - 1),
+      i -> string_split(TRIM(text), ' ')[i] || ' ' ||
+           string_split(TRIM(text), ' ')[i+1] || ' ' ||
+           string_split(TRIM(text), ' ')[i+2])) ELSE [] END AS shingles
+  FROM documents),
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+sym AS (SELECT a AS v, b AS w FROM edges UNION SELECT b, a FROM edges),
+reach(v, w) AS (
+  SELECT v, v FROM sym GROUP BY v
+  UNION
+  SELECT r.v, s.w FROM reach r JOIN sym s ON s.v = r.w
+),
+clusters AS (
+  SELECT v AS doc_id, MIN(w) AS cluster_id FROM reach GROUP BY v)
+"""
+
+
+@query(
+    "td_dup_clusters",
+    # DuckDB can afford full transitive closure at verification scale; the
+    # Spark side is hash-min label propagation (one shuffle per round,
+    # O(diameter) rounds) — the formulation that survives 100 TB.
+    oracle=_CLUSTER_CTE + "SELECT doc_id, cluster_id FROM clusters",
+)
+def td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> (doc_id, cluster_id).
+    Cluster id is the minimum doc_id in the component, so assignment is
+    deterministic and engine-independent."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    return clustering.dedup_clusters(pairs)
+
+
+@query(
+    "td_dedup_summary",
+    oracle=_CLUSTER_CTE + """
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       COUNT(*) AS n_clustered_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       (SELECT COUNT(*) FROM documents) - COUNT(*)
+         + COUNT(DISTINCT cluster_id) AS n_after_dedup
+FROM clusters
+""",
+)
+def td_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup plan: keep-one-per-cluster survivor count."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    return clustering.dedup_summary(docs, pairs)
 
 
 @query("td_simhash_near_dups")  # rows-only
