@@ -1,0 +1,244 @@
+"""Second relational tier: multi-dimensional aggregation (CUBE /
+GROUPING SETS), explicit window frames (ROWS / RANGE), NTILE bucketing,
+and batch sessionization.
+
+The reference delegates every relational shape to PostgreSQL
+(/root/reference/analytic.sql); these queries extend the engine's own
+surface past what analytic.sql exercises, with the same contract as
+plans/relational.py: every query is a registered name with a DuckDB
+oracle, deterministic tie-breaks, and a noted scale posture.
+
+Scale notes common to the module: CUBE/GROUPING SETS compile to a single
+Expand + partial/final hash aggregate (rows are replicated per grouping
+set map-side, no extra shuffle rounds); window-frame queries are one
+hash-partition shuffle on the partition key with frames evaluated in a
+streaming pass over each sorted partition; sessionization is the same
+single window shuffle keyed by user — no self-joins anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+# ---------------------------------------------------------------------------
+# multi-dimensional aggregation
+
+@query(
+    "rel_cube_flag_status",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def rel_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    Expand + hash aggregate; grouping_id disambiguates real NULLs from
+    subtotal rows (both engines use the SQL-standard bitmask)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "rel_grouping_sets_priority",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def rel_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent 1-D breakdowns plus the
+    grand total in one pass (Expand factor 3, not three scans)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# explicit window frames
+
+@query(
+    "rel_moving_avg_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  ROUND(AVG(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg_4
+FROM orders
+""",
+)
+def rel_moving_avg_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-4-orders moving average per customer: an explicit ROWS
+    frame (the reference's windows are all lag/lead; frames extend W1-W4).
+    Tie-broken by orderkey so the frame contents are deterministic."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("mavg_4"),
+    )
+
+
+@query(
+    "rel_range_frame_trailing30d",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  COUNT(*) OVER w AS n_orders_30d,
+  ROUND(SUM(o_totalprice) OVER w, 2) AS revenue_30d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate)
+  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+""",
+)
+def rel_range_frame_trailing30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day order count/revenue per customer: a RANGE frame
+    over a day ordinal.  RANGE includes peers, so ties on the order date
+    need no tie-break to stay deterministic."""
+    orders = table(spark, sf_dir, "orders")
+    day_ord = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_ord)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+    )
+
+
+@query(
+    "rel_ntile_acctbal",
+    oracle="""
+WITH q AS (
+  SELECT c_custkey, c_acctbal,
+    CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+  FROM customer)
+SELECT quartile, COUNT(*) AS n_customers,
+  ROUND(MIN(c_acctbal), 2) AS min_bal,
+  ROUND(MAX(c_acctbal), 2) AS max_bal,
+  ROUND(AVG(c_acctbal), 6) AS avg_bal
+FROM q
+GROUP BY quartile
+""",
+)
+def rel_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles via NTILE (SQL-standard even split,
+    remainder to the leading buckets), deterministic through the custkey
+    tie-break.  Scale note: a global NTILE is a single-partition sort —
+    fine for a dimension table; for fact-scale data use ntile within
+    hash partitions or approx percentiles (rel_value_percentiles)."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    q = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization
+
+@query(
+    "rel_sessionize_users",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_idx
+""",
+)
+def rel_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts after a >30 min gap.
+    Gap flag (lag) and session index (running sum) share ONE window
+    exchange keyed by user_id; the per-session rollup reuses the same
+    hash partitioning.  The streaming twin is st_session_5min
+    (session_window) — this is the batch formulation over history."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -143,3 +143,38 @@ def test_enrichment_single_window_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_cube_single_expand_pass(spark):
+    """CUBE compiles to ONE Expand feeding partial+final hash aggregation
+    — not one scan per grouping set."""
+    import re
+
+    plan = formatted_plan(spark, "rel_cube_flag_status")
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_grouping_sets_single_scan(spark):
+    """GROUPING SETS = one scan + one Expand, never multiple scans."""
+    import re
+
+    plan = formatted_plan(spark, "rel_grouping_sets_priority")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_sessionize_single_window_exchange(spark):
+    """Gap flag (lag) + session index (running sum) + per-session rollup
+    share ONE hash exchange on user_id."""
+    import re
+
+    plan = formatted_plan(spark, "rel_sessionize_users")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_moving_avg_single_window_exchange(spark):
+    """The ROWS-frame moving average is one shuffle + one sort."""
+    import re
+
+    plan = formatted_plan(spark, "rel_moving_avg_customer")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
