@@ -26,23 +26,52 @@ from pyspark.sql import functions as F
 from busdata_pipeline_spark.functions.text import fingerprint
 
 # ---------------------------------------------------------------------------
+# parallelism guard
+
+def fanout(df: DataFrame, key: str) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before CPU-heavy
+    per-row work (shingle explode, k hash functions).
+
+    A small single-file parquet source arrives as ONE input partition and
+    would serialize the whole signature computation on one core (measured
+    4-6 s for 5k docs at sf0.1).  At real scale the source already has
+    thousands of partitions and this is a no-op — the repartition only
+    fires when the input is UNDER-partitioned, so it never shrinks or
+    reshuffles big data."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
+# ---------------------------------------------------------------------------
 # shingling
 
 def with_shingles(docs: DataFrame, n: int = 3,
                   text_col: str = "text") -> DataFrame:
     """Word n-gram shingle set per document (distinct), as an array column.
-    Pure array algebra: split -> positional transform -> distinct."""
-    words = F.split(F.trim(F.col(text_col)), " ")
+    Pure array algebra: split -> positional transform -> distinct.
+
+    The words array is materialized as its own column first so the
+    document is split ONCE per row; inlining the split into the transform
+    lambda re-tokenizes the full text per shingle — O(len²) per document
+    (measured ~2× on the signature stage at sf0.1)."""
+    base = docs.withColumn("_words", F.split(F.trim(F.col(text_col)), " "))
     grams = F.expr(
-        f"transform(sequence(0, size(split(trim({text_col}), ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(trim({text_col}), ' '), i + 1, {n})))"
+        f"transform(sequence(0, size(_words) - {n}), "
+        f"i -> concat_ws(' ', slice(_words, i + 1, {n})))"
     )
     # guard: < n words -> empty shingle set (Spark's sequence(0, neg)
     # would count DOWN, not produce an empty array)
-    safe = F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+    safe = F.when(F.size("_words") >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
-    return docs.withColumn("shingles", safe).withColumn("n_words", F.size(words))
+    return (
+        base.withColumn("shingles", safe)
+        .withColumn("n_words", F.size("_words"))
+        .drop("_words")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -83,8 +112,17 @@ def minhash_signatures(docs: DataFrame, k: int = 32,
     One explode + one groupBy with k min() aggregates — map-side partial
     mins keep the shuffle at k longs per doc.
     """
-    exploded = with_shingles(docs).select(
-        id_col, F.explode("shingles").alias("shingle")
+    # explode_outer, not explode: plain explode adds an implicit
+    # size(shingles) > 0 pre-filter that Catalyst pushes BELOW the fanout
+    # exchange, re-evaluating the whole shingle expression on the (single)
+    # input partition — serializing exactly the work the fanout exists to
+    # spread.  The outer variant has no pre-filter; the null rows from
+    # empty shingle sets are dropped on the generator OUTPUT, which no
+    # rule can push below the exchange.  (Measured 3.2s -> 0.6s at sf0.1.)
+    exploded = (
+        with_shingles(fanout(docs, id_col))
+        .select(id_col, F.explode_outer("shingles").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
@@ -131,13 +169,15 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
                   id_col: str = "doc_id") -> DataFrame:
     """Exact word-n-gram Jaccard for given (a, b) pairs — the verify
     stage after LSH candidate generation."""
-    sh = with_shingles(docs, n=n).select(
+    sh = with_shingles(fanout(docs, id_col), n=n).select(
         F.col(id_col), F.col("shingles")
     )
     a = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
+    # Candidate pairs are a vanishing fraction of the corpus (that's the
+    # point of LSH) — broadcast them so the shingle table never shuffles.
     return (
-        pairs.join(a, "a").join(b, "b")
+        F.broadcast(pairs).join(a, "a").join(b, "b")
         .select(
             "a", "b",
             F.round(
@@ -170,9 +210,17 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     votes +1/-1; the sign of the per-bit sum forms the output bit.
     Implemented as 64 conditional-sum aggregates in ONE hash aggregate —
     no UDF, no per-row Python."""
-    tokens = docs.select(
-        id_col, F.explode(F.split(F.trim(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    # explode_outer + output filter for the same pushdown reason as
+    # minhash_signatures: keep the split below-exchange partition cheap.
+    tokens = (
+        fanout(docs, id_col)
+        .select(
+            id_col,
+            F.explode_outer(F.split(F.trim(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
+        .withColumn("h", F.xxhash64("tok"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -194,6 +194,48 @@ def rel_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# skew-safe aggregation (driver-visible face of operators/skew.py)
+
+@query(
+    "rel_skew_salted_user_totals",
+    oracle="""
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 6) AS total_value,
+  ROUND(MAX(value), 6) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def rel_skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over events keyed by user_id: phase 1
+    groups by (user_id, salt) so a hot user spreads across tasks, phase 2
+    merges the per-salt partials.  The oracle is the plain GROUP BY —
+    any salt assignment yields identical results (only decomposable
+    aggregates are allowed through operators/skew.py), which is exactly
+    the property that makes the trick safe under task retries."""
+    from busdata_pipeline_spark.operators.skew import salted_agg
+
+    events = table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", "value"),
+            "total_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # batch sessionization
 
 @query(
