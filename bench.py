@@ -54,7 +54,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
-    names = [n for n in HEADLINERS if n in queries]
+    # SPARK_GRAFT_BENCH_QUERIES=a,b,c overrides the list (scale-ladder
+    # runs pin the original 12 so cross-round comparisons stay aligned).
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    wanted = override.split(",") if override else HEADLINERS
+    names = [n for n in wanted if n in queries]
 
     def run(name: str) -> float:
         t0 = time.perf_counter()

@@ -44,6 +44,8 @@ SPECS = {
 
 def main() -> None:
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    src = sys.argv[2] if len(sys.argv) > 2 else SRC  # chain rungs: sf1 -> sf10
+    offset = OFFSET * (REPLICAS if src != SRC else 1)
     os.makedirs(dst, exist_ok=True)
     spark = get_spark("scale-ladder")
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,13 +54,13 @@ def main() -> None:
         # the table loader normalizes nano-long timestamp columns to
         # TimestampType, so the replica parquet keeps proper timestamp
         # annotations (DuckDB reads them directly)
-        df = table(spark, SRC, t)
+        df = table(spark, src, t)
         if key is None:
             df.write.mode("overwrite").parquet(p)
             continue
         out = df
         for i in range(1, REPLICAS):
-            out = out.unionByName(df.withColumn(key, F.col(key) + F.lit(i * OFFSET)))
+            out = out.unionByName(df.withColumn(key, F.col(key) + F.lit(i * offset)))
         out.write.mode("overwrite").parquet(p)
         print("wrote", p)
 
