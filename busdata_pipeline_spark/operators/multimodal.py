@@ -105,6 +105,176 @@ def decode_items(media: DataFrame, real: bool = False,
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real lightweight codecs (no external libraries): PPM P6 images and
+# PCM WAV audio are fully self-describing, so the decode seam can be
+# exercised with REAL byte parsing — proving the mapInPandas interface
+# carries an actual codec, not just the deterministic fake above.
+
+PPM_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+WAV_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("mean_abs", T.DoubleType()),
+])
+
+
+def encode_ppm(width: int, height: int, pixels) -> bytes:
+    """Binary PPM (P6, maxval 255). ``pixels`` is an iterable of
+    width*height*3 byte values in RGB scan order."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + bytes(bytearray(pixels))
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Minimal RIFF/WAVE, 1 channel, 16-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(list(samples), dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _parse_ppm(buf: bytes):
+    """Parse a P6 PPM: returns (width, height, ndarray[h*w*3] uint8)."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        tok = b""
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            tok += buf[pos : pos + 1]
+            pos += 1
+        fields.append(int(tok))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = np.frombuffer(buf, dtype=np.uint8, offset=pos, count=w * h * 3)
+    return w, h, px
+
+
+def decode_ppm_items(media: DataFrame) -> DataFrame:
+    """REAL image decode over the standard media schema: parses the P6
+    header and pixel plane with numpy inside mapInPandas — same seam,
+    same batch shape as the stub decoder, an actual codec in the body."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_pixels",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _parse_ppm(bytes(payload))
+                plane = px.reshape(-1, 3).astype(np.float64)
+                means = plane.mean(axis=0)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["mean_r"].append(round(float(means[0]), 6))
+                rows["mean_g"].append(round(float(means[1]), 6))
+                rows["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=PPM_FEATURES_SCHEMA)
+
+
+def decode_wav_items(media: DataFrame) -> DataFrame:
+    """REAL audio decode: walks RIFF chunks to fmt/data, reads 16-bit PCM
+    samples with numpy, emits sample stats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("doc_id", "sample_rate", "n_samples", "mean_abs")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE file")
+                pos, rate, data = 12, None, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    body = buf[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        _, _, rate, _, _, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                        if bits != 16:
+                            raise ValueError(f"unsupported bit depth {bits}")
+                    elif cid == b"data":
+                        data = np.frombuffer(body, dtype="<i2")
+                    pos += 8 + size + (size % 2)
+                if rate is None or data is None:
+                    raise ValueError("missing fmt/data chunk")
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(data))
+                rows["mean_abs"].append(
+                    round(float(np.abs(data.astype(np.float64)).mean()), 6)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=WAV_FEATURES_SCHEMA)
+
+
+def synth_ppm_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PPM payloads: dims and every pixel byte are pure
+    functions of the doc id (width = 4 + id % 8, height = 3 + id % 5,
+    byte j = (id * 7 + j) % 256), so an oracle can state the DECODED
+    stats in closed form without ever touching the binary — the whole
+    encode -> binary column -> real decode roundtrip is what's checked."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 4 + i % 8, 3 + i % 5
+                payloads.append(encode_ppm(
+                    w, h, ((i * 7 + j) % 256 for j in range(w * h * 3))
+                ))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        batches,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+
+
 def resize_items(decoded: DataFrame, max_side: int = 32) -> DataFrame:
     """Resize planning: scale every item so its longest side is
     ``max_side``, preserving aspect ratio.  The geometry (scale factor,

@@ -793,6 +793,36 @@ def td_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_multimodal_ppm_decode",
+    # The payload bytes are pure functions of doc_id (synth_ppm_media), so
+    # the oracle states the DECODED stats in closed form: what's verified
+    # is the full encode -> binary column -> REAL P6 header+pixel parse
+    # roundtrip through the mapInPandas seam — an actual codec, not the
+    # deterministic fake of td_multimodal_decode.
+    oracle="""
+SELECT doc_id,
+  CAST(4 + doc_id % 8 AS INTEGER) AS width,
+  CAST(3 + doc_id % 5 AS INTEGER) AS height,
+  CAST((4 + doc_id % 8) * (3 + doc_id % 5) AS BIGINT) AS n_pixels,
+  ROUND(list_avg(list_transform(range(0, (4 + doc_id % 8) * (3 + doc_id % 5)),
+        i -> (doc_id * 7 + 3 * i) % 256)), 6) AS mean_r,
+  ROUND(list_avg(list_transform(range(0, (4 + doc_id % 8) * (3 + doc_id % 5)),
+        i -> (doc_id * 7 + 3 * i + 1) % 256)), 6) AS mean_g,
+  ROUND(list_avg(list_transform(range(0, (4 + doc_id % 8) * (3 + doc_id % 5)),
+        i -> (doc_id * 7 + 3 * i + 2) % 256)), 6) AS mean_b
+FROM documents
+""",
+)
+def td_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode through the multimodal seam: deterministic P6
+    PPM payloads built per doc, parsed back (header + numpy pixel plane)
+    in mapInPandas, channel means checked against the closed form."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.synth_ppm_media(docs)
+    return multimodal.decode_ppm_items(media)
+
+
+@query(
     "td_profile_documents",
     oracle="""
 SELECT COUNT(*) AS n_docs,

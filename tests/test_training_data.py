@@ -347,3 +347,59 @@ def test_minhash_matches_exact_at_driver_sf(spark):
                 lo, hi = min(ida, idb), max(ida, idb)
                 truth.add((lo, hi, round(j, 6)))
     assert got == truth
+
+
+def test_wav_decode_roundtrip(spark):
+    """Real RIFF/PCM codec through the mapInPandas seam: synthesized
+    16-bit mono payloads decode back to exact sample stats."""
+    import numpy as np
+
+    rows = []
+    for doc_id, rate, n in [(1, 8000, 64), (2, 16000, 1), (3, 44100, 777)]:
+        samples = [((doc_id * 13 + i) % 65536) - 32768 for i in range(n)]
+        rows.append((doc_id, bytearray(multimodal.encode_wav(rate, samples))))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.decode_wav_items(media).collect()}
+    for doc_id, rate, n in [(1, 8000, 64), (2, 16000, 1), (3, 44100, 777)]:
+        samples = np.array(
+            [((doc_id * 13 + i) % 65536) - 32768 for i in range(n)],
+            dtype=np.float64,
+        )
+        r = got[doc_id]
+        assert (r.sample_rate, r.n_samples) == (rate, n)
+        assert r.mean_abs == pytest.approx(
+            round(float(np.abs(samples).mean()), 6), abs=1e-9
+        )
+
+
+def test_wav_decode_rejects_garbage(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not a riff file at all"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="RIFF|WAVE"):
+        multimodal.decode_wav_items(media).collect()
+
+
+def test_ppm_decode_rejects_bad_magic(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"P3\n1 1\n255\n0 0 0"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="P6"):
+        multimodal.decode_ppm_items(media).collect()
+
+
+def test_ppm_roundtrip_exact_pixels(spark):
+    """encode_ppm -> decode_ppm_items preserves exact channel means,
+    including multi-digit dims (width 12 exercises the header tokenizer)."""
+    w, h = 12, 5
+    px = [(3 * j + 1) % 256 for j in range(w * h * 3)]
+    media = spark.createDataFrame(
+        [(9, bytearray(multimodal.encode_ppm(w, h, px)))],
+        "doc_id long, payload binary",
+    )
+    r = multimodal.decode_ppm_items(media).collect()[0]
+    assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+    mean_r = sum(px[0::3]) / (w * h)
+    assert r.mean_r == pytest.approx(round(mean_r, 6), abs=1e-9)
