@@ -436,6 +436,53 @@ def td_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_doc_chunks",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(TRIM(text), ' ') AS words,
+         len(string_split(TRIM(text), ' ')) AS n
+  FROM documents)
+SELECT doc_id,
+  CAST(c_idx AS BIGINT) AS chunk_idx,
+  array_to_string(words[c_idx * 64 + 1 : LEAST((c_idx + 1) * 64, n)], ' ')
+    AS chunk_text,
+  CAST(LEAST(64, n - c_idx * 64) AS BIGINT) AS n_chunk_tokens
+FROM w, UNNEST(range(0, CAST(CEIL(n / 64.0) AS BIGINT))) AS t(c_idx)
+""",
+)
+def td_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    64-token chunks (doc_id, chunk_idx, chunk_text, n_chunk_tokens) —
+    the per-document sibling of td_sequence_packing's cross-document
+    bins.  Pure array algebra (split -> slice -> posexplode), fanned out
+    before the explode like the dedup pipelines."""
+    docs = dedup.fanout(table(spark, sf_dir, "documents"), "doc_id")
+    chunked = (
+        docs.withColumn("_words", F.split(F.trim(F.col("text")), " "))
+        .withColumn("_n", F.size("_words"))
+        .select(
+            "doc_id",
+            "_n",
+            F.posexplode_outer(
+                F.expr(
+                    "transform(sequence(0, (_n - 1) div 64), "
+                    "c -> concat_ws(' ', slice(_words, c * 64 + 1, 64)))"
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .where(F.col("chunk_text").isNotNull())
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.least(
+            F.lit(64), F.col("_n") - F.col("chunk_idx") * 64
+        ).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+@query(
     "td_vocabulary_top50",
     oracle="""
 SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

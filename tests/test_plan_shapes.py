@@ -178,3 +178,14 @@ def test_moving_avg_single_window_exchange(spark):
 
     plan = formatted_plan(spark, "rel_moving_avg_customer")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_q10_broadcast_and_take_ordered(spark):
+    """Q10 shape: returnflag pushed to the lineitem scan, customer and
+    nation broadcast, top-20 via TakeOrderedAndProject."""
+    plan = formatted_plan(spark, "rel_q10_returned_revenue")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    scan = [ln for ln in plan.splitlines()
+            if "PushedFilters" in ln and "l_returnflag" in ln]
+    assert scan, plan
