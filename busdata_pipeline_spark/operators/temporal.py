@@ -137,3 +137,60 @@ def range_join_count(left: DataFrame, right: DataFrame, key: str,
         joined.groupBy(*[F.col(c) for c in left.columns])
         .agg(F.count("_rid").alias(out_col))
     )
+
+
+def resample_ffill(events: DataFrame, key: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   step: str = "1 hour") -> DataFrame:
+    """Time-series resampling with forward fill: a dense per-key time
+    grid (one bucket every ``step`` across the observed span) left-joined
+    with per-bucket aggregates; empty buckets carry the last observed
+    average forward (NULL before a key's first observation).
+
+    Scale posture: the grid is sequence+explode per key (output-bounded,
+    never a cross join against a range table); bucket aggregation is one
+    hash shuffle on (key, bucket); the forward fill is a running
+    last(ignorenulls) inside the per-key window — the same
+    union-and-carry-forward machinery as the as-of join above, so no
+    inequality join appears at any size.  The global span comes from one
+    scalar aggregate broadcast to the grid builder.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("_h1"),
+    )
+    grid = (
+        events.select(key).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(
+                F.sequence("_h0", "_h1", F.expr(f"interval {step}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    hourly = events.groupBy(
+        F.col(key), bucket.alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(value_col).alias("_av"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, [key, "bucket_ts"], "left")
+        .select(
+            key,
+            "bucket_ts",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+            F.round(
+                F.last("_av", ignorenulls=True).over(w), 6
+            ).alias("avg_value_ffill"),
+        )
+    )

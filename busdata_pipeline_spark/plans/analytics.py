@@ -428,3 +428,33 @@ def fn_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "fn_variant_extract",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via Spark 4 VariantType: parse_json once
+    into a binary variant (no up-front schema, unlike from_json in
+    fn_from_json_decode), path-extract with try_variant_get.  At scale
+    variant keeps shredded binary instead of strings, so repeated
+    path access never re-parses the JSON text."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

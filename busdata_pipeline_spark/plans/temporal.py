@@ -103,3 +103,42 @@ def rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "rel_resample_hourly_ffill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events),
+grid AS (
+  SELECT u.user_id, g.h AS bucket_ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(
+      (SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
+      INTERVAL 1 HOUR)) AS h) g),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         COUNT(*) AS n, AVG(value) AS av
+  FROM events GROUP BY 1, 2)
+SELECT g.user_id, g.bucket_ts,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+  ROUND(LAST_VALUE(h.av IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+    AS avg_value_ffill
+FROM grid g
+LEFT JOIN hourly h
+  ON h.user_id = g.user_id AND h.bucket_ts = g.bucket_ts
+""",
+)
+def rel_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled resample of the events stream per user with
+    forward-filled averages — the time-series regularization step feeding
+    any downstream rolling computation.  See
+    operators/temporal.py:resample_ffill for the no-inequality-join
+    formulation."""
+    from busdata_pipeline_spark.operators.temporal import resample_ffill
+
+    return resample_ffill(table(spark, sf_dir, "events"))

@@ -436,6 +436,47 @@ def td_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_rarity_score",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(TRIM(text), ' ')) AS tok
+  FROM documents),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tok2 GROUP BY tok)
+SELECT t.doc_id,
+  COUNT(*) AS n_distinct_tokens,
+  ROUND(AVG(d.df), 6) AS mean_token_df
+FROM tok2 t JOIN dfreq d ON t.tok = d.tok
+GROUP BY t.doc_id
+""",
+)
+def td_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity scoring: mean corpus document-frequency of each
+    document's distinct tokens — a model-free 'how unusual is this doc'
+    signal (low mean df = rare vocabulary; boilerplate scores high).
+    Two hash shuffles (df build, join back), integer arithmetic only so
+    both engines agree exactly."""
+    docs = dedup.fanout(table(spark, sf_dir, "documents"), "doc_id")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.avg("df"), 6).alias("mean_token_df"),
+        )
+    )
+
+
+@query(
     "td_doc_chunks",
     oracle="""
 WITH w AS (

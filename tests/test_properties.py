@@ -98,3 +98,64 @@ def test_unparseable_opd_yields_null_not_error(spark, garbage):
             parseable = False
         if not parseable:
             assert r.ts is None, repr(g)
+
+
+# ---------------------------------------------------------------------------
+# round-2 distributed-algorithm properties: the Spark implementations
+# must agree with trivially-correct single-process models on arbitrary
+# inputs, not just the planted fixtures.
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=60,
+))
+def test_connected_components_matches_union_find(spark, edges):
+    from busdata_pipeline_spark.operators.clustering import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    groups: dict[int, list[int]] = {}
+    for v in parent:
+        groups.setdefault(find(v), []).append(v)
+    want = {v: min(g) for g in groups.values() for v in g}
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+             min_size=1, max_size=60, unique_by=lambda r: r[0]),
+    st.integers(10, 1000),
+)
+def test_pack_sequences_matches_serial_cumsum(spark, rows, budget):
+    from busdata_pipeline_spark.operators.packing import pack_sequences
+
+    want, cum = {}, 0
+    for doc_id, n in sorted(rows):
+        want[doc_id] = (cum, cum // budget)
+        cum += n
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r.doc_id: (r.cum_tokens, r.bin_id)
+        for r in pack_sequences(df, budget, block_size=7).collect()
+    }
+    assert got == want
