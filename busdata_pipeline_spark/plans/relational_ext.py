@@ -353,3 +353,48 @@ def rel_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# slowly-changing-dimension (type 2) history construction
+
+@query(
+    "rel_scd2_user_type_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type)
+SELECT user_id,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+  event_type,
+  ts AS valid_from,
+  LEAD(ts) OVER w AS valid_to
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def rel_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each user's
+    event_type stream into validity intervals — consecutive repeats drop,
+    each change opens a version with valid_from/valid_to (NULL = current).
+    Both window passes share the user_id hash partitioning, so the second
+    window reuses the first exchange."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        events.withColumn("_prev", F.lag("event_type").over(w))
+        .where(F.col("_prev").isNull()
+               | (F.col("event_type") != F.col("_prev")))
+    )
+    return chg.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
