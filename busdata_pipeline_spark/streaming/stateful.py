@@ -90,3 +90,68 @@ def track_trip_progress(stream: DataFrame,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# The same tracker on Spark 4's transformWithState API.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class TripProgressProcessor(StatefulProcessor):
+    """``StatefulProcessor`` twin of ``track_trip_progress``: ValueState
+    holds the same four-scalar trip summary, but the new API adds
+    first-class state TTL/timers and composite state types (list/map) —
+    the successor to applyInPandasWithState for long-lived pipelines.
+    Kept semantically identical so both operators are covered by the
+    same cumulative-across-batches assertions."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState("trip", TRIP_STATE)
+
+    def handleInputRows(self, key, rows, timer_values):
+        (trip_id,) = key
+        n, mn_m, mx_m, mn_t, mx_t = (
+            tuple(self._state.get()) if self._state.exists()
+            else (0, None, None, None, None)
+        )
+        for pdf in rows:
+            meters = pdf["METERS"].dropna()
+            times = pdf["ACT_TIME"].dropna()
+            n += len(pdf)
+            if len(meters):
+                lo, hi = float(meters.min()), float(meters.max())
+                mn_m = lo if mn_m is None else min(mn_m, lo)
+                mx_m = hi if mx_m is None else max(mx_m, hi)
+            if len(times):
+                lo_t, hi_t = int(times.min()), int(times.max())
+                mn_t = lo_t if mn_t is None else min(mn_t, lo_t)
+                mx_t = hi_t if mx_t is None else max(mx_t, hi_t)
+        self._state.update((n, mn_m, mx_m, mn_t, mx_t))
+        yield pd.DataFrame({
+            "trip_id": [trip_id],
+            "n_pings": [n],
+            "meters_traveled": [(mx_m - mn_m) if mn_m is not None else None],
+            "duration_sec": [(mx_t - mn_t) if mn_t is not None else None],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def track_trip_progress_tws(stream: DataFrame,
+                            trip_col: str = "EVENT_NO_TRIP") -> DataFrame:
+    """transformWithStateInPandas version of the tracker.  Requires the
+    RocksDB state store provider (the TWS backend) — callers/tests set
+    spark.sql.streaming.stateStore.providerClass accordingly — and the
+    protobuf package for the state-server protocol, which this container
+    lacks: the operator is import-clean and its test skips here, running
+    wherever protobuf exists."""
+    return stream.groupBy(trip_col).transformWithStateInPandas(
+        statefulProcessor=TripProgressProcessor(),
+        outputStructType=TRIP_PROGRESS,
+        outputMode="Update",
+        timeMode="None",
+    )

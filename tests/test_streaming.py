@@ -405,3 +405,73 @@ def test_replay_mode_refuses_live_trigger(spark, drop_dir, tmp_path):
             str(tmp_path / "wh_live"), str(tmp_path / "ckpt_live"),
             available_now=False,
         )
+
+
+def test_tws_trip_progress_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) — same
+    cumulative-across-batches semantics as the applyInPandasWithState
+    tracker, on the RocksDB state backend the new API requires."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state-server protocol needs protobuf, "
+               "absent in this container (operator is import-clean; this "
+               "test exercises it wherever protobuf exists)",
+    )
+    from busdata_pipeline_spark.streaming.stateful import (
+        track_trip_progress_tws,
+    )
+
+    src = str(tmp_path / "tws_src")
+    os.makedirs(src)
+
+    def rec(trip, act_time, meters):
+        return json.dumps({
+            "EVENT_NO_TRIP": trip, "EVENT_NO_STOP": 1,
+            "OPD_DATE": "25DEC2022:00:00:00", "VEHICLE_ID": 1,
+            "METERS": meters, "ACT_TIME": act_time,
+            "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6,
+        })
+
+    f0 = os.path.join(src, "a_batch0.jsonl")
+    with open(f0, "w") as fh:
+        fh.write("\n".join([rec(1, 100, 0.0), rec(1, 160, 500.0),
+                            rec(2, 100, 0.0)]) + "\n")
+    f1 = os.path.join(src, "b_batch1.jsonl")
+    with open(f1, "w") as fh:
+        fh.write("\n".join([rec(1, 220, 1200.0), rec(1, 280, 1500.0)]) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 600, now - 600))
+    os.utime(f1, (now, now))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_breadcrumbs(spark, src, max_files_per_trigger=1)
+        q = (
+            track_trip_progress_tws(stream)
+            .writeStream.format("memory")
+            .queryName("trip_progress_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM trip_progress_tws").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    per_trip = {}
+    for r in rows:
+        per_trip.setdefault(r.trip_id, []).append(
+            (r.n_pings, r.meters_traveled, r.duration_sec)
+        )
+    assert (2, 500.0, 60) in per_trip[1]
+    assert (4, 1500.0, 180) in per_trip[1]
+    assert per_trip[2] == [(1, 0.0, 0)]
