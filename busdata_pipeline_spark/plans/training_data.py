@@ -436,6 +436,92 @@ def td_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_pipeline_funnel",
+    # End-to-end pipeline composition as ONE oracled query: the same
+    # quality -> exact-dedup -> near-dup-survivor chain a real corpus
+    # build runs, with per-stage counts.  The near-dup stage is LSH on
+    # the Spark side and definitional all-pairs closure in the oracle
+    # (equality guaranteed for this data — see td_minhash_near_dups).
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text FROM documents
+  WHERE (CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END)
+        BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+        / NULLIF(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1, 0))
+        BETWEEN 2.0 AND 12.0 THEN 0.5 ELSE 0.0 END) >= 0.5),
+ex AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (PARTITION BY md5(TRIM(text)) ORDER BY doc_id) AS rn
+    FROM q) WHERE rn = 1),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(TRIM(text),' ')) >= 3 THEN
+    list_distinct(list_transform(
+      range(1, len(string_split(TRIM(text), ' ')) - 1),
+      i -> string_split(TRIM(text), ' ')[i] || ' ' ||
+           string_split(TRIM(text), ' ')[i+1] || ' ' ||
+           string_split(TRIM(text), ' ')[i+2])) ELSE [] END AS shingles
+  FROM ex),
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+sym AS (SELECT a AS v, b AS w FROM edges UNION SELECT b, a FROM edges),
+reach(v, w) AS (
+  SELECT v, v FROM sym GROUP BY v
+  UNION
+  SELECT r.v, s.w FROM reach r JOIN sym s ON s.v = r.w),
+clusters AS (SELECT v AS doc_id, MIN(w) AS cluster_id FROM reach GROUP BY v),
+nd AS (
+  SELECT e.doc_id FROM ex e LEFT JOIN clusters c ON e.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.cluster_id = e.doc_id)
+SELECT * FROM (
+  SELECT 0 AS stage, 'input' AS name,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+  UNION ALL SELECT 1, 'quality>=0.5', (SELECT COUNT(*) FROM q)
+  UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM ex)
+  UNION ALL SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM nd))
+""",
+)
+def td_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-build pipeline as one query: quality filter ->
+    exact dedup (lowest-id survivor per fingerprint) -> near-dup dedup
+    (keep one doc per LSH cluster), reported as a per-stage funnel.
+    Every stage is the registered operator itself — this is composition,
+    not re-implementation."""
+    from busdata_pipeline_spark.functions.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.where(quality_score("text") >= 0.5)
+    ex = dedup.drop_exact_duplicates(q)
+    pairs = dedup.minhash_near_duplicates(ex, threshold=0.5)
+    clusters = clustering.dedup_clusters(pairs)
+    nd = ex.join(clusters, "doc_id", "left").where(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    )
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(0, "input", docs)
+        .unionByName(stage(1, "quality>=0.5", q))
+        .unionByName(stage(2, "exact_dedup", ex))
+        .unionByName(stage(3, "near_dedup", nd))
+    )
+
+
+@query(
     "td_rarity_score",
     oracle="""
 WITH tok AS (
