@@ -458,3 +458,33 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+@query(
+    "fn_string_suite",
+    oracle="""
+SELECT doc_id,
+  UPPER(SUBSTRING(text, 1, 12)) AS up,
+  LPAD(SUBSTRING(text, 1, 5), 8, '_') AS pad,
+  REVERSE(SUBSTRING(text, 1, 10)) AS rev,
+  translate(SUBSTRING(text, 1, 10), 'aeiou', 'AEIOU') AS tr,
+  CAST(levenshtein(SUBSTRING(text, 1, 8),
+                   REVERSE(SUBSTRING(text, 1, 8))) AS INTEGER) AS lev
+FROM documents
+""",
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity suite: case mapping, padding, reversal,
+    character translation, and edit distance — the scalar string surface
+    beyond the reference's split/trim/format (F2/F10/F11), each verified
+    byte-identical against DuckDB.  All codegen'd JVM expressions."""
+    docs = table(spark, sf_dir, "documents")
+    head = lambda n: F.substring("text", 1, n)  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.upper(head(12)).alias("up"),
+        F.lpad(head(5), 8, "_").alias("pad"),
+        F.reverse(head(10)).alias("rev"),
+        F.translate(head(10), "aeiou", "AEIOU").alias("tr"),
+        F.levenshtein(head(8), F.reverse(head(8))).alias("lev"),
+    )
