@@ -28,6 +28,10 @@ from driver_hash import strict_compare
 
 SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 only = sys.argv[1:]  # optional query-name filter
+# DRIVER_SIM_SKIP=a,b,c — skip names whose ORACLE is super-linear (the
+# O(n²) all-pairs / transitive-closure oracles) on big replicas; the
+# Spark side of those is still exercised by bench.
+skip = set(filter(None, os.environ.get("DRIVER_SIM_SKIP", "").split(",")))
 con = duckdb_con(SF)
 qs, os_ = E.queries(), E.oracle_sql()
 missing = set(os_) - set(qs)
@@ -35,6 +39,9 @@ print("ORACLE_KEYS_SUBSET=%s (extra oracle keys: %s)" % (not missing, missing))
 fails = 0
 for name in sorted(qs):
     if only and name not in only:
+        continue
+    if name in skip:
+        print("SKIP", name, "(super-linear oracle at this sf)", flush=True)
         continue
     try:
         d = qs[name](spark, SF)
