@@ -398,3 +398,44 @@ def rel_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — correlated aggregate subquery (small-quantity orders)
+
+@query(
+    "rel_q17_small_quantity_revenue",
+    oracle="""
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+""",
+)
+def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from unusually-small-quantity orders of
+    one brand's parts.  The oracle states it as a correlated aggregate
+    subquery; the Spark side is the decorrelated form Catalyst would
+    produce — a per-part average pre-aggregated once and broadcast-joined
+    back, so the fact table is scanned twice but never self-joined
+    row-to-row.  The brand filter prunes the part side before either
+    join."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    per_part_avg = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part_avg, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+        )
+    )
