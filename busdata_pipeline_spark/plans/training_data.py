@@ -610,6 +610,66 @@ def td_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_bigrams_top50",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(TRIM(text), ' ') AS words,
+         len(string_split(TRIM(text), ' ')) AS n
+  FROM documents),
+bg AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS bigram
+  FROM w, UNNEST(range(1, n)) AS t(i)
+  WHERE n >= 2 AND words[i] <> '' AND words[i + 1] <> '')
+SELECT bigram, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM bg
+GROUP BY bigram
+ORDER BY tf DESC, bigram
+LIMIT 50
+""",
+)
+def td_bigrams_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram head (term + document frequency): the 2-gram sibling
+    of td_vocabulary_top50, built from the same shingling machinery the
+    near-dup tier uses (n=2, non-distinct so tf counts repeats)."""
+    docs = dedup.fanout(table(spark, sf_dir, "documents"), "doc_id")
+    grams = (
+        docs.withColumn("_words", F.split(F.trim(F.col("text")), " "))
+        .withColumn("_n", F.size("_words"))
+        .select(
+            "doc_id",
+            # guard: _n < 2 -> empty pair list (sequence(1, 0) counts
+            # DOWN in Spark and would index element 0 — same hazard the
+            # shingle builder guards against)
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN _n >= 2 THEN transform(sequence(1, _n - 1), "
+                    "i -> struct(element_at(_words, i) as w1, "
+                    "element_at(_words, i + 1) as w2)) "
+                    "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+                )
+            ).alias("pair"),
+        )
+        .where(
+            F.col("pair").isNotNull()
+            & (F.col("pair.w1") != "") & (F.col("pair.w2") != "")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "pair.w1", "pair.w2").alias("bigram"),
+        )
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@query(
     "td_vocabulary_top50",
     oracle="""
 SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
