@@ -475,3 +475,51 @@ def test_tws_trip_progress_across_batches(spark, tmp_path):
     assert (2, 500.0, 60) in per_trip[1]
     assert (4, 1500.0, 180) in per_trip[1]
     assert per_trip[2] == [(1, 0.0, 0)]
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """T4 hard case: STOP the stream, add new data for the SAME days,
+    RESTART with the same checkpoint — the resumed query must process
+    only the new files, promote must fold both batches' rows into the
+    day (this is precisely the case whole-day-replay mode cannot serve,
+    the round-1 data-loss bug), and a restart with nothing new must
+    change nothing."""
+    from busdata_pipeline_spark.operators.warehouse import (
+        load_day,
+        promote_stage,
+        read_fact,
+    )
+
+    d = tmp_path / "restart_drop"
+    d.mkdir()
+    lines = fixture_lines()
+    half = len(lines) // 2
+    (d / "chunk_0.jsonl").write_text("\n".join(lines[:half]) + "\n")
+    wh, ckpt = str(tmp_path / "wh_restart"), str(tmp_path / "ckpt_restart")
+
+    def run_stream():
+        q = stream_into_warehouse(
+            stream_breadcrumbs(spark, str(d)), wh, ckpt, incremental=True
+        )
+        q.awaitTermination(120)
+        promote_stage(spark, wh)
+
+    run_stream()
+    n_first = read_fact(spark, wh).count()
+    assert n_first > 0
+
+    # restart with NEW data for the same days: only chunk_1 is consumed,
+    # and promote recomputes the touched days over BOTH batches' rows
+    (d / "chunk_1.jsonl").write_text("\n".join(lines[half:]) + "\n")
+    run_stream()
+    n_second = read_fact(spark, wh).count()
+    assert n_second > n_first
+
+    # restart with NOTHING new: a no-op, counts identical
+    run_stream()
+    assert read_fact(spark, wh).count() == n_second
+
+    # and the final warehouse equals the one-shot batch load
+    wh_b = str(tmp_path / "wh_restart_batch")
+    load_day(read_breadcrumb_jsonl(spark, str(d) + "/*.jsonl"), wh_b)
+    assert read_fact(spark, wh).count() == read_fact(spark, wh_b).count()
