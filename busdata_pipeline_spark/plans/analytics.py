@@ -488,3 +488,32 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(head(10), "aeiou", "AEIOU").alias("tr"),
         F.levenshtein(head(8), F.reverse(head(8))).alias("lev"),
     )
+
+
+@query(
+    "fn_datetime_suite",
+    oracle="""
+SELECT event_id,
+  CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS qtr,
+  last_day(CAST(ts AS DATE)) AS month_end,
+  CAST(dayofyear(ts) AS INTEGER) AS doy,
+  CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+  strftime(ts, '%Y-%m-%d %H:%M') AS fmt_minute
+FROM events
+""",
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function parity suite beyond the reference's F5-F10:
+    quarter truncation, month-end, day-of-year, ISO week number, and
+    minute-grain formatting — each byte/value-identical to DuckDB (the
+    one dialect delta is date_trunc's return type, aligned by casting
+    the oracle to TIMESTAMP)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("quarter", "ts").alias("qtr"),
+        F.last_day(F.col("ts").cast("date")).alias("month_end"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("fmt_minute"),
+    )

@@ -527,3 +527,50 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), rev.supplier_no == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps and islands — consecutive-day activity streaks
+
+@query(
+    "rel_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+grp AS (
+  SELECT user_id, d,
+    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+             AS INTEGER) AS anchor
+  FROM days),
+streaks AS (
+  SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+         COUNT(*) AS streak_days
+  FROM grp GROUP BY user_id, anchor)
+SELECT user_id, streak_start, streak_end, streak_days
+FROM streaks WHERE streak_days >= 3
+""",
+)
+def rel_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of consecutive active days per user.  The
+    date minus its per-user row_number is constant within a run (the
+    island anchor), so streaks fall out of one window pass + one
+    aggregate on the same user_id partitioning — no self-join, no
+    iteration, distance-based grouping at any scale."""
+    events = table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .where(F.col("streak_days") >= 3)
+        .drop("anchor")
+    )
