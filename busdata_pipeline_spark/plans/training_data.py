@@ -522,6 +522,54 @@ def td_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_char_entropy",
+    # Shannon entropy carries log2 sums whose float value could in
+    # principle differ across engines by summation order (~1e-13); the
+    # closest round-6 boundary in this data sits ~5.7e-10 away (measured),
+    # a ~4000x margin, so the hash comparison is deterministic.
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+freq AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
+SELECT doc_id,
+  ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits
+FROM freq GROUP BY doc_id
+""",
+)
+def td_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic gibberish/compression-artifact detector in corpus filtering.
+    Formulated as log2(n) - sum(c*log2(c))/n so only per-distinct-char
+    logs are taken; frequency build is one explode + hash aggregate."""
+    docs = dedup.fanout(table(spark, sf_dir, "documents"), "doc_id")
+    chars = (
+        docs.select(
+            "doc_id",
+            # guard: zero-length text -> no char rows (Spark's
+            # sequence(1, 0) counts DOWN; DuckDB's range(1, 1) is empty)
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN length(text) >= 1 THEN "
+                    "transform(sequence(1, length(text)), "
+                    "i -> substring(text, i, 1)) "
+                    "ELSE CAST(array() AS array<string>) END"
+                )
+            ).alias("ch"),
+        )
+        .where(F.col("ch").isNotNull())
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("entropy_bits")
+    )
+
+
+@query(
     "td_rarity_score",
     oracle="""
 WITH tok AS (
