@@ -174,3 +174,46 @@ def etl_s12_upsert_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day2.join(day1, "user_id", "left_anti").agg(
         F.count(F.lit(1)).alias("new_users")
     )
+
+
+@query(
+    "etl_incremental_rollup",
+    oracle="""
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 6) AS total_value,
+  ROUND(MAX(value), 6) AS max_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+   OR CAST(ts AS DATE) = DATE '2024-01-02'
+GROUP BY user_id
+""",
+)
+def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance, driver-checked: two day deltas are
+    merged one at a time into a bucket-partitioned rollup table
+    (operators/rollup.py — only touched buckets rewritten), and the
+    resulting table must equal the batch GROUP BY over both days.  The
+    rollup lands in a per-run temp dir; the merge is the thing under
+    test, the storage is scratch."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.operators.rollup import (
+        merge_rollup,
+        read_rollup,
+        user_day_delta,
+    )
+
+    events = table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="rollup_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    for d in ("2024-01-01", "2024-01-02"):
+        day = events.where(F.to_date("ts") == F.lit(d).cast("date"))
+        merge_rollup(spark, user_day_delta(day), path)
+    return read_rollup(spark, path).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

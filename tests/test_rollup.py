@@ -1,0 +1,66 @@
+"""Incremental rollup maintenance: day-by-day merges must equal the
+batch recompute, and a delta must rewrite only its touched buckets."""
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators.rollup import (
+    merge_rollup,
+    read_rollup,
+    user_day_delta,
+)
+from busdata_pipeline_spark.sources import table
+from tests.conftest import SF0001
+
+
+def _canon(df):
+    return sorted(
+        (r.user_id, r.n_events, round(r.total_value, 9), round(r.max_value, 9))
+        for r in df.collect()
+    )
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    ev = table(spark, SF0001, "events")
+    days = [r.d for r in
+            ev.select(F.to_date("ts").alias("d")).distinct()
+            .orderBy("d").limit(4).collect()]
+    path = str(tmp_path / "rollup")
+    for d in days:
+        day = ev.where(F.to_date("ts") == F.lit(d))
+        merge_rollup(spark, user_day_delta(day), path)
+
+    batch = user_day_delta(ev.where(F.to_date("ts").isin(days)))
+    assert _canon(read_rollup(spark, path)) == _canon(batch)
+
+
+def test_merge_touches_only_delta_buckets(spark, tmp_path):
+    ev = table(spark, SF0001, "events")
+    path = str(tmp_path / "rollup2")
+    merge_rollup(spark, user_day_delta(ev), path, buckets=8)
+
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path) if d.startswith("_kb=")
+    }
+    # a one-user delta: exactly one bucket directory's files change
+    one_user = ev.limit(1).select("user_id").collect()[0].user_id
+    delta = user_day_delta(ev.where(F.col("user_id") == one_user))
+    merge_rollup(spark, delta, path, buckets=8)
+
+    after = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path) if d.startswith("_kb=")
+    }
+    changed = [d for d in before if before[d] != after[d]]
+    assert len(changed) == 1, changed
+
+    # and the totals for that user doubled exactly (merge added partials)
+    row = [r for r in read_rollup(spark, path).collect()
+           if r.user_id == one_user][0]
+    base = [r for r in user_day_delta(ev).collect()
+            if r.user_id == one_user][0]
+    assert row.n_events == 2 * base.n_events
