@@ -574,3 +574,86 @@ def rel_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("streak_days") >= 3)
         .drop("anchor")
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted JOIN (driver-visible face of operators/skew.py:salted_join)
+
+@query(
+    "rel_skew_salted_segment_revenue",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(e.value), 6) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def rel_skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⨝dim join: the events fact gets a random salt, the
+    customer dim is replicated into every salt bucket, and the join runs
+    on (key, salt) — a hot user spreads over ``buckets`` tasks.  The
+    oracle is the plain join: any salt assignment yields identical
+    results, the property that makes the trick retry-safe."""
+    from busdata_pipeline_spark.operators.skew import salted_join
+
+    events = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, cust, "user_id", buckets=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics suite — three-valued logic + null-safe equality
+
+@query(
+    "rel_null_semantics",
+    oracle="""
+WITH t AS (
+  SELECT event_id, value,
+    NULLIF(event_type, 'click') AS maybe_type,
+    CASE WHEN value > 50 THEN value END AS big_value
+  FROM events)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(maybe_type) AS BIGINT) AS n_type_notnull,
+  CAST(COUNT(big_value) AS BIGINT) AS n_big,
+  ROUND(SUM(COALESCE(big_value, 0.0)), 6) AS sum_big_coalesced,
+  CAST(SUM(CASE WHEN maybe_type IS NOT DISTINCT FROM NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_nullsafe,
+  CAST(SUM(CASE WHEN (value > 100) IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_unknown_cmp
+FROM t
+""",
+)
+def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic suite: NULLIF / guarded CASE producing NULLs,
+    COUNT(col) vs COUNT(*), COALESCE in aggregates, null-safe equality
+    (Spark <=> == SQL IS NOT DISTINCT FROM), and NULL-valued boolean
+    comparisons — the dialect corners where engines classically drift."""
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.nullif("event_type", F.lit("click")).alias("maybe_type"),
+        F.when(F.col("value") > 50, F.col("value")).alias("big_value"),
+        "value",
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("maybe_type").alias("n_type_notnull"),
+        F.count("big_value").alias("n_big"),
+        F.round(F.sum(F.coalesce("big_value", F.lit(0.0))), 6)
+        .alias("sum_big_coalesced"),
+        F.sum(
+            F.when(F.col("maybe_type").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).cast("long").alias("n_clicks_nullsafe"),
+        F.sum(
+            F.when(F.isnull(F.col("value") > 100), 1).otherwise(0)
+        ).cast("long").alias("n_unknown_cmp"),
+    )
