@@ -657,3 +657,34 @@ def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.isnull(F.col("value") > 100), 1).otherwise(0)
         ).cast("long").alias("n_unknown_cmp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact decimal arithmetic (no float rounding anywhere)
+
+@query(
+    "rel_decimal_money_sums",
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+    AS gross,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+         * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))
+    AS discount_amt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def rel_decimal_money_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in exact DECIMAL end to end — no binary-float
+    rounding, no ROUND() canonicalization needed: both engines produce
+    bit-identical scaled integers.  Sums and products follow SQL-standard
+    precision propagation; the outputs are cast to a common (38,s) width
+    because Spark's sum widens to 28 digits and DuckDB's to 38."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(38,4)").alias("gross"),
+        F.sum(price * disc).cast("decimal(38,8)").alias("discount_amt"),
+    )
