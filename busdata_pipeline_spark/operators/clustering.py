@@ -49,6 +49,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         # Push each vertex's current label to its neighbors, then take the
         # min of (own label, incoming labels) — one shuffle keyed by id.
@@ -71,6 +72,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A component with diameter > max_iter would otherwise pass off
+        # partially-propagated labels as a correct clustering.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            "needed equals the largest component's diameter"
+        )
     return labels
 
 

@@ -61,6 +61,10 @@ def merge_rollup(spark: SparkSession, delta: DataFrame, path: str,
                 F.sum("total_value").alias("total_value"),
                 F.max("max_value").alias("max_value"),
             )
+            # Materialize before overwriting the directory being read:
+            # reading and dynamic-overwriting the same path in one job is
+            # a known self-overwrite hazard on direct-write committers.
+            .localCheckpoint(eager=True)
         )
     else:
         merged = delta_b

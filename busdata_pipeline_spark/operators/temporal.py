@@ -139,6 +139,30 @@ def range_join_count(left: DataFrame, right: DataFrame, key: str,
     )
 
 
+_STEP_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _step_seconds(step: str) -> int:
+    """Parse a fixed-width resample step ('30 minutes', '2 hours') into
+    seconds.  Variable-width grains (month, year) would need calendar
+    arithmetic the epoch-floor grid cannot express — reject them loudly
+    rather than silently misalign."""
+    parts = step.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1].lower() not in _STEP_UNIT_SECONDS:
+        raise ValueError(
+            f"resample step must be '<n> <second|minute|hour|day>[s]', got {step!r}"
+        )
+    n = int(parts[0])
+    if n <= 0:
+        raise ValueError(f"resample step must be positive, got {step!r}")
+    return n * _STEP_UNIT_SECONDS[parts[1].lower()]
+
+
 def resample_ffill(events: DataFrame, key: str = "user_id",
                    ts_col: str = "ts", value_col: str = "value",
                    step: str = "1 hour") -> DataFrame:
@@ -157,10 +181,25 @@ def resample_ffill(events: DataFrame, key: str = "user_id",
     """
     from pyspark.sql import Window
 
-    bucket = F.date_trunc("hour", F.col(ts_col))
+    step_s = _step_seconds(step)
+    # Floor to an epoch multiple of the step so the grid, the span bounds
+    # and the bucket labels all share one grain (for '1 hour' this is
+    # bit-identical to date_trunc('hour') on UTC timestamps).
+    def _floor_to_step(c):
+        return F.timestamp_seconds(
+            F.floor(F.col(c).cast("double") / step_s).cast("long") * step_s
+        )
+
+    bucket = _floor_to_step(ts_col)
     bounds = events.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("_h0"),
-        F.date_trunc("hour", F.max(ts_col)).alias("_h1"),
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    ).select(
+        F.timestamp_seconds(
+            F.floor(F.col("_t0").cast("double") / step_s).cast("long") * step_s
+        ).alias("_h0"),
+        F.timestamp_seconds(
+            F.floor(F.col("_t1").cast("double") / step_s).cast("long") * step_s
+        ).alias("_h1"),
     )
     grid = (
         events.select(key).distinct()

@@ -203,17 +203,27 @@ def vacuum_stage(spark: SparkSession, warehouse: str, before_day: str) -> int:
         F.to_date(breadcrumb_timestamp("OPD_DATE", "ACT_TIME")), F.current_date()
     )
     kept = staged.where(day >= F.lit(before_day).cast("date"))
-    kept = kept.localCheckpoint(eager=True)  # break lineage before rewrite
     n = kept.count()
-    fs.delete(hpath, True)
+    # Durability first: materialize the retained batches into a sibling
+    # temp directory while the original stage is still intact, then swap
+    # via rename.  A failure before the swap leaves the stage untouched;
+    # after it, the retained data is already durable on disk — no window
+    # where the only copy lives in non-fault-tolerant checkpoint blocks.
+    tmp = stage.rstrip("/") + ".vacuum-tmp"
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(htmp, True)
     if n:
         for (bid,) in kept.select("ingest_batch").distinct().collect():
             (
                 kept.where(F.col("ingest_batch") == bid)
                 .drop("ingest_batch")
                 .write.mode("overwrite")
-                .parquet(os.path.join(stage, f"ingest_batch={bid}"))
+                .parquet(os.path.join(tmp, f"ingest_batch={bid}"))
             )
+        fs.delete(hpath, True)
+        fs.rename(htmp, hpath)
+    else:
+        fs.delete(hpath, True)
     return n
 
 

@@ -208,12 +208,18 @@ def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="rollup_q_")
     shutil.rmtree(path, ignore_errors=True)
-    for d in ("2024-01-01", "2024-01-02"):
-        day = events.where(F.to_date("ts") == F.lit(d).cast("date"))
-        merge_rollup(spark, user_day_delta(day), path)
-    return read_rollup(spark, path).select(
-        "user_id",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.round("total_value", 6).alias("total_value"),
-        F.round("max_value", 6).alias("max_value"),
-    )
+    try:
+        for d in ("2024-01-01", "2024-01-02"):
+            day = events.where(F.to_date("ts") == F.lit(d).cast("date"))
+            merge_rollup(spark, user_day_delta(day), path)
+        result = read_rollup(spark, path).select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("total_value", 6).alias("total_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        # Materialize off the scratch files so the directory can be
+        # removed now instead of leaking a rollup_q_* per invocation.
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

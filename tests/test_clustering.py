@@ -51,3 +51,18 @@ def test_cluster_id_is_component_min(spark):
     pairs = spark.createDataFrame([(42, 17), (17, 99)], ["a", "b"])
     got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
     assert got == {(17, 17), (42, 17), (99, 17)}
+
+
+def test_nonconvergence_raises_instead_of_wrong_labels(spark):
+    import pytest as _pytest
+
+    from busdata_pipeline_spark.operators.clustering import (
+        connected_components,
+    )
+
+    # A chain 0-1-2-...-6 has diameter 6; two rounds cannot finish it.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["a", "b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)

@@ -88,3 +88,38 @@ def test_range_count_bins_and_zeros(spark, sides):
     # id=2: right@11:00 inside (10:30,11:30]; right@10:00 outside -> 1
     # id=3/4: no candidates -> 0, rows still present (left semantics)
     assert out == {1: 1, 2: 1, 3: 0, 4: 0}
+
+
+def test_resample_30min_step_aligns_grid(spark):
+    from busdata_pipeline_spark.operators.temporal import resample_ffill
+
+    events = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:05:00"), 10.0),
+            (1, ts("2024-01-01 10:40:00"), 20.0),
+            (1, ts("2024-01-01 11:45:00"), 40.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    rows = {
+        r.bucket_ts: (r.n_events, r.avg_value_ffill)
+        for r in resample_ffill(events, step="30 minutes").collect()
+    }
+    # Grid spans 10:00 .. 11:30 on half-hour boundaries; every event
+    # lands in its own half-hour bucket (no misaligned drops/zeros).
+    assert rows == {
+        ts("2024-01-01 10:00:00"): (1, 10.0),
+        ts("2024-01-01 10:30:00"): (1, 20.0),
+        ts("2024-01-01 11:00:00"): (0, 20.0),   # gap carries forward
+        ts("2024-01-01 11:30:00"): (1, 40.0),
+    }
+
+
+def test_resample_rejects_calendar_steps(spark):
+    from busdata_pipeline_spark.operators.temporal import resample_ffill
+
+    events = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:05:00"), 1.0)], ["user_id", "ts", "value"]
+    )
+    with pytest.raises(ValueError, match="resample step"):
+        resample_ffill(events, step="1 month")
