@@ -67,11 +67,18 @@ def main() -> None:
 
     # Warm pass: JVM JIT, whole-stage-codegen compilation, and parquet
     # footer caches are one-time costs amortized away on any long-running
-    # cluster; the timed pass measures the steady-state plans.
+    # cluster; the timed passes measure the steady-state plans.
     for name in names:
         run(name)
 
-    timings = {name: round(run(name), 3) for name in names}
+    # Min-of-N: this box has up to ~2x run-to-run variance (GC timing,
+    # shared-host jitter); the minimum is the best estimate of the plan's
+    # actual cost and is stable across rounds.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    timings = {
+        name: round(min(run(name) for _ in range(repeats)), 3)
+        for name in names
+    }
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
