@@ -275,6 +275,36 @@ def synth_ppm_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV payloads, same closed-form contract as
+    synth_ppm_media: sample_rate = 8000 + 1000*(id % 5), n_samples =
+    16 + id % 17, sample j = (id*13 + j*7) % 4001 - 2000 (int16 range) —
+    an oracle can state the decoded stats without touching the binary,
+    so what's verified is the encode -> binary column -> real RIFF/PCM
+    parse roundtrip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = 16 + i % 17
+                payloads.append(encode_wav(
+                    8000 + 1000 * (i % 5),
+                    ((i * 13 + j * 7) % 4001 - 2000 for j in range(n)),
+                ))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        batches,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+
+
 def resize_items(decoded: DataFrame, max_side: int = 32) -> DataFrame:
     """Resize planning: scale every item so its longest side is
     ``max_side``, preserving aspect ratio.  The geometry (scale factor,

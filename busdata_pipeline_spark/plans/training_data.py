@@ -1066,12 +1066,33 @@ def td_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("td_multimodal_decode")  # rows-only: decode stub, no SQL analog
+@query(
+    "td_multimodal_decode",
+    # Payload bytes are pure functions of doc_id (synth_wav_media), so the
+    # oracle states the DECODED audio stats in closed form — the verified
+    # thing is the encode -> binary column -> REAL RIFF/PCM chunk-walk
+    # parse through the mapInPandas seam (operators/multimodal.py
+    # decode_wav_items), the audio twin of td_multimodal_ppm_decode.
+    oracle="""
+SELECT doc_id,
+  CAST(8000 + 1000 * (doc_id % 5) AS INTEGER) AS sample_rate,
+  CAST(16 + doc_id % 17 AS BIGINT) AS n_samples,
+  ROUND(list_avg(list_transform(range(0, 16 + doc_id % 17),
+        j -> abs((doc_id * 13 + j * 7) % 4001 - 2000))), 6) AS mean_abs
+FROM documents
+""",
+)
 def td_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode (deterministic fake in this
-    container — see operators/multimodal.py) + frame sampling."""
-    media = multimodal.attach_binary_payload(table(spark, sf_dir, "documents"))
-    return multimodal.frame_sample(multimodal.decode_items(media), every_n=2)
+    """Real audio decode through the multimodal seam: deterministic
+    RIFF/WAVE 16-bit PCM payloads built per doc, chunk-walked back
+    (fmt + data, numpy sample plane) in mapInPandas, sample stats
+    checked against the closed form.  Replaces the former
+    deterministic-fake stub decode (which proved nothing the PPM query
+    didn't); the library-gated stub seam remains available as
+    operators/multimodal.decode_items for real codec registration."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.decode_wav_items(media)
 
 
 @query(
