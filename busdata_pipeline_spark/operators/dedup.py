@@ -205,13 +205,27 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
 # SimHash
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens: bit b of the hash of each token
-    votes +1/-1; the sign of the per-bit sum forms the output bit.
-    Implemented as 64 conditional-sum aggregates in ONE hash aggregate —
-    no UDF, no per-row Python."""
+              text_col: str = "text", portable: bool = False) -> DataFrame:
+    """SimHash over word tokens: bit b of the hash of each token votes
+    +1/-1; the sign of the per-bit sum forms the output bit.  Implemented
+    as per-bit conditional-sum aggregates in ONE hash aggregate — no UDF,
+    no per-row Python.
+
+    ``portable=False`` (the scale default) hashes tokens with xxhash64
+    and emits 64 bits.  ``portable=True`` hashes with the first 15 hex
+    digits of md5 (a 60-bit hash both Spark and DuckDB can compute
+    identically — ``conv(substr(md5(tok),1,15),16,10)`` here,
+    ``('0x' || substr(md5(tok),1,15))::UBIGINT`` there) and emits 60
+    bits, which makes the full pipeline SQL-oracle-checkable; md5 is
+    marginally slower than xxhash64 but still JVM-side codegen.
+    """
+    nbits = 60 if portable else 64
     # explode_outer + output filter for the same pushdown reason as
     # minhash_signatures: keep the split below-exchange partition cheap.
+    tok_hash = (
+        F.conv(F.md5(F.col("tok")).substr(1, 15), 16, 10).cast("long")
+        if portable else F.xxhash64("tok")
+    )
     tokens = (
         fanout(docs, id_col)
         .select(
@@ -219,19 +233,19 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
             F.explode_outer(F.split(F.trim(text_col), " ")).alias("tok"),
         )
         .where(F.col("tok").isNotNull())
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", tok_hash)
     )
     votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v_{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     per_doc = tokens.groupBy(id_col).agg(*votes)
     bit_terms = [
         F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63)))
         .otherwise(0)
-        for b in range(64)
+        for b in range(nbits)
     ]
     total = bit_terms[0]
     for t in bit_terms[1:]:
@@ -240,19 +254,23 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            portable: bool = False) -> DataFrame:
     """Near-dups by SimHash Hamming distance <= ``max_hamming``.
 
-    Pigeonhole: split 64 bits into 4 chunks of 16; distance <= 3 implies
+    Pigeonhole: split the hash into 4 chunks (16 bits each for the
+    64-bit hash, 15 for the portable 60-bit one); distance <= 3 implies
     at least one chunk is identical, so candidates come from 4 equi-joins
     on (chunk_idx, chunk_value) instead of a cross join.
     """
-    sh = simhash64(docs, id_col=id_col)
+    chunk_bits = 15 if portable else 16
+    mask = (1 << chunk_bits) - 1
+    sh = simhash64(docs, id_col=id_col, portable=portable)
     chunked = sh.select(
         id_col, "simhash",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"
+                f"transform(sequence(0, 3), c -> shiftright(simhash, c * {chunk_bits}) & {mask})"
             )
         ).alias("chunk", "chunk_val"),
     )

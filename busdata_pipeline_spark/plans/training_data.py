@@ -949,11 +949,51 @@ def td_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.dedup_summary(docs, pairs)
 
 
-@query("td_simhash_near_dups")  # rows-only
+@query(
+    "td_simhash_near_dups",
+    # Full definitional oracle: DuckDB recomputes the identical simhash
+    # (portable 60-bit md5-prefix token hash — the one hash both engines
+    # evaluate bit-identically) and takes ALL pairs at Hamming <= 3; the
+    # Spark side must recover exactly that set through the pigeonhole
+    # chunk equi-join for the hashes to match.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, range(60) t(b)
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0
+                       THEN (CAST(1 AS UBIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+""",
+)
 def td_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 near-dups (Hamming <= 3) via 16-bit chunk pigeonhole."""
+    """SimHash near-dups (Hamming <= 3) via chunk pigeonhole, in the
+    portable-hash mode (60-bit md5-prefix token hash) so the whole
+    pipeline — tokenize, per-bit vote, sign, pigeonhole candidate join,
+    Hamming verify — is strict-checked against DuckDB's all-pairs
+    definitional form.  The xxhash64 64-bit mode (same plan, faster
+    hash) stays the scale default in operators/dedup.py."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=3)
+    return dedup.simhash_near_duplicates(docs, max_hamming=3, portable=True)
 
 
 @query(

@@ -79,6 +79,14 @@ def test_simhash_exact_dup_distance_zero(spark):
     assert got.get((10, 200)) == 0  # exact dup => identical simhash
 
 
+def test_simhash_portable_mode_matches_semantics(spark):
+    docs = make_docs(spark)
+    got = {(r.a, r.b): r.hamming for r in
+           dedup.simhash_near_duplicates(
+               docs, max_hamming=10, portable=True).collect()}
+    assert got.get((10, 200)) == 0  # exact dup => identical 60-bit simhash
+
+
 def test_drop_exact_duplicates_keeps_lowest_id(spark):
     docs = make_docs(spark)
     kept = {r.doc_id for r in dedup.drop_exact_duplicates(docs).collect()}
