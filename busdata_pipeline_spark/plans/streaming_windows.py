@@ -8,6 +8,7 @@ boundaries, inclusive/exclusive edges).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.plans.registry import query
 from busdata_pipeline_spark.sources import table
@@ -49,6 +50,68 @@ def st_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2h/1h: every event lands in exactly two hour-aligned
     windows — the oracle materializes that membership explicitly."""
     return sliding_counts(table(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@query(
+    "st_watermark_late_drop",
+    # Encodes the empirically-pinned watermark semantics (see
+    # streaming/replay.py): rows of the late batch are dropped iff their
+    # window end <= max(ts of the first two batches) - 2h, and only
+    # windows with end <= max(ts of the future batch) - 2h are emitted
+    # in append mode before the stream stops.
+    oracle="""
+WITH b1 AS (
+  SELECT ts, value FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-01' AND event_id % 2 = 0),
+fill AS (
+  SELECT ts, value FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-01' AND event_id % 2 = 1
+    AND EXTRACT(hour FROM ts) >= 23),
+late AS (
+  SELECT ts, value FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-01' AND event_id % 2 = 1
+    AND EXTRACT(hour FROM ts) < 23),
+fut AS (
+  SELECT ts, value FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-02'),
+wm1 AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS wm
+  FROM (SELECT ts FROM b1 UNION ALL SELECT ts FROM fill)),
+wmf AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM fut),
+kept AS (
+  SELECT ts, value FROM b1
+  UNION ALL SELECT ts, value FROM fill
+  UNION ALL
+  SELECT late.ts, late.value FROM late, wm1
+  WHERE date_trunc('hour', late.ts) + INTERVAL 1 HOUR > wm1.wm
+  UNION ALL SELECT ts, value FROM fut
+)
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM kept
+GROUP BY 1
+HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM wmf)
+""",
+)
+def st_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 driver-visible: an ACTUAL streaming execution (readStream over
+    a four-file replay, withWatermark('2 hours'), tumbling 1h append) —
+    batch 1 = day-1 even-id rows (on time), batch 2 = day-1 odd rows of
+    hour 23 (filler that seals the watermark), batch 3 = the remaining
+    day-1 odd rows arriving LATE (dropped iff window end <= watermark),
+    batch 4 = day-2 rows (advance the watermark so finalized windows
+    emit).  The oracle recomputes the exact kept/dropped/emitted set in
+    SQL, so the drop-vs-keep decision itself is what's hash-checked."""
+    from busdata_pipeline_spark.streaming.replay import watermark_replay
+
+    ev = table(spark, sf_dir, "events")
+    day1 = ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date"))
+    b1 = day1.where(F.col("event_id") % 2 == 0)
+    fill = day1.where((F.col("event_id") % 2 == 1) & (F.hour("ts") >= 23))
+    late = day1.where((F.col("event_id") % 2 == 1) & (F.hour("ts") < 23))
+    fut = ev.where(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
+    return watermark_replay(spark, [b1, fill, late, fut])
 
 
 @query(

@@ -1,0 +1,114 @@
+"""Deterministic watermark-behavior replay: run a REAL Structured
+Streaming query over a controlled sequence of micro-batches so the
+late-data drop/keep decision becomes driver-visible and oracle-checkable
+(reference behavior: the subscriber keeps day files open for late
+arrivals, /root/reference/data_subscriber.py:58-64 — a watermark is the
+bounded-state version of that policy, and this pins down EXACTLY which
+rows it sacrifices).
+
+Empirically verified semantics on this Spark version (probe in
+tests/test_streaming.py::test_watermark_replay_semantics):
+
+- FileStreamSource with ``maxFilesPerTrigger=1`` processes one file per
+  micro-batch, ordered by file modification time (pinned with utime).
+- The stateful-operator LATE filter in batch N uses the watermark
+  computed from batches <= N-2 (it lags the displayed/eviction watermark
+  by one batch — Spark's two-watermark design for chained stateful
+  operators).  A late row is dropped iff its window END <= that
+  watermark.
+- On availableNow termination a final no-data micro-batch advances the
+  watermark to max(all event times) - delay and append-mode emits every
+  window with END <= it; windows above it stay in state and never emit.
+
+So with batches [on_time, filler, late, future]:
+  wm_late(late batch)  = max(ts in on_time + filler) - delay
+  dropped              = late rows with window_end <= wm_late
+  emitted              = windows with window_end <= max(ts in future) - delay
+which an ANSI-SQL oracle can state exactly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stage_single_file(df: DataFrame, scratch: str, stream_dir: str,
+                       seq: int) -> None:
+    """Write ``df`` as exactly one parquet file named into the stream
+    directory with a strictly increasing mtime (FileStreamSource orders
+    by modification time)."""
+    stage = os.path.join(scratch, f"stage_{seq}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+    assert len(parts) == 1, "coalesce(1) must produce one file"
+    dest = os.path.join(stream_dir, f"batch_{seq}.parquet")
+    shutil.move(parts[0], dest)
+    t = 1_000_000 + seq * 1000
+    os.utime(dest, (t, t))
+
+
+def watermark_replay(spark: SparkSession, batches: list[DataFrame],
+                     delay: str = "2 hours",
+                     width: str = "1 hour") -> DataFrame:
+    """Replay ``batches`` (each a (ts, value) DataFrame) one per
+    micro-batch through withWatermark + tumbling window count in append
+    mode; return the emitted (finalized) windows as a materialized batch
+    DataFrame.  Everything is deterministic: file order is pinned by
+    mtime, batch admission by maxFilesPerTrigger=1, and the drop/emit
+    boundaries follow the module-docstring semantics."""
+    scratch = tempfile.mkdtemp(prefix="wm_replay_")
+    # The state-store partition count is fixed per checkpoint at first
+    # run; a vanilla 200-partition session makes every micro-batch run
+    # 200 tiny stateful tasks.  The replay is its own query with a fresh
+    # checkpoint, so pin a small count for it and restore afterwards.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_dir = os.path.join(scratch, "stream")
+        ckpt = os.path.join(scratch, "ckpt")
+        os.makedirs(stream_dir)
+        for i, b in enumerate(batches):
+            _stage_single_file(b.select("ts", "value"), scratch, stream_dir, i)
+
+        src = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        agg = (
+            src.withWatermark("ts", delay)
+            .groupBy(F.window("ts", width).alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+        name = "wm_replay_" + uuid.uuid4().hex
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # Materialize off the memory sink so the scratch dirs (and the
+        # temp view) can be dropped before returning.
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(scratch, ignore_errors=True)

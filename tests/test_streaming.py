@@ -523,3 +523,44 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     wh_b = str(tmp_path / "wh_restart_batch")
     load_day(read_breadcrumb_jsonl(spark, str(d) + "/*.jsonl"), wh_b)
     assert read_fact(spark, wh).count() == read_fact(spark, wh_b).count()
+
+
+def test_watermark_replay_semantics(spark):
+    """Pin the empirical watermark model streaming/replay.py documents:
+    late filter = (window_end <= wm lagged one batch), final emission =
+    (window_end <= final wm), both boundaries INCLUSIVE."""
+    from datetime import datetime
+
+    from busdata_pipeline_spark.streaming.replay import watermark_replay
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "ts timestamp, value double")
+
+    # on_time max 12:00 -> wm 10:00 after filler batch seals it
+    on_time = batch([(ts("2024-01-01 09:10:00"), 1.0),
+                     (ts("2024-01-01 12:00:00"), 1.0)])
+    filler = batch([(ts("2024-01-01 12:00:00"), 1.0)])
+    late = batch([
+        (ts("2024-01-01 08:30:00"), 10.0),   # end 09:00 <  wm -> drop
+        (ts("2024-01-01 09:30:00"), 10.0),   # end 10:00 == wm -> drop
+        (ts("2024-01-01 10:30:00"), 10.0),   # end 11:00 >  wm -> keep
+    ])
+    # final wm = 20:00 - 2h = 18:00: [17,18) end == wm emits, [20,21) not
+    future = batch([(ts("2024-01-01 17:30:00"), 5.0),
+                    (ts("2024-01-01 20:00:00"), 100.0)])
+
+    out = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in watermark_replay(spark, [on_time, filler, late, future]).collect()
+    }
+    assert out == {
+        ts("2024-01-01 09:00:00"): (1, 1.0),    # late 09:30 dropped
+        ts("2024-01-01 10:00:00"): (1, 10.0),   # late 10:30 kept
+        ts("2024-01-01 12:00:00"): (2, 2.0),
+        ts("2024-01-01 17:00:00"): (1, 5.0),    # end == final wm emits
+    }
+    assert ts("2024-01-01 08:00:00") not in out  # late 08:30 dropped
+    assert ts("2024-01-01 20:00:00") not in out  # above final wm: unemitted
