@@ -235,6 +235,132 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
     )
 
 
+_QUANT = 1048576.0  # 2^20 — quantization step for reproducible means
+
+
+def _lit_vec(values) -> object:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def _assign_to_centroids(df: DataFrame, centroids: list[list[float]],
+                         vec_col: str, out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION: the centroids
+    are literals baked into the expression, so no join and no shuffle —
+    argmax cosine via one array_max over (score, -index) structs (struct
+    ordering is lexicographic, so ties go to the LOWEST cluster index;
+    each cosine is evaluated exactly once — a when-chain would embed
+    every prior comparison twice and blow the expression tree up
+    exponentially in the cluster count)."""
+    entries = [
+        F.struct(
+            cosine(F.col(vec_col), _lit_vec(cent)).alias("s"),
+            F.lit(-c).alias("negc"),
+        )
+        for c, cent in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*entries))
+    return df.withColumn(out_col, (-best["negc"]).cast("int"))
+
+
+def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
+                     n_iter: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Spherical k-means (Lloyd) with bit-reproducible arithmetic.
+
+    - Deterministic init: the ``n_clusters`` lowest-id vectors.
+    - Assignment: argmax cosine against literal centroids — a projection,
+      no shuffle (the per-iteration shuffle is ONLY the mean aggregate).
+    - Update: per-dimension means over values quantized to 2^-20 integer
+      steps, so the sum is an exact integer in ANY summation order and
+      the resulting centroid is the identical double on every engine —
+      this is what lets a SQL oracle replay the training verbatim.
+    - Empty clusters keep their previous centroid.
+
+    Driver traffic is bounded by design: n_clusters × dim scalars per
+    iteration (the same bounded-collect contract as the rollup's bucket
+    ids) — vectors themselves never leave the executors.  At 100 TB one
+    trains on a sample; the assignment projection is what runs over the
+    full corpus.
+    """
+    emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+    init = emb.orderBy(id_col).limit(n_clusters).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(emb, cents, vec_col)
+        rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * _QUANT + F.lit(0.5)).cast("long")
+                ).alias("qs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster", "i",
+                (F.col("qs").cast("double")
+                 / (F.col("n").cast("double") * F.lit(_QUANT))).alias("m"),
+            )
+            .collect()
+        )
+        new = {}
+        for r in rows:
+            new.setdefault(r["cluster"], {})[r["i"]] = r["m"]
+        cents = [
+            [new[c][i] for i in range(len(cents[c]))] if c in new else cents[c]
+            for c in range(n_clusters)
+        ]
+    return cents
+
+
+def ivf_kmeans_ann_topk(embeddings: DataFrame, queries: DataFrame,
+                        k: int = 10, n_clusters: int = 8, n_iter: int = 2,
+                        nprobe: int = 3, id_col: str = "vec_id",
+                        vec_col: str = "embedding", qid_col: str = "qid",
+                        qvec_col: str = "qvec") -> DataFrame:
+    """IVF with REAL Lloyd-trained centroids: train (kmeans_centroids),
+    assign the corpus to the final centroids (projection, no shuffle),
+    route each query to its ``nprobe`` nearest centroids, exact-rescore
+    only those partitions.  Fully deterministic, so a SQL oracle can
+    replay training + routing + rescoring end to end."""
+    cents = kmeans_centroids(embeddings, n_clusters, n_iter, id_col, vec_col)
+    emb = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    assigned = _assign_to_centroids(emb, cents, vec_col)
+    q = queries.select(
+        qid_col, F.col(qvec_col).cast("array<double>").alias(qvec_col)
+    )
+    probe_scores = [
+        (c, cosine(F.col(qvec_col), _lit_vec(cent))) for c, cent in enumerate(cents)
+    ]
+    q_scored = q.select(
+        qid_col, qvec_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("cluster"), s.alias("c_cos"))
+            for c, s in probe_scores
+        ])).alias("p"),
+    ).select(qid_col, qvec_col, "p.cluster", "p.c_cos")
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("c_cos"), F.asc("cluster"))
+    routed = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= nprobe)
+        .select(qid_col, qvec_col, "cluster")
+    )
+    cands = assigned.join(F.broadcast(routed), "cluster").where(
+        F.col(qid_col) != F.col(id_col)
+    )
+    scored = cands.select(
+        qid_col, id_col, cosine(F.col(vec_col), F.col(qvec_col)).alias("cos")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
 def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                   part_col: str = "label") -> DataFrame:
     """Coarse quantizer: per-partition mean vector, computed with

@@ -1076,11 +1076,88 @@ def td_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, _queries_df(spark, sf_dir), dim=64, k=10)
 
 
-@query("td_ivf_ann")  # rows-only
+@query(
+    "td_ivf_ann",
+    # The oracle replays the ENTIRE IVF pipeline — deterministic init
+    # (8 lowest-id vectors), two unrolled Lloyd iterations with
+    # 2^-20-quantized integer-sum means (bit-identical across engines in
+    # any summation order), final corpus assignment, nprobe=3 query
+    # routing, exact rescoring — so the trained centroids themselves are
+    # hash-checked, not just the output shape.
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8)),
+a1 AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c0.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c0.v) DESC, c0.c) AS rn
+    FROM vecs, c0) WHERE rn = 1),
+m1 AS (
+  SELECT c, i,
+    CAST(SUM(CAST(FLOOR(v[i + 1] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (COUNT(*) * 1048576.0) AS m
+  FROM a1, range(64) t(i) GROUP BY c, i),
+c1 AS (
+  SELECT c0.c, COALESCE(mm.v, c0.v) AS v
+  FROM c0 LEFT JOIN (SELECT c, list(m ORDER BY i) AS v
+                     FROM m1 GROUP BY c) mm USING (c)),
+a2 AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c1.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c1.v) DESC, c1.c) AS rn
+    FROM vecs, c1) WHERE rn = 1),
+m2 AS (
+  SELECT c, i,
+    CAST(SUM(CAST(FLOOR(v[i + 1] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (COUNT(*) * 1048576.0) AS m
+  FROM a2, range(64) t(i) GROUP BY c, i),
+c2 AS (
+  SELECT c1.c, COALESCE(mm.v, c1.v) AS v
+  FROM c1 LEFT JOIN (SELECT c, list(m ORDER BY i) AS v
+                     FROM m2 GROUP BY c) mm USING (c)),
+af AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c2.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c2.v) DESC, c2.c) AS rn
+    FROM vecs, c2) WHERE rn = 1),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0),
+routed AS (
+  SELECT qid, qv, c FROM (
+    SELECT q.qid, q.qv, c2.c,
+      ROW_NUMBER() OVER (PARTITION BY q.qid
+        ORDER BY list_cosine_similarity(q.qv, c2.v) DESC, c2.c) AS rn
+    FROM q, c2) WHERE rn <= 3),
+cand AS (
+  SELECT r.qid, af.vec_id, list_cosine_similarity(af.v, r.qv) AS cos
+  FROM routed r JOIN af ON af.c = r.c
+  WHERE af.vec_id <> r.qid)
+SELECT qid, vec_id, ROUND(cos, 6) AS cosine,
+  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       ORDER BY cos DESC, vec_id) AS INT) AS rank
+FROM cand QUALIFY rank <= 10
+""",
+)
 def td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over label-partition centroids, nprobe=2."""
+    """IVF ANN with REAL Lloyd training (2 iterations, 8 centroids,
+    deterministic lowest-id init, quantized bit-reproducible means),
+    nprobe=3 — strict-checked against a DuckDB oracle that replays
+    training, routing and rescoring verbatim.  Recall@10 >= 0.9 vs the
+    exact scorer is asserted on a planted clustered corpus in
+    tests/test_training_data.py (this table's vectors are near-random,
+    so recall here is structurally meaningless).  Replaces the former
+    label-partition single-pass variant."""
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.ivf_ann_topk(emb, _queries_df(spark, sf_dir), k=10, nprobe=2)
+    return similarity.ivf_kmeans_ann_topk(
+        emb, _queries_df(spark, sf_dir), k=10, n_clusters=8, n_iter=2, nprobe=3
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -411,3 +411,36 @@ def test_ppm_roundtrip_exact_pixels(spark):
     assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
     mean_r = sum(px[0::3]) / (w * h)
     assert r.mean_r == pytest.approx(round(mean_r, 6), abs=1e-9)
+
+
+def test_ivf_kmeans_recall_at_10(spark):
+    """Lloyd-trained IVF must recover >= 0.9 of the exact top-10 on a
+    corpus with real cluster structure (10 planted clusters, tight
+    noise), probing only 2 of 10 partitions."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 16))
+    rows = []
+    vid = 0
+    for c in range(10):
+        for _ in range(24):
+            v = centers[c] + 0.15 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") % 48 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.qid, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.qid, r.vec_id)
+        for r in similarity.ivf_kmeans_ann_topk(
+            emb, queries, k=10, n_clusters=10, n_iter=2, nprobe=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall@10 = {recall:.3f}"
