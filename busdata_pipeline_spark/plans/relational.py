@@ -593,6 +593,44 @@ def rel_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_grouped_percentile_disc",
+    # percentile_disc returns an ACTUAL element of the group (no
+    # interpolation), so the comparison is exact with no rounding —
+    # both engines implement the SQL-standard definition (first value
+    # whose cumulative distribution >= p; verified to agree on the
+    # boundary cases).  median is continuous and rounded like
+    # rel_value_percentiles.
+    oracle="""
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25_disc,
+  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_disc,
+  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_disc,
+  ROUND(median(value), 6) AS median_cont
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id % 10
+""",
+)
+def rel_grouped_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group DISCRETE percentiles + continuous median over a
+    derived 10-bucket grouping — the percentile_disc parity complement
+    to rel_value_percentiles (which is quantile_cont).  Exact grouped
+    percentiles sort within the hash-partitioned group only; the
+    corpus-wide scalable variant stays approx_percentile
+    (td_sketches)."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.groupBy(
+        (F.col("user_id") % 10).cast("long").alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("p25_disc"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_disc"),
+        F.round(F.median("value"), 6).alias("median_cont"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations — INTERSECT / EXCEPT (distinct semantics).
 
