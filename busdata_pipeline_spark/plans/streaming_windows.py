@@ -142,3 +142,72 @@ def st_session_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window length starts a NEW session (session end is exclusive) —
     the edge case the oracle's >= 300 encodes."""
     return session_stats(table(spark, sf_dir, "events"), "5 minutes")
+
+
+@query(
+    "st_stream_join_attribution",
+    # The streamed inner interval join emits exactly the on-time pairs:
+    # the day-1 clicks of user_id % 3 == 0 are replayed two full batches
+    # after day 3, when the global watermark (min of both sources, -1h
+    # delay) sits in day 3 — far past both the late-input filter bound
+    # and the right-state eviction bound (rts + 2h < watermark) for any
+    # day-1 partner view.  The oracle therefore joins the ON-TIME click
+    # subset against all views; the late clicks' would-be matches are
+    # the hash-checked difference (pytest asserts they exist).
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts AS lts FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+    AND NOT (ts < TIMESTAMP '2024-01-02 00:00:00' AND user_id % 3 = 0)),
+views AS (
+  SELECT user_id, ts AS rts, value AS rval FROM events
+  WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-04 00:00:00')
+SELECT date_trunc('hour', c.lts) AS click_hour,
+       COUNT(*) AS n_pairs,
+       ROUND(SUM(v.rval), 2) AS view_value
+FROM clicks c
+JOIN views v ON v.user_id = c.user_id
+  AND v.rts >= c.lts - INTERVAL 2 HOUR AND v.rts <= c.lts
+GROUP BY 1
+""",
+)
+def st_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner interval join, driver-visible: an
+    actual two-source Structured Streaming execution (readStream × 2,
+    1h watermarks, append mode) attributing each click to the same
+    user's views in the trailing 2 hours.  Batches 0-2 replay days 1-3
+    on time (one file per source per micro-batch); batch 3 replays the
+    held-back day-1 clicks (user_id % 3 == 0) LATE, after the watermark
+    has advanced ~2 days — they are dropped at input and their partner
+    state is evicted, so they contribute no pairs.  The kept/dropped
+    split is what the oracle hash-checks."""
+    from busdata_pipeline_spark.streaming.replay import stream_join_replay
+
+    ev = table(spark, sf_dir, "events")
+
+    def day(n: int):
+        return (F.col("ts") >= F.lit(f"2024-01-0{n} 00:00:00").cast("timestamp")) & (
+            F.col("ts") < F.lit(f"2024-01-0{n + 1} 00:00:00").cast("timestamp")
+        )
+
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view")
+    late_pred = F.col("user_id") % 3 == 0
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("2024-01-03 23:59:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    left = [
+        clicks.where(day(1) & ~late_pred),
+        clicks.where(day(2)),
+        clicks.where(day(3)),
+        clicks.where(day(1) & late_pred),
+    ]
+    right = [
+        views.where(day(1)),
+        views.where(day(2)),
+        views.where(day(3)),
+        sentinel,
+    ]
+    return stream_join_replay(spark, left, right)

@@ -1283,3 +1283,63 @@ def td_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
     )
+
+
+@query(
+    "td_unigram_logprob",
+    # Same float discipline as td_char_entropy: logs are taken only of
+    # integers (corpus token counts), the per-doc sum is rounded to 6
+    # decimals, and the nearest round-6 boundary margin is measured in
+    # tests (test_training_data.py::test_unigram_logprob_round_margin).
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS tok
+  FROM documents),
+dt AS (SELECT doc_id, tok, COUNT(*) AS c_dt FROM toks
+       WHERE tok <> '' GROUP BY doc_id, tok),
+ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_t FROM toks
+       WHERE tok <> '' GROUP BY tok),
+tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS total FROM ct)
+SELECT doc_id,
+  CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+  ROUND(ln(CAST(total AS DOUBLE))
+        - SUM(c_dt * ln(CAST(c_t AS DOUBLE))) / SUM(c_dt), 6) AS xent_nats
+FROM dt JOIN ct USING (tok) CROSS JOIN tot
+GROUP BY doc_id, total
+""",
+)
+def td_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained unigram LM
+    (nats/token) — the KenLM-perplexity stand-in used for quality
+    scoring when no external model ships with the engine: documents
+    whose token distribution diverges from the corpus score high.
+
+    score(d) = -(1/n_d) * Σ_t c_dt · ln(c_t / N) = ln(N) - Σ c_dt·ln(c_t)/n_d
+
+    One exploded token pass feeds both the per-doc and corpus count
+    aggregates; they meet again in a shuffle equi-join on token (both
+    sides fact-scale — no broadcast), and the corpus total N is a 1-row
+    broadcast scalar.  Logs touch only integer counts, so the only
+    cross-engine float risk is summation order, absorbed by ROUND(_, 6)
+    with a measured boundary margin."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_dt"))
+    ct = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    tot = ct.agg(F.sum("c_t").alias("total"))
+    return (
+        dt.join(ct, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.round(
+                F.log(F.max("total").cast("double"))
+                - F.sum(F.col("c_dt") * F.log(F.col("c_t").cast("double")))
+                / F.sum("c_dt"),
+                6,
+            ).alias("xent_nats"),
+        )
+    )

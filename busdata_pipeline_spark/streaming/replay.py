@@ -112,3 +112,96 @@ def watermark_replay(spark: SparkSession, batches: list[DataFrame],
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def stream_join_replay(spark: SparkSession,
+                       left_batches: list[DataFrame],
+                       right_batches: list[DataFrame],
+                       delay: str = "1 hour",
+                       lookback: str = "2 hours") -> DataFrame:
+    """Replay a watermarked STREAM-STREAM inner interval join (click →
+    trailing-view attribution): left rows match right rows of the same
+    ``user_id`` with ``rts ∈ [lts - lookback, lts]``.
+
+    Both sources are file streams admitting one file per micro-batch
+    (mtime-ordered, like ``watermark_replay``); batch i consumes
+    ``left_batches[i]`` and ``right_batches[i]`` together.  Inner-join
+    pairs emit in the first micro-batch where both sides are present;
+    watermark-evicted state and late input produce nothing — callers
+    stage late batches ≥ 2 full batches after their partners so the
+    drop decision has clean margins (no reliance on the exact
+    one-batch watermark lag; see module docstring).
+
+    Each input DataFrame must have columns (user_id, ts, value).
+    Returns the emitted pairs aggregated per click hour — a
+    deterministic, oracle-checkable shape.
+    """
+    assert len(left_batches) == len(right_batches)
+    scratch = tempfile.mkdtemp(prefix="sj_replay_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ldir = os.path.join(scratch, "left")
+        rdir = os.path.join(scratch, "right")
+        ckpt = os.path.join(scratch, "ckpt")
+        os.makedirs(ldir)
+        os.makedirs(rdir)
+        for i, (lb, rb) in enumerate(zip(left_batches, right_batches)):
+            _stage_single_file(
+                lb.select("user_id", "ts", "value"), scratch, ldir, i
+            )
+            _stage_single_file(
+                rb.select("user_id", "ts", "value"), scratch, rdir, i
+            )
+
+        schema = "user_id bigint, ts timestamp, value double"
+        left = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(ldir)
+            .select(
+                F.col("user_id").alias("l_user"),
+                F.col("ts").alias("lts"),
+                F.col("value").alias("lval"),
+            )
+            .withWatermark("lts", delay)
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(rdir)
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("ts").alias("rts"),
+                F.col("value").alias("rval"),
+            )
+            .withWatermark("rts", delay)
+        )
+        pairs = left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("rts") >= F.col("lts") - F.expr(f"INTERVAL {lookback}"))
+            & (F.col("rts") <= F.col("lts")),
+            "inner",
+        )
+        name = "sj_replay_" + uuid.uuid4().hex
+        q = (
+            pairs.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(name)
+            .groupBy(F.date_trunc("hour", "lts").alias("click_hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.sum("rval"), 2).alias("view_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -60,6 +60,7 @@ SCALAR_EXPANSION_BNLJ = {
     "rel_resample_hourly_ffill",      # 1-row (min,max) span broadcast
     "td_dedup_summary",               # 1-row total-docs aggregate
     "td_tfidf_top_terms",             # 1-row corpus doc count (idf)
+    "td_unigram_logprob",             # 1-row corpus token total (ln N)
     "td_ivf_ann",                     # queries × nlist centroids routing
 }
 

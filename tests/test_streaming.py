@@ -564,3 +564,55 @@ def test_watermark_replay_semantics(spark):
     }
     assert ts("2024-01-01 08:00:00") not in out  # late 08:30 dropped
     assert ts("2024-01-01 20:00:00") not in out  # above final wm: unemitted
+
+
+def test_stream_join_replay_semantics(spark):
+    """Stream-stream interval join: same-batch and cross-batch on-time
+    pairs emit; a left row replayed two batches after its partner
+    emits nothing (late input dropped + right state evicted), even
+    though the batch-mode join would match it."""
+    from datetime import datetime
+
+    from busdata_pipeline_spark.streaming.replay import stream_join_replay
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    # day-1 on-time: click 10:00 matches views 09:00 and 10:00 (same
+    # batch); view 23:30 is the partner of the day-2 00:15 click
+    # (cross-batch).
+    l0 = batch([(1, ts("2024-01-01 10:00:00"), 1.0)])
+    r0 = batch([(1, ts("2024-01-01 09:00:00"), 2.0),
+                (1, ts("2024-01-01 10:00:00"), 3.0),
+                (1, ts("2024-01-01 11:00:00"), 50.0),   # after click: no match
+                (2, ts("2024-01-01 23:30:00"), 4.0)])
+    # day-2: the cross-batch click, plus fresh rows advancing both
+    # watermarks a full day.
+    l1 = batch([(2, ts("2024-01-02 00:15:00"), 1.0),
+                (9, ts("2024-01-02 23:00:00"), 1.0)])
+    r1 = batch([(9, ts("2024-01-02 22:30:00"), 5.0)])
+    # day-3: margin batch (watermark moves ~2 days past day 1).
+    l2 = batch([(8, ts("2024-01-03 23:00:00"), 1.0)])
+    r2 = batch([(8, ts("2024-01-03 22:00:00"), 6.0)])
+    # LATE: a day-1 click whose partner view (09:00/10:00) is long
+    # evicted and whose own ts is far below the watermark.
+    l3 = batch([(1, ts("2024-01-01 10:30:00"), 99.0)])
+    r3 = batch([(-1, ts("2024-01-03 23:59:00"), 0.0)])  # sentinel
+
+    out = {
+        r.click_hour: (r.n_pairs, r.view_value)
+        for r in stream_join_replay(
+            spark, [l0, l1, l2, l3], [r0, r1, r2, r3]
+        ).collect()
+    }
+    assert out == {
+        ts("2024-01-01 10:00:00"): (2, 5.0),   # 09:00 + 10:00 views
+        ts("2024-01-02 00:00:00"): (1, 4.0),   # cross-batch 23:30 view
+        ts("2024-01-02 23:00:00"): (1, 5.0),
+        ts("2024-01-03 23:00:00"): (1, 6.0),
+    }
+    # The late click is absent — but batch mode WOULD have matched it.
+    assert ts("2024-01-01 10:30:00") not in out

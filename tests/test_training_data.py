@@ -444,3 +444,33 @@ def test_ivf_kmeans_recall_at_10(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"IVF recall@10 = {recall:.3f}"
+
+
+def test_unigram_logprob_round_margin(spark):
+    """The ROUND(_, 6) canonicalization of td_unigram_logprob is only
+    engine-stable if no document's score sits near a rounding boundary.
+    Guard the measured margin (~7.4e-4 in micro-nat units at sf0.01,
+    ~7000x the worst-case summation-order noise) so a testdata change
+    that erodes it fails HERE, not in the driver's hash comparison."""
+    import duckdb
+
+    from tests.conftest import SF001
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF001}/documents.parquet')"
+    )
+    margin = con.sql("""
+WITH toks AS (SELECT doc_id, unnest(string_split(TRIM(text),' ')) AS tok
+              FROM documents),
+dt AS (SELECT doc_id, tok, COUNT(*) c_dt FROM toks WHERE tok<>'' GROUP BY 1,2),
+ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) c_t FROM toks WHERE tok<>'' GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_t) AS BIGINT) total FROM ct),
+x AS (SELECT doc_id,
+             ln(CAST(total AS DOUBLE))
+             - SUM(c_dt*ln(CAST(c_t AS DOUBLE)))/SUM(c_dt) AS v
+      FROM dt JOIN ct USING (tok) CROSS JOIN tot GROUP BY doc_id, total)
+SELECT MIN(ABS(ABS(v*1e6 - FLOOR(v*1e6)) - 0.5)) FROM x
+""").fetchone()[0]
+    assert margin > 1e-5, f"round-6 boundary margin eroded: {margin}"
