@@ -31,6 +31,28 @@ def opd_date(opd: Column | str) -> Column:
     return F.try_to_date(recased, "ddMMMyyyy")
 
 
+def _require_utc_session() -> None:
+    """The date→timestamp cast below lands on session-TZ midnight, so
+    under a DST-observing session timezone a spring-forward service day
+    would silently shift every breadcrumb by an hour relative to the
+    reference's naive wall-clock arithmetic.  Registered queries are
+    safe (plans/registry pins UTC before building the plan); this guard
+    makes the contract explicit for direct callers instead of letting
+    them diverge silently."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    tz = s.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"breadcrumb_timestamp requires an UTC session timezone "
+            f"(got {tz!r}); call busdata_pipeline_spark.session."
+            f"apply_session_conf(spark) first"
+        )
+
+
 def breadcrumb_timestamp(opd: Column | str, act_time: Column | str) -> Column:
     """service-day midnight + ACT_TIME seconds -> TimestampType.
 
@@ -38,7 +60,10 @@ def breadcrumb_timestamp(opd: Column | str, act_time: Column | str) -> Column:
     reference's explicit day-carry arithmetic (transform.py:42-54).
     Unparseable OPD_DATE yields NULL (the reference skips such records:
     transform.py:212-215 — callers filter on isNotNull).
+    Raises at plan-construction time if the active session's timezone
+    is not UTC (see _require_utc_session).
     """
+    _require_utc_session()
     act = act_time if isinstance(act_time, Column) else F.col(act_time)
     base = opd_date(opd).cast("timestamp")
     return base + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), act.cast("double"))

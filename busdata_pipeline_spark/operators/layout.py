@@ -23,17 +23,18 @@ from pyspark.sql import DataFrame
 
 def write_clustered(df: DataFrame, path: str, cluster_col: str,
                     files: int = 4,
-                    rows_per_group: int = 10_000) -> None:
+                    block_bytes: int = 64 * 1024 * 1024) -> None:
     """Write ``df`` range-clustered on ``cluster_col``: ranged into
-    ``files`` non-overlapping spans, sorted within each, with bounded
-    parquet row groups so min/max stats stay selective."""
+    ``files`` non-overlapping spans, sorted within each.  Row-group
+    size (and so skipping granularity) is governed by
+    ``parquet.block.size`` — BYTES, the only knob the parquet writer
+    actually honors; tests shrink it to force many groups per file."""
     (
         df.repartitionByRange(files, cluster_col)
         .sortWithinPartitions(cluster_col)
         .write.mode("overwrite")
-        .option("parquet.block.size", str(64 * 1024 * 1024))
-        .option("spark.sql.parquet.rowGroupSize", str(rows_per_group))
-        .option("parquet.page.row.count.limit", str(rows_per_group))
+        .option("parquet.block.size", str(block_bytes))
+        .option("parquet.page.size", str(max(1024, block_bytes // 2)))
         .parquet(path)
     )
 
@@ -56,3 +57,67 @@ def row_group_spans(path: str, column: str) -> list[tuple]:
                 if col.path_in_schema == column and col.statistics:
                     spans.append((col.statistics.min, col.statistics.max))
     return spans
+
+
+def _scale_to_buckets(col, lo, hi, bits: int):
+    """Scale a numeric column into integer buckets [0, 2^bits) by linear
+    min/max normalization (engine-side expression, no Python per row)."""
+    from pyspark.sql import functions as F
+
+    buckets = (1 << bits) - 1
+    if hi == lo:
+        return F.lit(0).cast("long")
+    frac = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+    return F.least(
+        F.lit(buckets).cast("long"),
+        F.greatest(F.lit(0).cast("long"), (frac * buckets).cast("long")),
+    )
+
+
+def zorder_expr(xb, yb, bits: int):
+    """Bit-interleave two bucket columns into a Z-value (Morton code):
+    bit i of x lands at position 2i, bit i of y at 2i+1.  Unrolled into
+    a chain of shift/mask ORs — pure codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(xb.bitwiseAND(F.lit(1 << i)), i))
+            .bitwiseOR(F.shiftleft(yb.bitwiseAND(F.lit(1 << i)), i + 1))
+        )
+    return z
+
+
+def write_zorder_clustered(df: DataFrame, path: str, x_col: str, y_col: str,
+                           files: int = 4, bits: int = 16,
+                           block_bytes: int = 64 * 1024 * 1024) -> None:
+    """2-D Z-order clustering: rows are laid out along a Morton curve
+    over (x_col, y_col), so row-group min/max statistics become
+    selective in BOTH dimensions at once — a 2-D box predicate skips
+    row groups on whichever column it constrains, where 1-D range
+    clustering only ever helps its single sort column.
+
+    The per-column (min, max) needed for bucket scaling is one 1-row
+    aggregate (bounded driver contract); everything else — scaling,
+    bit interleave, ranged repartition, in-file sort — is engine-side
+    expression code.  The curve key is dropped before write; only the
+    physical row order (and therefore the statistics) carries it."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(x_col).alias("xlo"), F.max(x_col).alias("xhi"),
+        F.min(y_col).alias("ylo"), F.max(y_col).alias("yhi"),
+    ).first()
+    xb = _scale_to_buckets(F.col(x_col), stats.xlo, stats.xhi, bits)
+    yb = _scale_to_buckets(F.col(y_col), stats.ylo, stats.yhi, bits)
+    (
+        df.withColumn("_z", zorder_expr(xb, yb, bits))
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(block_bytes))
+        .option("parquet.page.size", str(max(1024, block_bytes // 2)))
+        .parquet(path)
+    )

@@ -72,3 +72,51 @@ def test_clustered_scan_skips_row_groups(spark, tmp_path):
     # a fraction of the rows (only the matching range's row groups)
     assert c < r, (c, r)
     assert c <= total * 0.30, (c, total)
+
+
+def test_zorder_scan_beats_1d_on_2d_box(spark, tmp_path):
+    """A box predicate selective in BOTH dimensions: the Z-order layout
+    must skip more than 1-D range clustering on event_id alone (whose
+    row groups span all user_ids), and both must beat random."""
+    from busdata_pipeline_spark.operators.layout import write_zorder_clustered
+
+    ev = table(spark, SF001, "events").select("event_id", "user_id", "value")
+    total = ev.count()
+    paths = {
+        "random": str(tmp_path / "z_random"),
+        "oned": str(tmp_path / "z_oned"),
+        "zorder": str(tmp_path / "z_zorder"),
+    }
+    ev.repartition(4).write.mode("overwrite").parquet(paths["random"])
+    write_clustered(ev, paths["oned"], "event_id", files=4,
+                    block_bytes=2048)
+    write_zorder_clustered(ev, paths["zorder"], "event_id", "user_id",
+                           files=4, block_bytes=2048)
+
+    def scan_rows(path):
+        df = spark.read.parquet(path).where(
+            (F.col("event_id") >= 2000) & (F.col("event_id") < 6000)
+            & (F.col("user_id") >= 30) & (F.col("user_id") < 60)
+        )
+        n_match = df.count()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+        scan = plan
+        while scan.children().size() > 0:
+            scan = scan.children().apply(0)
+        return n_match, scan.metrics().apply("numOutputRows").value()
+
+    (m_r, r), (m_o, o), (m_z, z) = (
+        scan_rows(paths["random"]),
+        scan_rows(paths["oned"]),
+        scan_rows(paths["zorder"]),
+    )
+    assert m_r == m_o == m_z  # same answer under every layout
+    # 1-D clustering prunes the event_id range; Z-order additionally
+    # prunes the user_id range inside it.
+    assert o < r, (o, r)
+    # the box keeps 40% of event_ids and 20% of user_ids (~8% of rows);
+    # 1-D clustering can only prune the event range, Z-order prunes both
+    # (measured: z≈2357 vs o≈4024 of 10000 at this granularity)
+    assert z < o * 0.7, (z, o)
+    assert z <= total * 0.28, (z, total)

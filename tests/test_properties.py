@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from datetime import date, datetime, timedelta
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -159,3 +160,19 @@ def test_pack_sequences_matches_serial_cumsum(spark, rows, budget):
         for r in pack_sequences(df, budget, block_size=7).collect()
     }
     assert got == want
+
+
+def test_breadcrumb_timestamp_rejects_dst_session(spark):
+    """The UTC-session contract is explicit: building the breadcrumb
+    timestamp under a DST-observing session timezone raises at plan
+    construction instead of silently shifting spring-forward service
+    days by an hour."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC session timezone"):
+            breadcrumb_timestamp("OPD_DATE", "ACT_TIME")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # restored: construction succeeds again
+    breadcrumb_timestamp("OPD_DATE", "ACT_TIME")
