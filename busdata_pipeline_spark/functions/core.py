@@ -44,9 +44,15 @@ def event_date(ts: Column | str) -> Column:
 
 def epoch_seconds(ts: Column | str) -> Column:
     """Seconds-since-epoch as DOUBLE with fractional micros — matches
-    DuckDB ``epoch(ts)`` bit-for-bit (both compute micros/1e6)."""
+    DuckDB ``epoch(ts)`` bit-for-bit (both compute micros/1e6).
+
+    Casts through TIMESTAMP first so TIMESTAMP_NTZ inputs (naive parquet
+    reads under inferTimestampNTZ) are legal; under the pinned UTC session
+    the NTZ->LTZ fold is value-identity and the extra cast is a no-op for
+    columns already LTZ.
+    """
     col = ts if isinstance(ts, Column) else F.col(ts)
-    return col.cast("double")
+    return col.cast("timestamp").cast("double")
 
 
 def service_key_for(d: Column | str) -> Column:

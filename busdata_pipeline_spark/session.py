@@ -41,6 +41,13 @@ TUNING = {
     # sources.tables convert to TimestampType (micros, truncating like
     # DuckDB does when it reads TIMESTAMP_NS).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (isAdjustedToUTC=false) parquet timestamps must read as
+    # session-TZ TIMESTAMP (LTZ), not TIMESTAMP_NTZ: the session is pinned
+    # to UTC so values are identical, but NTZ forbids cast-to-double epoch
+    # arithmetic and breaks comparisons against timestamp literals.  DuckDB
+    # likewise treats naive parquet timestamps as plain TIMESTAMP, so this
+    # keeps oracle semantics aligned.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

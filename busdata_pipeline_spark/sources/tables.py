@@ -34,6 +34,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Belt-and-braces NTZ guard: if the caller's session read naive parquet
+    # timestamps as TIMESTAMP_NTZ (inferTimestampNTZ on — we pin it off, but
+    # a foreign session may have read before apply_session_conf ran), fold
+    # them to session-TZ TIMESTAMP.  Session TZ is pinned UTC, so the wall
+    # values are unchanged and epoch arithmetic stays legal.
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -62,6 +62,7 @@ SCALAR_EXPANSION_BNLJ = {
     "td_tfidf_top_terms",             # 1-row corpus doc count (idf)
     "td_unigram_logprob",             # 1-row corpus token total (ln N)
     "td_ivf_ann",                     # queries × nlist centroids routing
+    "rel_q11_important_parts",        # 1-row global value-sum threshold
 }
 
 
