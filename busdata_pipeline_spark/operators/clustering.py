@@ -37,9 +37,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Only vertices that appear in at least one edge are returned (isolated
     docs are their own trivial cluster and need no shuffle to prove it).
     """
+    # Materialize the directed edge list once (the upstream pair pipeline
+    # — LSH + verify — must not re-execute per symmetrization branch),
+    # then the symmetric closure once.
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        directed
+        .unionByName(directed.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -53,23 +60,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     for _ in range(max_iter):
         # Push each vertex's current label to its neighbors, then take the
         # min of (own label, incoming labels) — one shuffle keyed by id.
+        # The vertex's own previous label rides along (min over the
+        # own-tagged rows; each vertex has exactly one), so convergence
+        # detection is a scan of the checkpointed result instead of an
+        # extra join against the previous round.
         incoming = (
             sym.join(labels, sym.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
+            .select(F.col("dst").alias("id"), "component",
+                    F.lit(None).cast("long").alias("prev"))
         )
         new_labels = (
-            labels.unionByName(incoming)
+            labels.select("id", "component", F.col("component").alias("prev"))
+            .unionByName(incoming)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"),
+                 F.min("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("component") < F.col("prev")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     if changed != 0:

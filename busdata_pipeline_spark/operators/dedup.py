@@ -166,34 +166,68 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  pairs_small: bool = True) -> DataFrame:
     """Exact word-n-gram Jaccard for given (a, b) pairs — the verify
-    stage after LSH candidate generation."""
-    sh = with_shingles(fanout(docs, id_col), n=n).select(
-        F.col(id_col), F.col("shingles")
-    )
-    a = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
-    # Candidate pairs are a vanishing fraction of the corpus (that's the
-    # point of LSH) — broadcast them so the shingle table never shuffles.
-    return (
-        F.broadcast(pairs).join(a, "a").join(b, "b")
-        .select(
-            "a", "b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
+    stage after LSH candidate generation.
+
+    Two physical strategies, chosen by the caller's knowledge of the
+    pair-set cardinality (Catalyst can't know it statically):
+
+    - ``pairs_small=True`` (LSH candidates — a vanishing fraction of the
+      corpus, that's the point of LSH): pair-centric.  The pair set
+      picks up each side's text via two broadcast hash joins and the
+      shingle expression runs on the joined candidate rows — never as a
+      full-corpus pass.  ``pairs`` is consumed exactly once (its
+      signature+LSH lineage executes once); the corpus is touched by two
+      pruned-column scans probing broadcast tables: no shuffle at all.
+    - ``pairs_small=False`` (pair set ~ corpus-sized, e.g. a linear
+      neighbor chain): corpus-centric.  Shingles are computed once per
+      doc in a full parallel pass and the joins shuffle on the pair
+      keys — broadcasting corpus-scale texts would OOM an executor at
+      real scale and serializes locally.
+    """
+    if pairs_small:
+        texts = docs.select(F.col(id_col), F.col("text"))
+        with_a = F.broadcast(pairs.select("a", "b")).join(
+            texts.select(F.col(id_col).alias("a"),
+                         F.col("text").alias("_text_a")),
+            "a",
         )
-    )
+        both = F.broadcast(with_a).join(
+            texts.select(F.col(id_col).alias("b"),
+                         F.col("text").alias("_text_b")),
+            "b",
+        )
+        sh = with_shingles(
+            with_shingles(both, n=n, text_col="_text_a")
+            .withColumnRenamed("shingles", "sh_a").drop("n_words"),
+            n=n, text_col="_text_b",
+        ).withColumnRenamed("shingles", "sh_b").drop("n_words")
+    else:
+        shc = with_shingles(fanout(docs, id_col), n=n).select(
+            F.col(id_col), F.col("shingles")
+        )
+        a = shc.select(F.col(id_col).alias("a"),
+                       F.col("shingles").alias("sh_a"))
+        b = shc.select(F.col(id_col).alias("b"),
+                       F.col("shingles").alias("sh_b"))
+        sh = pairs.select("a", "b").join(a, "a").join(b, "b")
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (shingle arrays are distinct by
+    # construction) — same exact integers as materializing the union
+    # array, without building it.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return sh.select("a", "b", F.round(inter / union, 6).alias("jaccard"))
 
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
                             k: int = 32, bands: int = 8,
                             id_col: str = "doc_id") -> DataFrame:
     """Full near-dup pipeline: signatures -> banded candidates -> exact
-    Jaccard verify -> pairs over threshold."""
+    Jaccard verify -> pairs over threshold.  The candidate set flows
+    into the pair-centric verify as the broadcast side, so the whole
+    signature+LSH lineage executes exactly once per run."""
     sigs = minhash_signatures(docs, k=k, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
     return jaccard_pairs(docs, cands, id_col=id_col).where(

@@ -846,7 +846,7 @@ def td_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b")),
         "a",
     )
-    out = dedup.jaccard_pairs(docs, pairs)
+    out = dedup.jaccard_pairs(docs, pairs, pairs_small=False)
     return out.where(F.col("jaccard").isNotNull())
 
 
