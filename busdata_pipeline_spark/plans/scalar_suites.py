@@ -1,0 +1,135 @@
+"""Scalar-function parity suites beyond the reference's §2.8 list —
+array algebra, regular expressions, and math/bitwise — each checked
+value-identical against DuckDB on the driver tables.
+
+These extend fn_string_suite / fn_datetime_suite (plans/analytics.py):
+the engine's answer to "can a user port arbitrary scalar expressions?"
+Every expression is a built-in JVM codegen'd Column — no Python — so the
+suites also pin that the scalar surface stays on the fast path.
+
+Dialect notes are inline per suite; the rule (FIXTURES.md) is that the
+Spark side and the oracle side must *name and round* identically so the
+driver's sorted-column value hash is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+
+@query(
+    "fn_array_suite",
+    # DuckDB list functions are 1-indexed like Spark's element_at/slice;
+    # FLOAT list elements compare exactly (no arithmetic performed).
+    oracle="""
+SELECT vec_id,
+  CAST(len(embedding) AS INTEGER) AS n,
+  embedding[1] AS first_elem,
+  embedding[len(embedding)] AS last_elem,
+  list_max(embedding) AS mx,
+  list_min(embedding) AS mn,
+  list_sort(embedding)[1] AS sorted_first,
+  list_slice(embedding, 2, 4) AS mid,
+  list_reverse(embedding)[1] AS rev_first,
+  CAST(list_contains(embedding, embedding[1]) AS BOOLEAN) AS has_first
+FROM embeddings
+""",
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function parity: length, positional access, extremes,
+    sort, slice, reverse, membership — pure element shuffling on the
+    float vectors, no float arithmetic, so equality is exact."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("n"),
+        F.element_at(e, 1).alias("first_elem"),
+        F.element_at(e, F.size(e)).alias("last_elem"),
+        F.array_max(e).alias("mx"),
+        F.array_min(e).alias("mn"),
+        F.element_at(F.sort_array(e), 1).alias("sorted_first"),
+        F.slice(e, 2, 3).alias("mid"),
+        F.element_at(F.reverse(e), 1).alias("rev_first"),
+        F.array_contains(e, F.element_at(e, 1)).alias("has_first"),
+    )
+
+
+@query(
+    "fn_regex_suite",
+    # Spark regexp_replace is replace-ALL by default; DuckDB needs the
+    # 'g' flag.  Both use capture-group-1 extraction with empty-string
+    # (not NULL) on no-match for regexp_extract.
+    oracle="""
+SELECT doc_id,
+  regexp_extract(text, '([A-Za-z]{4,})', 1) AS first_long_word,
+  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER) AS vowel_runs,
+  regexp_replace(SUBSTRING(text, 1, 24), '[aeiou]', '*', 'g') AS starred,
+  CAST(regexp_matches(text, '^[a-z]') AS BOOLEAN) AS starts_lower,
+  regexp_extract(text, '(\\w+)\\s+(\\w+)', 2) AS second_word
+FROM documents
+""",
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex parity: group extraction, match counting via extract-all,
+    global replacement, anchored match test, multi-group indexing."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(t, r"([A-Za-z]{4,})", 1).alias("first_long_word"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[aeiou]+"), 0))
+         .alias("vowel_runs"),
+        F.regexp_replace(F.substring(t, 1, 24), r"[aeiou]", "*")
+         .alias("starred"),
+        t.rlike(r"^[a-z]").alias("starts_lower"),
+        F.regexp_extract(t, r"(\w+)\s+(\w+)", 2).alias("second_word"),
+    )
+
+
+@query(
+    "fn_math_bitwise_suite",
+    # sqrt is IEEE-exact in both engines; ln/exp agree only to the last
+    # ulp across libm implementations, so transcendentals are rounded at
+    # 6 — integer/bitwise ops need nothing.
+    oracle="""
+SELECT event_id,
+  ABS(value - 50) AS abs_dev,
+  CAST(SIGN(value - 50) AS DOUBLE) AS sgn,
+  CAST(FLOOR(value) AS BIGINT) AS flr,
+  CAST(CEIL(value) AS BIGINT) AS cel,
+  ROUND(SQRT(ABS(value)), 6) AS sq,
+  ROUND(LN(1 + ABS(value)), 6) AS lg,
+  ROUND(POWER(value / 100, 3), 6) AS cube,
+  MOD(event_id, 7) AS m7,
+  xor(event_id, 255) AS x255,
+  event_id & 15 AS lo4,
+  event_id << 2 AS shl,
+  event_id >> 3 AS shr
+FROM events
+""",
+)
+def fn_math_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + bitwise parity: IEEE-exact ops unrounded, transcendentals
+    at round-6, and the integer bit algebra (xor/and/shifts) exact."""
+    ev = table(spark, sf_dir, "events")
+    v, eid = F.col("value"), F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.abs(v - 50).alias("abs_dev"),
+        F.signum(v - 50).alias("sgn"),
+        F.floor(v).alias("flr"),
+        F.ceil(v).alias("cel"),
+        F.round(F.sqrt(F.abs(v)), 6).alias("sq"),
+        F.round(F.log(F.lit(1) + F.abs(v)), 6).alias("lg"),
+        F.round(F.pow(v / 100, 3), 6).alias("cube"),
+        (eid % 7).alias("m7"),
+        eid.bitwiseXOR(255).alias("x255"),
+        eid.bitwiseAND(15).alias("lo4"),
+        F.shiftleft(eid, 2).alias("shl"),
+        F.shiftright(eid, 3).alias("shr"),
+    )

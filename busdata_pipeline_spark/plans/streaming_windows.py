@@ -115,6 +115,39 @@ def st_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_dedup_exactly_once",
+    # Exactly-once under redelivery: every batch-2 row is a byte-identical
+    # redelivery of a batch-1 row and must be suppressed by the bounded
+    # dedup state; the emitted set is therefore exactly the distinct
+    # day-1 rows — a closed-form oracle.
+    oracle="""
+SELECT event_id, ts, ROUND(value, 6) AS value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+""",
+)
+def st_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/S8 driver-visible: a REAL streaming
+    ``dropDuplicatesWithinWatermark`` replay — batch 1 = day-1 even-id
+    rows, batch 2 = the SAME rows redelivered (an at-least-once
+    transport's duplicate delivery), batch 3 = day-1 odd rows.  The
+    26h state bound covers the whole replay, so every redelivered row is
+    suppressed and the emitted set is exactly the distinct input; at
+    scale the same operator holds state only for one delay window per
+    key instead of forever."""
+    from busdata_pipeline_spark.streaming.replay import dedup_replay
+
+    ev = table(spark, sf_dir, "events")
+    day1 = ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date"))
+    b1 = day1.where(F.col("event_id") % 2 == 0)
+    b3 = day1.where(F.col("event_id") % 2 == 1)
+    out = dedup_replay(spark, [b1, b1, b3])
+    return out.select(
+        "event_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
+@query(
     "st_session_5min",
     oracle="""
 WITH flagged AS (
