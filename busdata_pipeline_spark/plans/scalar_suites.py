@@ -133,3 +133,49 @@ def fn_math_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(eid, 2).alias("shl"),
         F.shiftright(eid, 3).alias("shr"),
     )
+
+
+@query(
+    "fn_window_suite",
+    # IGNORE NULLS variants need NULLs: value is nulled on a deterministic
+    # id condition identically on both sides.  (ts, event_id) is a unique
+    # order key, so every window function here is tie-deterministic.
+    oracle="""
+WITH src AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v_null
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(DENSE_RANK() OVER w AS INTEGER) AS dr,
+  NTH_VALUE(value, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS nth3,
+  FIRST_VALUE(v_null IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS first_nn,
+  LAST_VALUE(v_null IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS last_nn,
+  LAG(value, 2, -1.0) OVER w AS lag2
+FROM src
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def fn_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function parity beyond W1-W4: DENSE_RANK, NTH_VALUE over a
+    running frame, FIRST/LAST_VALUE IGNORE NULLS, and LAG with an offset
+    and default.  One hash-partition shuffle on user_id; every function
+    evaluates in a single sorted streaming pass per partition."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    v_null = F.when(F.col("event_id") % 5 == 0, F.lit(None)) \
+              .otherwise(F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.withColumn("v_null", v_null).select(
+        "event_id", "user_id",
+        F.dense_rank().over(w).alias("dr"),
+        F.nth_value("value", 3).over(w_run).alias("nth3"),
+        F.first("v_null", ignorenulls=True).over(w_run).alias("first_nn"),
+        F.last("v_null", ignorenulls=True).over(w_run).alias("last_nn"),
+        F.lag("value", 2, -1.0).over(w).alias("lag2"),
+    )
