@@ -255,3 +255,40 @@ def load_day(raw: DataFrame, warehouse: str) -> None:
 
     upsert_trip_ignore(trip_dimension(raw), warehouse)
     write_fact_idempotent(enrich_breadcrumbs(raw), warehouse)
+
+
+def merge_into(target: DataFrame, source: DataFrame, key: str,
+               op_col: str = "op") -> DataFrame:
+    """ANSI MERGE semantics as one full-outer join (the lakehouse
+    upsert/delete primitive the reference approximates with
+    delete-then-reinsert per day, transform.py:62-83):
+
+    - source row with ``op='delete'`` matching a target row -> row gone;
+    - any other matching source row -> target row replaced by source's
+      values (WHEN MATCHED THEN UPDATE);
+    - unmatched source row (unless 'delete') -> inserted;
+    - unmatched target rows pass through.
+
+    Scale: a single shuffle co-partitioning both sides on ``key`` (AQE
+    turns it into a broadcast when the delta is small); no driver
+    round-trips, no per-row logic.  Value columns are taken whole-row
+    from whichever side wins, so the operator works for any shared
+    schema.
+    """
+    val_cols = [c for c in target.columns if c != key]
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    deleted = matched & (F.col(f"s.{op_col}") == "delete")
+    src_only = F.col(f"t.{key}").isNull()
+    take_source = (matched & (F.col(f"s.{op_col}") != "delete")) | (
+        src_only & (F.col(f"s.{op_col}") != "delete")
+    )
+    out_key = F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}")).alias(key)
+    outs = [out_key] + [
+        F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in val_cols
+    ]
+    return joined.where(~deleted & ~(src_only & (F.col(f"s.{op_col}") == "delete"))) \
+                 .select(*outs)

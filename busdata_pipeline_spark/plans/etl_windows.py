@@ -223,3 +223,66 @@ def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "etl_merge_upsert_delete",
+    # MERGE = (target rows with no source match) ∪ (non-delete source
+    # rows).  Source keys are disjoint by construction: updates and
+    # deletes hit existing keys, inserts use keys+1000000.  acctbal+100
+    # is exact in double (no rounding needed).
+    oracle="""
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+         'UPDATED' AS c_mktsegment, 'update' AS op
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'delete'
+  FROM customer WHERE c_custkey % 3 = 1 AND c_custkey < 300
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+         CAST(42.0 AS DOUBLE), 'BUILDING', 'insert'
+  FROM customer WHERE c_custkey % 3 = 2 AND c_custkey < 150
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM (
+  SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+  FROM customer t
+  WHERE t.c_custkey NOT IN (SELECT c_custkey FROM src)
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM src WHERE op <> 'delete'
+)
+ORDER BY c_custkey
+""",
+)
+def etl_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE (update + delete + insert in one statement) over the
+    customer dim via operators/warehouse.merge_into — the lakehouse
+    primitive generalizing the reference's delete-then-reinsert day
+    reload (transform.py:62-83) and insert-ignore (S12).  One
+    co-partitioning shuffle; AQE broadcasts the delta when small."""
+    from busdata_pipeline_spark.operators.warehouse import merge_into
+
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd = cust.where(k % 3 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit("update").alias("op"),
+    )
+    dele = cust.where((k % 3 == 1) & (k < 300)).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("delete").alias("op"),
+    )
+    ins = cust.where((k % 3 == 2) & (k < 150)).select(
+        (k + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(42.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+        F.lit("insert").alias("op"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    return merge_into(cust, src, "c_custkey").orderBy("c_custkey")

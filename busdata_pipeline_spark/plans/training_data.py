@@ -1343,3 +1343,33 @@ def td_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xent_nats"),
         )
     )
+
+
+@query(
+    "td_fuzzy_prefix_match",
+    # The block condition is part of the match definition, so oracle and
+    # engine state the identical predicate: share >=1 aligned 4-char
+    # prefix block AND levenshtein(prefix_a, prefix_b) <= 2.
+    oracle="""
+WITH nm AS (
+  SELECT doc_id, rpad(lower(substring(text, 1, 12)), 12, '_') AS nm
+  FROM documents),
+blocks AS (
+  SELECT doc_id, nm, i, substring(nm, 1 + (i - 1) * 4, 4) AS blk
+  FROM nm, range(1, 4) t(i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.nm AS na, b.nm AS nb
+  FROM blocks a
+  JOIN blocks b ON a.i = b.i AND a.blk = b.blk AND b.doc_id > a.doc_id)
+SELECT a, b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+FROM cand
+WHERE levenshtein(na, nb) <= 2
+""",
+)
+def td_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (operators/dedup.fuzzy_prefix_matches):
+    aligned-block equi-join candidates, edit-distance verify — the
+    record-linkage workhorse for noisy near-identical keys, same
+    candidate→verify discipline as MinHash-LSH but for edit distance."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.fuzzy_prefix_matches(docs)
