@@ -179,3 +179,82 @@ def fn_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v_null", ignorenulls=True).over(w_run).alias("last_nn"),
         F.lag("value", 2, -1.0).over(w).alias("lag2"),
     )
+
+
+@query(
+    "rel_stats_aggregates",
+    # Both engines implement the SQL-standard one-pass co-moment forms
+    # (verified identical on a fixture before registration); round-6
+    # absorbs summation-order noise.
+    oracle="""
+SELECT event_type,
+  ROUND(stddev_samp(value), 6) AS sd_samp,
+  ROUND(var_pop(value), 6) AS var_pop,
+  ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+  ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+  ROUND(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope,
+  ROUND(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) AS intercept,
+  ROUND(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS r2,
+  CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def rel_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate parity: stddev/variance, correlation,
+    covariance, and the regr_* linear-fit family — one partial+final
+    hash agg (each statistic is a merged co-moment sketch, so the
+    shuffle moves O(groups) rows)."""
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("sd_samp"),
+            F.round(F.var_pop("value"), 6).alias("var_pop"),
+            F.round(F.corr("value", u), 6).alias("corr_vu"),
+            F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
+            F.round(F.expr("regr_slope(value, CAST(user_id AS DOUBLE))"), 6)
+             .alias("slope"),
+            F.round(F.expr("regr_intercept(value, CAST(user_id AS DOUBLE))"), 6)
+             .alias("intercept"),
+            F.round(F.expr("regr_r2(value, CAST(user_id AS DOUBLE))"), 6)
+             .alias("r2"),
+            F.expr("regr_count(value, CAST(user_id AS DOUBLE))").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "rel_array_agg_sorted",
+    # collect_set/list(DISTINCT) have no inherent order in either
+    # engine; sorting inside the aggregate expression makes the grouped
+    # array and CSV deterministic and hash-comparable.
+    oracle="""
+SELECT user_id,
+  list_sort(list(DISTINCT event_type)) AS types,
+  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_csv,
+  CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def rel_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped array/string aggregation: collect_set →
+    sorted array → CSV.  The sort happens per group post-aggregation
+    (O(types log types) on tiny arrays), keeping the shuffle at one
+    partial+final distinct-agg."""
+    ev = table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            types.alias("types"),
+            F.concat_ws(",", types).alias("type_csv"),
+            F.count_distinct("event_type").cast("int").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
