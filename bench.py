@@ -40,6 +40,9 @@ HEADLINERS = [
     "td_dup_clusters",             # iterative connected components
     "rel_sessionize_users",        # gap sessionization, one window exchange
     "rel_cube_flag_status",        # Expand + partial/final hash agg
+    # round-4 additions (earlier keys unchanged for cross-round deltas)
+    "etl_merge_upsert_delete",     # full-outer MERGE upsert/delete
+    "td_fuzzy_prefix_match",       # blocked fuzzy match + levenshtein verify
 ]
 
 

@@ -53,7 +53,7 @@ best AS (
 )
 SELECT s.s_acctbal AS s_acctbal, s.s_name AS s_name, n.n_name AS n_name,
        c.p_partkey AS p_partkey, c.p_brand AS p_brand,
-       ROUND(c.supply_cost, 6) AS supply_cost
+       c.supply_cost AS supply_cost
 FROM cand c
 JOIN best b ON b.p_partkey = c.p_partkey AND c.supply_cost = b.min_cost
 JOIN supplier s ON s.s_suppkey = c.l_suppkey
@@ -74,7 +74,11 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part MIN (so the second agg sees only ~p_size×p_type-selective
     rows), and an equi-join back on (partkey, cost).  MIN over identical
     IEEE per-row values is order-independent, so the double equality is
-    engine-stable.  Scale: the only fact-sized shuffle is the first agg;
+    engine-stable, and supply_cost is emitted RAW (un-ROUNDed): both
+    engines produce bit-identical doubles here, while ROUND(x, 6) itself
+    diverges by 1 ulp between Spark's exact-BigDecimal and DuckDB's
+    float-arithmetic rounding on division-dirty mantissas (caught by the
+    sf0.1 replica differential).  Scale: the only fact-sized shuffle is the first agg;
     everything after operates on the pruned candidate set with all dims
     broadcast."""
     li = table(spark, sf_dir, "lineitem")
@@ -108,7 +112,7 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            F.round("supply_cost", 6).alias("supply_cost"),
+            "supply_cost",
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

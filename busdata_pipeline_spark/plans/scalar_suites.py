@@ -258,3 +258,82 @@ def rel_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "sql_recursive_date_spine",
+    oracle="""
+WITH RECURSIVE spine(day) AS (
+  SELECT DATE '2024-01-01'
+  UNION ALL
+  SELECT day + INTERVAL 1 DAY FROM spine WHERE day < DATE '2024-01-31'
+)
+SELECT s.day AS day, CAST(COALESCE(e.cnt, 0) AS BIGINT) AS n_events
+FROM spine s
+LEFT JOIN (
+  SELECT CAST(ts AS DATE) AS dd, COUNT(*) AS cnt FROM events GROUP BY dd
+) e ON e.dd = s.day
+ORDER BY day
+""",
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 WITH RECURSIVE, run as literal SQL: a 31-day date spine
+    generated recursively, left-joined to per-day event counts so days
+    with no events surface as explicit zeros (the gap-filling calendar
+    pattern).  The recursion is driver-side-trivial (31 rows) and the
+    join broadcasts the spine; the fact side stays one grouped scan."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_spine_src")
+    return spark.sql("""
+WITH RECURSIVE spine(day) AS (
+  SELECT DATE '2024-01-01'
+  UNION ALL
+  SELECT day + INTERVAL '1' DAY FROM spine WHERE day < DATE '2024-01-31'
+)
+SELECT s.day AS day, CAST(COALESCE(e.cnt, 0) AS BIGINT) AS n_events
+FROM spine s
+LEFT JOIN (
+  SELECT CAST(ts AS DATE) AS dd, COUNT(*) AS cnt
+  FROM events_spine_src GROUP BY dd
+) e ON e.dd = s.day
+ORDER BY day
+""")
+
+
+@query(
+    "rel_lateral_top2_orders",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+       ROUND(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE orders.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+""",
+)
+def rel_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT (the
+    SQL spelling of top-N-per-group), run as literal Spark SQL.
+    Catalyst decorrelates the lateral into a ranked window — same
+    physical plan family as rel_rank_top_order_per_customer, so there is
+    no per-customer re-execution; ties broken by orderkey on both
+    engines."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat_src")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_src")
+    return spark.sql("""
+SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+       ROUND(t.o_totalprice, 2) AS o_totalprice
+FROM cust_lat_src c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders_lat_src o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+""")
