@@ -337,3 +337,69 @@ LATERAL (
 ) t
 ORDER BY c_custkey, o_totalprice DESC, o_orderkey
 """)
+
+
+@query(
+    "fn_try_suite",
+    # Error-safe expression parity: Spark's try_* family vs DuckDB's
+    # NULL-on-div-zero + TRY_CAST (+ a CASE emulation for try_add
+    # overflow, which DuckDB would raise on).  Same NULL sites, same
+    # values elsewhere.
+    oracle="""
+SELECT event_id,
+  value / NULLIF(event_id % 3, 0) AS div3,
+  TRY_CAST(event_type AS INTEGER) AS bad_int,
+  TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS roundtrip_id,
+  TRY_CAST(event_type AS TIMESTAMP) AS bad_ts,
+  CASE WHEN event_id > 7 THEN NULL
+       ELSE event_id + 9223372036854775800 END AS near_overflow
+FROM events
+""",
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-error-safe function parity: try_divide (NULL at zero),
+    try_cast (NULL on malformed), try_to_timestamp, and try_add (NULL on
+    BIGINT overflow) — the graceful-degradation surface a pipeline needs
+    when ANSI mode is on (Spark 4 default) but a batch must not die on
+    one bad row."""
+    ev = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), eid % 3).alias("div3"),
+        F.col("event_type").try_cast("int").alias("bad_int"),
+        eid.cast("string").try_cast("bigint").alias("roundtrip_id"),
+        F.try_to_timestamp(F.col("event_type")).alias("bad_ts"),
+        F.try_add(eid, F.lit(9223372036854775800)).alias("near_overflow"),
+    )
+
+
+@query(
+    "fn_hof_suite",
+    # Higher-order array lambdas.  DuckDB range(1, n+1) == Spark
+    # sequence(1, n); arithmetic stays integral so every value is exact.
+    oracle="""
+SELECT event_id,
+  list_transform(range(1, event_id % 5 + 4), x -> x * 2) AS doubled,
+  list_filter(range(1, event_id % 5 + 4), x -> x % 2 = 1) AS odds,
+  CAST(list_sum(range(1, event_id % 5 + 4)) AS BIGINT) AS total,
+  CAST(len(list_filter(range(1, event_id % 5 + 4), x -> x > 4)) > 0
+       AS BOOLEAN) AS any_gt4
+FROM events
+""",
+)
+def fn_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order function parity: transform / filter / aggregate /
+    exists lambdas over a per-row generated sequence.  Lambdas compile
+    to codegen'd loops inside the project — no UDF, no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    n = F.col("event_id") % 5 + 3
+    arr = F.sequence(F.lit(1).cast("long"), n)
+    return ev.select(
+        "event_id",
+        F.transform(arr, lambda x: x * 2).alias("doubled"),
+        F.filter(arr, lambda x: x % 2 == 1).alias("odds"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+         .alias("total"),
+        F.exists(arr, lambda x: x > 4).alias("any_gt4"),
+    )
