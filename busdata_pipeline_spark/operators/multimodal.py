@@ -334,3 +334,62 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
         "doc_id", "width", "height",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     ).where(F.col("frame_idx") % every_n == 0)
+
+
+WAV_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("mean_abs", T.DoubleType()),
+])
+
+
+def wav_frame_energy(media: DataFrame, frame: int = 8) -> DataFrame:
+    """Framed audio feature extraction: parse RIFF/PCM (same walk as
+    decode_wav_items), split samples into non-overlapping ``frame``-sized
+    windows, and emit per-frame mean |amplitude| — the windowed-feature
+    step an audio training pipeline runs before labeling/filtering.
+
+    Partial tail frames are dropped (n_frames = n_samples // frame) so
+    every emitted value is a closed-form function of a full window.
+    Arrow-batched ``mapInPandas``; the per-frame reduction is one numpy
+    reshape+mean per item, no Python loops over samples.  mean_abs =
+    (int sum)/frame with frame a power of two — exact in double, so no
+    rounding is needed for cross-engine equality.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in it:
+            ids, fidx, energy = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE file")
+                pos, data = 12, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    if cid == b"data":
+                        data = np.frombuffer(
+                            buf[pos + 8 : pos + 8 + size], dtype="<i2"
+                        )
+                    pos += 8 + size + (size % 2)
+                if data is None:
+                    raise ValueError("missing data chunk")
+                n_frames = len(data) // frame
+                if n_frames == 0:
+                    continue
+                framed = np.abs(
+                    data[: n_frames * frame].astype(np.float64)
+                ).reshape(n_frames, frame).mean(axis=1)
+                ids.extend([int(doc_id)] * n_frames)
+                fidx.extend(range(n_frames))
+                energy.extend(float(x) for x in framed)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "mean_abs": energy}
+            )
+
+    return media.mapInPandas(batches, schema=WAV_FRAME_SCHEMA)

@@ -1373,3 +1373,28 @@ def td_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate→verify discipline as MinHash-LSH but for edit distance."""
     docs = table(spark, sf_dir, "documents")
     return dedup.fuzzy_prefix_matches(docs)
+
+
+@query(
+    "td_multimodal_wav_frames",
+    # Same closed-form contract as td_multimodal_decode, one level finer:
+    # per non-overlapping 8-sample frame, mean |amplitude| of the REAL
+    # decoded PCM plane.  frame mean = int-sum / 8 (power of two) -> exact
+    # in double on both engines, so no ROUND is needed.
+    oracle="""
+SELECT d.doc_id AS doc_id,
+       CAST(f.f AS INTEGER) AS frame_idx,
+       list_avg(list_transform(range(f.f * 8, f.f * 8 + 8),
+             j -> abs((d.doc_id * 13 + j * 7) % 4001 - 2000))) AS mean_abs
+FROM documents d,
+LATERAL (SELECT UNNEST(range(0, (16 + d.doc_id % 17) // 8)) AS f) f
+""",
+)
+def td_multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio features through the real codec path: synth WAV ->
+    binary column -> RIFF/PCM parse -> per-frame numpy reduction
+    (operators/multimodal.wav_frame_energy), the windowed
+    feature-extraction step of an audio training pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.wav_frame_energy(media)
