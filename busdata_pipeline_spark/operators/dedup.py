@@ -108,9 +108,16 @@ def minhash_signatures(docs: DataFrame, k: int = 32,
                        id_col: str = "doc_id") -> DataFrame:
     """k-permutation MinHash signature per doc.
 
-    h_i(s) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
-    One explode + one groupBy with k min() aggregates — map-side partial
-    mins keep the shuffle at k longs per doc.
+    Two-level hashing: ONE base string hash per shingle
+    (h0 = xxhash64(s, 0)), then k derived functions h_i = xxhash64(h0,
+    i) over the fixed 8-byte long — the variable-length string is walked
+    once instead of k times, and the k re-hashes are constant-width.
+    (The natural h1 + i*h2 Kirsch–Mitzenmacher form is off the table:
+    Spark 4 runs ANSI mode, where the intended 64-bit wrap-around is an
+    overflow error.)  Same independence class for MinHash purposes — the
+    ground-truth recall tests pin behavior.  signature[i] = min over
+    shingles; one explode + one groupBy with k min() aggregates —
+    map-side partial mins keep the shuffle at k longs per doc.
     """
     # explode_outer, not explode: plain explode adds an implicit
     # size(shingles) > 0 pre-filter that Catalyst pushes BELOW the fanout
@@ -123,9 +130,13 @@ def minhash_signatures(docs: DataFrame, k: int = 32,
         with_shingles(fanout(docs, id_col))
         .select(id_col, F.explode_outer("shingles").alias("shingle"))
         .where(F.col("shingle").isNotNull())
+        .select(
+            id_col,
+            F.xxhash64(F.col("shingle"), F.lit(0)).alias("_h0"),
+        )
     )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"mh_{i}")
         for i in range(k)
     ]
     sig = exploded.groupBy(id_col).agg(*aggs)
