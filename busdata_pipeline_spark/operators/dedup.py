@@ -236,12 +236,21 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
                             k: int = 32, bands: int = 8,
                             id_col: str = "doc_id") -> DataFrame:
     """Full near-dup pipeline: signatures -> banded candidates -> exact
-    Jaccard verify -> pairs over threshold.  The candidate set flows
-    into the pair-centric verify as the broadcast side, so the whole
-    signature+LSH lineage executes exactly once per run."""
+    Jaccard verify -> pairs over threshold.
+
+    The verify stage uses the corpus-centric (shuffle) strategy, NOT the
+    broadcast pair-centric one: candidate cardinality scales with the
+    corpus's true duplicate density, which the engine cannot know
+    statically — on a dense-duplicate corpus (10× replica ladder: every
+    doc has ≥10 copies) candidates grow ~density², and broadcasting
+    them measured 41.6 s vs 6.6 s for the shuffle plan at sf~1.  The
+    shuffle plan's worst case is two extra shingle passes; the broadcast
+    plan's worst case is an executor OOM.  Callers with *known-sparse*
+    pair sets can still invoke jaccard_pairs(pairs_small=True) directly.
+    """
     sigs = minhash_signatures(docs, k=k, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
-    return jaccard_pairs(docs, cands, id_col=id_col).where(
+    return jaccard_pairs(docs, cands, id_col=id_col, pairs_small=False).where(
         F.col("jaccard") >= threshold
     )
 
