@@ -384,17 +384,18 @@ def fuzzy_prefix_matches(docs: DataFrame, prefix_len: int = 12,
         ).alias("blk_i", "blk"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    # Verify INSIDE the join projection, before deduplicating: a pair
+    # surfaces once per shared block (<= n_blocks), so levenshtein runs
+    # up to n_blocks times on short fixed-width strings — cheap — while
+    # the distinct then shuffles only the (rare) surviving matches
+    # instead of every block-collision candidate.
+    return (
         a.join(b, (F.col("a.blk_i") == F.col("b.blk_i"))
                & (F.col("a.blk") == F.col("b.blk"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("a"),
                 F.col(f"b.{id_col}").alias("b"),
-                F.col("a.nm").alias("nm_a"), F.col("b.nm").alias("nm_b"))
-        .distinct()
-    )
-    return (
-        cand.withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+                F.levenshtein("a.nm", "b.nm").alias("dist"))
         .where(F.col("dist") <= max_dist)
-        .select("a", "b", "dist")
+        .distinct()
     )
