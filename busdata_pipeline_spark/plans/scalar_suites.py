@@ -403,3 +403,39 @@ def fn_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("total"),
         F.exists(arr, lambda x: x > 4).alias("any_gt4"),
     )
+
+
+@query(
+    "fn_map_suite",
+    # Both engines preserve literal entry order in map_keys/map_values;
+    # DuckDB's m[k] yields a 1-element list, so the oracle indexes [1].
+    oracle="""
+SELECT event_id,
+  (MAP {'evt': event_type, 'uid': CAST(user_id AS VARCHAR)})['evt'][1] AS evt,
+  map_keys(MAP {'evt': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS ks,
+  map_values(MAP {'evt': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS vs,
+  CAST(cardinality(MAP {'evt': event_type,
+                        'uid': CAST(user_id AS VARCHAR)}) AS INTEGER) AS n,
+  CAST(list_contains(map_keys(MAP {'evt': event_type,
+       'uid': CAST(user_id AS VARCHAR)}), 'uid') AS BOOLEAN) AS has_uid
+FROM events
+""",
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type parity: construction, key lookup, keys/values extraction
+    in entry order, cardinality, key membership — all codegen'd; the map
+    never leaves the projection (outputs are scalars/arrays, which both
+    engines hash identically)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("evt"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "evt").alias("evt"),
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.size(m).alias("n"),
+        F.array_contains(F.map_keys(m), "uid").alias("has_uid"),
+    )
