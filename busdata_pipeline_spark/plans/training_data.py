@@ -1398,3 +1398,53 @@ def td_multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = multimodal.synth_wav_media(docs)
     return multimodal.wav_frame_energy(media)
+
+
+@query(
+    "td_dedup_survivors_by_quality",
+    # Survivor policy: keep the LONGEST member of each near-dup cluster
+    # (ties -> lowest doc_id) plus every unclustered doc — the
+    # quality-preferring generalization of keep-lowest-id.
+    oracle=_CLUSTER_CTE + """, reps AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+  WHERE rn = 1)
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM reps)
+   OR d.doc_id NOT IN (SELECT doc_id FROM clusters)
+ORDER BY d.doc_id
+""",
+)
+def td_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup with a quality-preferring survivor policy: cluster
+    the pair graph, keep the longest doc per cluster (deterministic
+    tie-break), pass unclustered docs through.  One window over the
+    (small) clustered subset + one broadcast anti join on the corpus —
+    the full corpus never shuffles."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    clusters = clustering.dedup_clusters(pairs)
+    members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    reps = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    unclustered = docs.join(
+        F.broadcast(clusters.select("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
+    keep = unclustered.unionByName(reps)
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(keep), "doc_id", "left_semi")
+        .orderBy("doc_id")
+    )
