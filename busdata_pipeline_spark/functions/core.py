@@ -46,13 +46,15 @@ def epoch_seconds(ts: Column | str) -> Column:
     """Seconds-since-epoch as DOUBLE with fractional micros — matches
     DuckDB ``epoch(ts)`` bit-for-bit (both compute micros/1e6).
 
-    Casts through TIMESTAMP first so TIMESTAMP_NTZ inputs (naive parquet
-    reads under inferTimestampNTZ) are legal; under the pinned UTC session
+    Casts through TIMESTAMP_LTZ *explicitly* (not the session-resolvable
+    "timestamp" alias) so TIMESTAMP_NTZ inputs (naive parquet reads under
+    inferTimestampNTZ) are legal even when the caller's session set
+    spark.sql.timestampType=TIMESTAMP_NTZ; under the pinned UTC session
     the NTZ->LTZ fold is value-identity and the extra cast is a no-op for
     columns already LTZ.
     """
     col = ts if isinstance(ts, Column) else F.col(ts)
-    return col.cast("timestamp").cast("double")
+    return col.cast("timestamp_ltz").cast("double")
 
 
 def service_key_for(d: Column | str) -> Column:

@@ -65,5 +65,5 @@ def breadcrumb_timestamp(opd: Column | str, act_time: Column | str) -> Column:
     """
     _require_utc_session()
     act = act_time if isinstance(act_time, Column) else F.col(act_time)
-    base = opd_date(opd).cast("timestamp")
+    base = opd_date(opd).cast("timestamp_ltz")
     return base + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), act.cast("double"))

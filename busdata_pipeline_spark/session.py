@@ -48,6 +48,13 @@ TUNING = {
     # likewise treats naive parquet timestamps as plain TIMESTAMP, so this
     # keeps oracle semantics aligned.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Pin the meaning of the bare "timestamp" type name itself: a session
+    # that set spark.sql.timestampType=TIMESTAMP_NTZ turns every
+    # cast("timestamp") guard into an NTZ no-op and then epoch arithmetic
+    # (cast-to-double) raises DATATYPE_MISMATCH — the round-3 driver
+    # failure mode.  All engine code also casts to "timestamp_ltz"
+    # explicitly, so this pin is defense-in-depth, not a dependency.
+    "spark.sql.timestampType": "TIMESTAMP_LTZ",
 }
 
 

@@ -42,7 +42,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [f.name for f in df.schema.fields
            if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+        df = df.withColumn(c, F.col(c).cast("timestamp_ltz"))
     return df
 
 

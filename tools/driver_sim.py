@@ -6,10 +6,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 from pyspark.sql import SparkSession
 
-# hostile driver session: non-UTC tz, no engine tuning at all
+# hostile driver session: non-UTC tz, NTZ-preferring timestamp semantics
+# (the round-3 driver read naive parquet as TIMESTAMP_NTZ and resolved the
+# bare "timestamp" type name to NTZ — reproduce both), no engine tuning.
 spark = (SparkSession.builder.master("local[8]")
          .appName("driver-sim")
          .config("spark.sql.session.timeZone", "America/New_York")
+         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+         .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 
