@@ -99,6 +99,48 @@ def write_jdbc(df: DataFrame, url: str, table_name: str,
     writer.mode(mode).save()
 
 
+def read_jdbc(spark: SparkSession, url: str, table_name: str,
+              **options: str) -> DataFrame:
+    """JDBC table scan — the read leg of the S10 relational round-trip.
+
+    Pass ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
+    to parallelize the scan across executors; without them the read is a
+    single task (fine for dims, wrong for facts)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_name)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def upsert_ignore_jdbc(df: DataFrame, url: str, table_name: str,
+                       key: str, batchsize: int = 1000,
+                       **options: str) -> None:
+    """S12 over the relational sink: ``ON CONFLICT (key) DO NOTHING``
+    (the reference's trip-dim load, transform.py:193) expressed as a
+    distributed anti-join against the target table's current keys, then
+    one batched append — instead of a per-row conflict check inside the
+    database.  Only the key column crosses the JDBC boundary on the probe
+    read; the anti-join and dedup run on the cluster.
+
+    First load (table absent) appends everything: the probe read raises
+    on a missing table and we fall through to a plain create-and-append.
+    """
+    spark = df.sparkSession
+    new = df.dropDuplicates([key])
+    try:
+        existing = read_jdbc(spark, url, table_name, **options).select(key)
+    except Exception:
+        existing = None  # table does not exist yet -> create on write
+    if existing is not None:
+        new = new.join(existing, key, "left_anti")
+    write_jdbc(new, url, table_name, batchsize=batchsize, mode="append",
+               **options)
+
+
 def compact_day(spark: SparkSession, warehouse: str, day: str,
                 target_files: int = 1) -> None:
     """Small-files compaction for one fact partition.
