@@ -404,6 +404,102 @@ def td_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target language mixture in integer percent (sums to 100) — integer
+#: weights keep every quota computation in exact arithmetic: n*100/w and
+#: w*T/100 are ratios of sub-2^53 integers, so FLOOR sees the same double
+#: in both engines.
+_MIXTURE_PCT = [("en", 40), ("zh", 15), ("es", 15), ("de", 15), ("fr", 15)]
+
+
+@query(
+    "td_mixture_resample",
+    oracle=f"""
+WITH tgt(lang, w) AS (VALUES {", ".join("('%s', %d)" % t for t in _MIXTURE_PCT)}),
+c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(MIN(FLOOR(n * 100 / w)) AS BIGINT) AS total
+      FROM c JOIN tgt USING (lang)),
+kept AS (SELECT lang, CAST(FLOOR(w * total / 100) AS BIGINT) AS quota
+         FROM tgt CROSS JOIN t),
+r AS (SELECT doc_id, lang,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents)
+SELECT r.doc_id, r.lang, r.rk, kept.quota
+FROM r JOIN kept USING (lang) WHERE rk <= quota
+""",
+)
+def td_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a TARGET language mixture (en 40%, rest
+    15% each) at the maximum feasible size: T = min_l floor(n_l·100/w_l)
+    is the largest total for which every language can fill its share,
+    then each language keeps floor(w_l·T/100) docs by md5 rank of the
+    stable doc_id.  This is the mixture-weighting step of an LLM data
+    pipeline (per-source/per-language sampling to a spec), distinct from
+    the fixed-quota `td_stratified_sample`.
+
+    Scale shape: one 5-row dim agg, a 1-row feasible-total broadcast
+    (scalar expansion), one per-lang window rank — no global sort; the
+    rank window parallelizes across languages and, at 100 TB, would key
+    on (lang, salt) with per-salt quotas."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(_MIXTURE_PCT, "lang string, w int")
+    counts = docs.groupBy("lang").count().withColumnRenamed("count", "n")
+    total = (
+        counts.join(tgt, "lang")
+        .agg(F.min(F.floor(F.col("n") * 100 / F.col("w"))).cast("long").alias("total"))
+    )
+    kept = tgt.crossJoin(F.broadcast(total)).select(
+        "lang", F.floor(F.col("w") * F.col("total") / 100).cast("long").alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(kept), "lang").where(
+        F.col("rk") <= F.col("quota")
+    ).select("doc_id", "lang", "rk", "quota")
+
+
+@query(
+    "td_global_shuffle_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 8 AS shard
+  FROM documents)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+FROM h
+""",
+)
+def td_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: shard by the
+    top 60 bits of md5(doc_id) mod 8, order within a shard by the full
+    md5 — a seeded permutation with NO global sort and no RNG state.
+    Shards are hash-balanced, each shard orders independently (the
+    window parallelizes per shard), and the layout is reproducible on
+    any cluster size — the properties a 100 TB pretraining-data shuffle
+    needs (epoch reshuffle = change the salt in the hashed string)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    sharded = docs.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return sharded.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
 @query(
     "td_sequence_packing",
     # The oracle states packing as ONE global window cumsum; the Spark
@@ -1068,10 +1164,49 @@ def td_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_vectorized(emb, _queries_df(spark, sf_dir), k=10)
 
 
-@query("td_lsh_ann")  # rows-only: hyperplane signatures have no SQL analog
+def _lsh_replay_oracle(dim: int = 64, n_planes: int = 8, k: int = 10) -> str:
+    """Full SQL replay of the random-hyperplane LSH pipeline: the seeded
+    Gaussian planes are embedded as literals (same discipline as the
+    td_ivf_ann oracle, which replays Lloyd training), buckets recomputed
+    as sign-bit sums, multi-probe = XOR bit flips, exact cosine rescoring
+    — so the driver hash-checks the signatures and the probe routing, not
+    just output shape.  Bit-safe because both engines fold the dot
+    product left-to-right over float64."""
+    planes = similarity._hyperplanes(dim, n_planes)
+    bucket_terms = " + ".join(
+        "CASE WHEN list_dot_product(v, [%s]) > 0 THEN %d ELSE 0 END"
+        % (",".join(repr(float(x)) for x in plane), 2 ** p)
+        for p, plane in enumerate(planes)
+    )
+    probe_list = ", ".join(
+        ["qbucket"] + ["xor(qbucket, %d)" % 2 ** p for p in range(n_planes)]
+    )
+    return f"""
+WITH eb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {bucket_terms} AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qvec, bucket AS qbucket
+      FROM eb WHERE vec_id % 100 = 0),
+probes AS (SELECT qid, qvec, unnest([{probe_list}]) AS probe FROM q),
+cands AS (
+  SELECT p.qid, e.vec_id,
+         list_cosine_similarity(e.v, p.qvec) AS cos_raw
+  FROM eb e JOIN probes p ON e.bucket = p.probe
+  WHERE p.qid <> e.vec_id)
+SELECT qid, vec_id, ROUND(cos_raw, 6) AS cosine,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS INT) AS rank
+FROM cands
+QUALIFY rank <= {k}
+"""
+
+
+@query("td_lsh_ann", oracle=_lsh_replay_oracle())
 def td_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (8 planes, multi-probe Hamming-1);
-    recall vs brute force asserted in tests."""
+    recall vs brute force asserted in tests; the oracle replays the whole
+    signature->probe->rescore pipeline in SQL (planes as literals)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(emb, _queries_df(spark, sf_dir), dim=64, k=10)
 
@@ -1271,17 +1406,57 @@ def td_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # sketches
 
-@query("td_sketches")  # rows-only: HLL/KLL internals differ per engine
+@query(
+    "td_sketches",
+    # Invariant oracle: HLL/KLL sketch INTERNALS differ per engine, so the
+    # estimates can't be equality-checked cross-engine — but their error
+    # CONTRACTS can.  The query emits exact anchors (driver-verified
+    # value-for-value) plus booleans asserting each deterministic sketch
+    # estimate honors its bound; the oracle computes the same anchors and
+    # expects every bound to hold (TRUE literals).  A sketch regression
+    # flips a boolean and fails the hash.
+    oracle="""
+SELECT COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT event_id) AS exact_events,
+       TRUE AS hll_users_ok, TRUE AS hll_events_ok,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events
+""",
+)
 def td_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable approximations: HyperLogLog++ distinct counts and
     approximate quantiles — the 100 TB replacements for exact
-    COUNT(DISTINCT) / percentile sorts.  Accuracy bounds asserted in
-    tests against exact answers."""
+    COUNT(DISTINCT) / percentile sorts.  HLL bound: ±5% (rsd=0.01 gives
+    ~1%; 5× headroom).  Quantile bound: the KLL-style estimate at
+    accuracy=10000 has rank error ≤ n/10000; the check brackets it
+    between exact percentiles ±1% of rank — 100× headroom at sf0.01.
+    Tighter tolerances are asserted in pytest; this row is the
+    driver-visible contract."""
     ev = table(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    ag = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("au"),
+        F.approx_count_distinct("event_id", 0.01).alias("ae"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("aq"),
+        F.expr(
+            "percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D, 0.985D, 0.995D))"
+        ).alias("eq"),
+    )
+    def _within(idx: int, lo: int, hi: int):
+        return (F.col("aq")[idx] >= F.col("eq")[lo]) & (
+            F.col("aq")[idx] <= F.col("eq")[hi]
+        )
+    return ag.select(
+        "exact_users",
+        "exact_events",
+        (F.abs(F.col("au") - F.col("exact_users"))
+         <= F.col("exact_users") * 0.05).alias("hll_users_ok"),
+        (F.abs(F.col("ae") - F.col("exact_events"))
+         <= F.col("exact_events") * 0.05).alias("hll_events_ok"),
+        _within(0, 0, 1).alias("p50_ok"),
+        _within(1, 2, 3).alias("p95_ok"),
+        _within(2, 4, 5).alias("p99_ok"),
     )
 
 

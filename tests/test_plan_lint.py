@@ -63,6 +63,7 @@ SCALAR_EXPANSION_BNLJ = {
     "td_unigram_logprob",             # 1-row corpus token total (ln N)
     "td_ivf_ann",                     # queries × nlist centroids routing
     "rel_q11_important_parts",        # 1-row global value-sum threshold
+    "td_mixture_resample",            # 1-row feasible-total (T) broadcast
 }
 
 
