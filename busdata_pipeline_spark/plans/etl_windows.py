@@ -286,3 +286,79 @@ def etl_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = upd.unionByName(dele).unionByName(ins)
     return merge_into(cust, src, "c_custkey").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# CDC-style snapshot diff
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv
+  FROM events
+  WHERE ts::date BETWEEN DATE '2024-01-04' AND DATE '2024-01-10'
+  GROUP BY user_id),
+b AS (
+  SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv
+  FROM events
+  WHERE ts::date BETWEEN DATE '2024-01-14' AND DATE '2024-01-20'
+  GROUP BY user_id)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+  CASE WHEN a.user_id IS NULL THEN 'insert'
+       WHEN b.user_id IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  a.n AS old_n, b.n AS new_n, a.sv AS old_sum, b.sv AS new_sum
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL
+   OR a.n <> b.n OR a.sv <> b.sv
+""",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshot states of a derived dim
+    (per-user activity over a trailing week, cut at Jan 10 vs Jan 20):
+    rows only in the new snapshot are inserts, rows that vanished are
+    deletes, rows whose aggregate changed are updates — the diff a
+    downstream incremental consumer applies instead of a full reload.
+
+    Scale shape: both snapshots aggregate on the SAME key before the
+    full-outer join, so the join co-partitions with the aggs (one
+    shuffle reused); date predicates push to the scan.  SUM is rounded
+    on both sides before comparison, so the update test is
+    float-order-proof."""
+    ev = table(spark, sf_dir, "events")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        d = F.col("ts").cast("date")
+        return (
+            ev.where((d >= F.lit(lo).cast("date")) & (d <= F.lit(hi).cast("date")))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("sv"),
+            )
+        )
+
+    a = snap("2024-01-04", "2024-01-10").alias("a")
+    b = snap("2024-01-14", "2024-01-20").alias("b")
+    au, bu = F.col("a.user_id"), F.col("b.user_id")
+    return (
+        a.join(b, au == bu, "full_outer")
+        .where(
+            au.isNull()
+            | bu.isNull()
+            | (F.col("a.n") != F.col("b.n"))
+            | (F.col("a.sv") != F.col("b.sv"))
+        )
+        .select(
+            F.coalesce(au, bu).alias("user_id"),
+            F.when(au.isNull(), F.lit("insert"))
+            .when(bu.isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.col("a.n").alias("old_n"),
+            F.col("b.n").alias("new_n"),
+            F.col("a.sv").alias("old_sum"),
+            F.col("b.sv").alias("new_sum"),
+        )
+    )
