@@ -2,10 +2,13 @@
 analysis, dedup, similarity search, multimodal plumbing — registered as
 driver-checked queries over ``documents`` / ``embeddings``.
 
-Oracle-checked where ANSI SQL can express the exact same arithmetic
-(marker counting, shingle Jaccard, double-precision cosine); the LSH /
-SimHash / IVF approximate operators are rows-only here and verified
-against ground truth in tests/test_training_data.py instead.
+Every entry is oracle-checked.  Where ANSI SQL can express the exact
+same arithmetic (marker counting, shingle Jaccard, double-precision
+cosine) the oracle is definitional; the seeded approximate operators
+(LSH / SimHash / IVF) are replayed in full with their constants embedded
+as SQL literals; the sketch estimators are checked via error-bound
+invariants over exact anchors.  Ground-truth recall/accuracy tests live
+in tests/test_training_data.py on top.
 """
 
 from __future__ import annotations
