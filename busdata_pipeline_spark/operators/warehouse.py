@@ -141,6 +141,29 @@ def upsert_ignore_jdbc(df: DataFrame, url: str, table_name: str,
                **options)
 
 
+def exec_jdbc_update(spark: SparkSession, url: str, sql: str) -> bool:
+    """Run one DDL/DML statement over a raw JDBC connection (the escape
+    hatch DataFrameWriter doesn't cover: scoped DELETEs, DDL).  Returns
+    False instead of raising when the statement fails because its target
+    table doesn't exist yet — the caller's first-batch case."""
+    jvm = spark._jvm
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    except Exception:
+        raise RuntimeError(f"cannot open JDBC connection to {url}")
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(sql)
+            return True
+        finally:
+            st.close()
+    except Exception:
+        return False
+    finally:
+        conn.close()
+
+
 def compact_day(spark: SparkSession, warehouse: str, day: str,
                 target_files: int = 1) -> None:
     """Small-files compaction for one fact partition.

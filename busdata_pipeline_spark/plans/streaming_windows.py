@@ -244,3 +244,52 @@ def st_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel,
     ]
     return stream_join_replay(spark, left, right)
+
+
+@query(
+    "st_jdbc_roundtrip",
+    # The oracle is the straight batch aggregate; the Spark side earns it
+    # the hard way — two full streaming executions into a real embedded
+    # database (the second a forced total redelivery) must land exactly
+    # one copy of every row for the counts and sum to hash-match.
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+""",
+)
+def st_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 × T4 driver-visible: day-1 events go drop-dir -> readStream ->
+    foreachBatch keyed upsert into an embedded Derby database
+    (streaming/ingest.stream_into_jdbc), then the SAME stream is replayed
+    with a lost checkpoint (worst-case at-least-once redelivery), and the
+    aggregate is computed from a JDBC scan of the database — so the
+    hash-check covers the full relational round-trip AND the
+    exactly-once contract, not a parquet shortcut."""
+    import tempfile
+
+    from busdata_pipeline_spark.operators.warehouse import read_jdbc
+    from busdata_pipeline_spark.streaming.ingest import stream_into_jdbc
+
+    ev = table(spark, sf_dir, "events")
+    day1 = ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="st_jdbc_")
+    drop = f"{root}/drop"
+    day1.coalesce(1).write.json(drop)
+    url = f"jdbc:derby:{root}/db;create=true"
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    ).json(drop)
+    for attempt in ("ck1", "ck2"):  # ck2 = fresh checkpoint: full redelivery
+        q = stream_into_jdbc(stream, url, "day1_events",
+                             checkpoint=f"{root}/{attempt}", key="event_id")
+        q.awaitTermination(120)
+    return read_jdbc(spark, url, "day1_events").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

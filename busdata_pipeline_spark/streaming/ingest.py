@@ -136,3 +136,55 @@ def stream_into_warehouse(stream: DataFrame, warehouse: str, checkpoint: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_jdbc(stream: DataFrame, url: str, table_name: str,
+                     checkpoint: str, key: str | None = None,
+                     batchsize: int = 1000, available_now: bool = True):
+    """S10 × T4 — stream into a RELATIONAL sink with exactly-once effect.
+
+    Spark's JDBC format has no streaming sink; the standard shape is
+    foreachBatch + an idempotent per-batch write, which this provides in
+    the two forms at-least-once redelivery can take:
+
+    - ``key`` given (dimension-like data): each micro-batch runs the
+      S12 upsert-ignore — a replayed batch re-offers rows whose keys
+      already exist and inserts nothing.  Idempotent under ANY replay,
+      including a lost checkpoint.
+    - ``key=None`` (append-only facts): rows are tagged with the
+      micro-batch id and each batch first clears its OWN tag scope
+      (``DELETE WHERE _batch_id = n``) before appending — a replayed
+      batch replaces exactly its previous output (the JDBC analog of
+      ``stage_raw_batch``'s overwrite-by-batch-dir).  Idempotent under
+      checkpoint-driven replay, where a redelivered batch keeps its id.
+
+    At scale both modes parallelize across the cluster: the DELETE is
+    one scoped statement on the database; the insert is per-partition
+    batched connections (write_jdbc)."""
+    from busdata_pipeline_spark.operators.warehouse import (
+        exec_jdbc_update,
+        upsert_ignore_jdbc,
+        write_jdbc,
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if key is not None:
+            upsert_ignore_jdbc(batch, url, table_name, key=key,
+                               batchsize=batchsize)
+        else:
+            exec_jdbc_update(
+                batch.sparkSession, url,
+                f'DELETE FROM {table_name} WHERE "_batch_id" = {int(batch_id)}',
+            )
+            write_jdbc(batch.withColumn("_batch_id", F.lit(int(batch_id))),
+                       url, table_name, batchsize=batchsize, mode="append")
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -105,3 +105,89 @@ def test_jdbc_predicate_pushdown(spark, derby_url, events):
     assert "PushedFilters" in plan and "user_id" in plan
     want = events.where(F.col("user_id") == 7).count()
     assert df.count() == want
+
+
+# ---------------------------------------------------------------------------
+# streaming -> JDBC exactly-once (S10 x T4)
+
+from busdata_pipeline_spark.operators.warehouse import exec_jdbc_update
+from busdata_pipeline_spark.streaming.ingest import stream_into_jdbc
+
+STREAM_SCHEMA = "id BIGINT, v STRING"
+
+
+def _write_chunk(d, name, ids):
+    rows = "\n".join('{"id": %d, "v": "r%d"}' % (i, i) for i in ids)
+    (d / name).write_text(rows + "\n")
+
+
+def _stream(spark, d):
+    return spark.readStream.schema(STREAM_SCHEMA).json(str(d))
+
+
+def test_stream_jdbc_keyed_exactly_once(spark, derby_url, tmp_path):
+    """Keyed (dimension) mode: upsert-ignore per micro-batch makes the
+    sink idempotent under ANY redelivery — even a lost checkpoint that
+    replays the entire source."""
+    d = tmp_path / "drop_k"
+    d.mkdir()
+    _write_chunk(d, "f0.jsonl", range(0, 50))
+    _write_chunk(d, "f1.jsonl", range(40, 80))  # 10 overlapping keys
+
+    ck1 = str(tmp_path / "ck1")
+    q = stream_into_jdbc(_stream(spark, d), derby_url, "s_dim",
+                         checkpoint=ck1, key="id")
+    q.awaitTermination(120)
+    assert read_jdbc(spark, derby_url, "s_dim").count() == 80
+
+    # lost checkpoint -> full source redelivery -> still 80 rows
+    ck2 = str(tmp_path / "ck2")
+    q = stream_into_jdbc(_stream(spark, d), derby_url, "s_dim",
+                         checkpoint=ck2, key="id")
+    q.awaitTermination(120)
+    got = read_jdbc(spark, derby_url, "s_dim")
+    assert got.count() == 80
+    assert got.select("id").distinct().count() == 80
+
+
+def test_stream_jdbc_append_batch_scoped(spark, derby_url, tmp_path):
+    """Append (fact) mode: rows are tagged with the micro-batch id and a
+    replayed batch REPLACES its own scope — checkpointed restart consumes
+    only new files, and re-applying a batch's write is a no-op in count."""
+    d = tmp_path / "drop_a"
+    d.mkdir()
+    _write_chunk(d, "f0.jsonl", range(0, 30))
+
+    ck = str(tmp_path / "cka")
+
+    def run():
+        q = stream_into_jdbc(_stream(spark, d), derby_url, "s_fact",
+                             checkpoint=ck)
+        q.awaitTermination(120)
+
+    run()
+    assert read_jdbc(spark, derby_url, "s_fact").count() == 30
+
+    # restart with nothing new: no-op
+    run()
+    assert read_jdbc(spark, derby_url, "s_fact").count() == 30
+
+    # restart with one new file: only its rows are added
+    _write_chunk(d, "f1.jsonl", range(100, 120))
+    run()
+    fact = read_jdbc(spark, derby_url, "s_fact")
+    assert fact.count() == 50
+    batch_of_new = fact.where(F.col("id") >= 100).select("_batch_id").distinct().collect()
+    assert len(batch_of_new) == 1
+    bid = batch_of_new[0][0]
+
+    # simulate an at-least-once REDELIVERY of that batch: clear its scope
+    # and re-append the same rows under the same id — count must not move
+    exec_jdbc_update(spark, derby_url,
+                     f'DELETE FROM s_fact WHERE "_batch_id" = {bid}')
+    redelivered = (
+        spark.read.schema(STREAM_SCHEMA).json(str(d / "f1.jsonl"))
+        .withColumn("_batch_id", F.lit(int(bid)))
+    )
+    write_jdbc(redelivered, derby_url, "s_fact", mode="append")
+    assert read_jdbc(spark, derby_url, "s_fact").count() == 50
