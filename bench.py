@@ -43,6 +43,8 @@ HEADLINERS = [
     # round-4 additions (earlier keys unchanged for cross-round deltas)
     "etl_merge_upsert_delete",     # full-outer MERGE upsert/delete
     "td_fuzzy_prefix_match",       # blocked fuzzy match + levenshtein verify
+    "etl_snapshot_diff",           # CDC diff: co-partitioned full-outer join
+    "td_global_shuffle_shards",    # deterministic shuffle: hash-shard + per-shard rank
 ]
 
 

@@ -1464,6 +1464,48 @@ def td_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_sketches_by_lang",
+    # Same invariant-oracle discipline as td_sketches, but GROUPED — the
+    # shape that matters at 100 TB: per-group HLL sketches are built
+    # map-side and MERGED across partitions (partial/final aggregate),
+    # never recomputed from raw, so cost scales with groups, not rows.
+    oracle="""
+SELECT lang,
+       COUNT(DISTINCT source) AS exact_sources,
+       COUNT(*) AS n_docs,
+       TRUE AS hll_sources_ok,
+       TRUE AS p50_chars_ok
+FROM documents
+GROUP BY lang
+""",
+)
+def td_sketches_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sketch aggregation with exact anchors: per-language HLL
+    distinct-source estimate (±5% bound) and approximate median doc
+    length (bracketed by exact 40th/60th percentiles).  The groupBy
+    builds per-partition partial sketches and merges them — one shuffle
+    of sketch states, the only per-group-distinct strategy that holds
+    when a group no longer fits one executor."""
+    docs = table(spark, sf_dir, "documents")
+    ag = docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("exact_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("source", 0.01).alias("as_"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("ap50"),
+        F.expr("percentile(n_chars, array(0.40D, 0.60D))").alias("ep"),
+    )
+    return ag.select(
+        "lang",
+        "exact_sources",
+        "n_docs",
+        (F.abs(F.col("as_") - F.col("exact_sources"))
+         <= F.col("exact_sources") * 0.05).alias("hll_sources_ok"),
+        ((F.col("ap50") >= F.col("ep")[0]) & (F.col("ap50") <= F.col("ep")[1]))
+        .alias("p50_chars_ok"),
+    )
+
+
+@query(
     "td_unigram_logprob",
     # Same float discipline as td_char_entropy: logs are taken only of
     # integers (corpus token counts), the per-doc sum is rounded to 6
