@@ -292,8 +292,17 @@ def vacuum_stage(spark: SparkSession, warehouse: str, before_day: str) -> int:
     return n
 
 
-def read_fact(spark: SparkSession, warehouse: str) -> DataFrame:
-    return spark.read.parquet(_fact_path(warehouse))
+def read_fact(spark: SparkSession, warehouse: str,
+              merge_schema: bool = False) -> DataFrame:
+    """``merge_schema=True`` unions the schemas of every day partition —
+    the schema-evolution read: a column added to the feed mid-history
+    appears as NULL for days written before it existed.  Off by default
+    because footer-merging every file costs a listing pass; evolved
+    tables should pin the target schema once known."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(_fact_path(warehouse))
 
 
 def read_dim(spark: SparkSession, warehouse: str) -> DataFrame:

@@ -206,3 +206,41 @@ def test_idempotent_day_load(spark, day_file, tmp_path):
         read_fact(spark, wh).where("trip_id = 9002").agg({"speed": "max"}).first()[0],
         5.0,
     )
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A column added to the feed mid-history: the evolved day carries
+    it, mergeSchema read unions day schemas, and pre-evolution rows
+    surface it as NULL — no rewrite of history required."""
+    from pyspark.sql import functions as F
+    from busdata_pipeline_spark.operators.warehouse import (
+        write_fact_idempotent,
+    )
+
+    wh = str(tmp_path / "wh_evo")
+    day1 = spark.createDataFrame(
+        [(1, "2023-01-01 08:00:00", 3.5), (2, "2023-01-01 09:00:00", 4.0)],
+        "trip_id BIGINT, tstamp_s STRING, speed DOUBLE",
+    ).select("trip_id", F.col("tstamp_s").cast("timestamp").alias("tstamp"), "speed")
+    write_fact_idempotent(day1, wh)
+
+    day2 = spark.createDataFrame(
+        [(3, "2023-01-02 08:00:00", 5.0, "GOOD")],
+        "trip_id BIGINT, tstamp_s STRING, speed DOUBLE, quality_flag STRING",
+    ).select(
+        "trip_id", F.col("tstamp_s").cast("timestamp").alias("tstamp"),
+        "speed", "quality_flag",
+    )
+    write_fact_idempotent(day2, wh)
+
+    merged = read_fact(spark, wh, merge_schema=True)
+    assert "quality_flag" in merged.columns
+    assert merged.count() == 3
+    assert merged.where(F.col("quality_flag").isNull()).count() == 2
+    assert (
+        merged.where("trip_id = 3").select("quality_flag").first()[0] == "GOOD"
+    )
+
+    # re-loading the evolved day stays idempotent (dynamic overwrite)
+    write_fact_idempotent(day2, wh)
+    assert read_fact(spark, wh, merge_schema=True).count() == 3
