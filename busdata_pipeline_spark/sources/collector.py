@@ -64,6 +64,24 @@ def http_fetcher(vehicle_id: int) -> Iterable[dict]:
     )
 
 
+def fake_fetcher(vehicle_id: int) -> Iterable[dict]:
+    """Deterministic offline stand-in for ``http_fetcher`` (CLI
+    ``collect --fake-fetch`` and demos): 3 breadcrumbs per vehicle, all
+    fields pure functions of the id, so re-collection is reproducible."""
+    return [
+        {
+            "EVENT_NO_TRIP": vehicle_id * 100 + i,
+            "EVENT_NO_STOP": i,
+            "OPD_DATE": "25DEC2022:00:00:00",
+            "METERS": 250.0 * i,
+            "ACT_TIME": 30000 + 60 * i,
+            "GPS_LATITUDE": 45.5 + (vehicle_id % 100) / 1000.0,
+            "GPS_LONGITUDE": -122.6 - (vehicle_id % 100) / 1000.0,
+        }
+        for i in range(3)
+    ]
+
+
 def fetch_breadcrumbs(ids: DataFrame, fetcher: Fetcher,
                       parallelism: int = 32) -> DataFrame:
     """S1/S2: distributed fetch fan-out.
