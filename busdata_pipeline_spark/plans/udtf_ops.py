@@ -1,0 +1,80 @@
+"""Python UDTF surface (SURVEY.md §2.10 extension tier).
+
+The reference has no pluggable UDF system — custom logic is inline Python
+(`/root/reference/transform.py:25-59`).  The engine's rule (§2.10) is:
+built-in Column expressions first, Arrow-batched Python only where a
+table-valued shape genuinely needs imperative per-row generation.  Spark 4
+Python UDTFs are that seam: one input row → many output rows, executed as
+``ArrowEvalPythonUDTF`` (Arrow-batched — the plan lint's BatchEvalPython
+ban still holds) under a lateral join, partition-parallel with column
+pruning intact.
+
+The demonstration operator emits each document's top-3 terms with a
+deterministic tie-break — per-row state (a counts dict) that built-ins
+would need an explode→groupBy→window detour for, here computed in one
+pass over each row.  At 100 TB this is embarrassingly parallel: no
+shuffle is introduced; the UDTF runs inside the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+from busdata_pipeline_spark.plans.registry import query
+
+
+@udtf(returnType="term_rank int, term string, term_count int", useArrow=True)
+class DocTopTerms:
+    """Top-k most frequent whitespace tokens of one document; ties break
+    on the term ascending so output is total-order deterministic."""
+
+    K = 3
+
+    def eval(self, text: str):  # noqa: D102 - contract is the class doc
+        counts: dict[str, int] = {}
+        for tok in text.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: self.K]
+        for rank, (term, n) in enumerate(best, 1):
+            yield rank, term, n
+
+
+@query(
+    "fn_udtf_doc_top_terms",
+    # Oracle restates the semantics relationally: explode → per-doc term
+    # counts → row_number with the same (count desc, term asc) tie-break.
+    # Documents are single-space tokenized (no leading/trailing/double
+    # spaces — asserted over the corpus), so string_split(' ') and
+    # Python str.split(' ') agree token-for-token.
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), cnt AS (
+  SELECT doc_id, term, COUNT(*) AS n FROM tok GROUP BY doc_id, term
+), ranked AS (
+  SELECT doc_id, term, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, term) AS rnk
+  FROM cnt
+)
+SELECT doc_id, CAST(rnk AS INT) AS term_rank, term,
+       CAST(n AS INT) AS term_count
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, term_rank
+""",
+)
+def fn_udtf_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow Python UDTF under a lateral join: per-document top-3 terms.
+    One pass per row, no shuffle — the UDTF executes inside the scan
+    stage (plan shape pinned in tests/test_udtf.py)."""
+    spark.udtf.register("doc_top_terms", DocTopTerms)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "udtf_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.term_rank, t.term, t.term_count
+        FROM udtf_documents d, LATERAL doc_top_terms(d.text) t
+        ORDER BY d.doc_id, t.term_rank
+        """
+    )
