@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing the plan modules registers their queries.
 import busdata_pipeline_spark.plans.analytics  # noqa: F401
 import busdata_pipeline_spark.plans.census  # noqa: F401
+import busdata_pipeline_spark.plans.dup_spans  # noqa: F401
 import busdata_pipeline_spark.plans.etl_windows  # noqa: F401
+import busdata_pipeline_spark.plans.pruning  # noqa: F401
 import busdata_pipeline_spark.plans.relational  # noqa: F401
 import busdata_pipeline_spark.plans.relational_ext  # noqa: F401
 import busdata_pipeline_spark.plans.relational_tail  # noqa: F401
@@ -24,6 +26,7 @@ import busdata_pipeline_spark.plans.sql_twins  # noqa: F401
 import busdata_pipeline_spark.plans.streaming_windows  # noqa: F401
 import busdata_pipeline_spark.plans.temporal  # noqa: F401
 import busdata_pipeline_spark.plans.training_data  # noqa: F401
+import busdata_pipeline_spark.plans.udtf_ops  # noqa: F401
 from busdata_pipeline_spark.plans.registry import ORACLES, QUERIES
 
 SF0001 = "/root/testdata/sf0.001"
