@@ -361,6 +361,59 @@ def ivf_kmeans_ann_topk(embeddings: DataFrame, queries: DataFrame,
     )
 
 
+def semdedup_flags(corpus: DataFrame, threshold: float = 0.98,
+                   n_clusters: int = 8, n_iter: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic dedup over an embedding column (SemDeDup, Abbas et al.
+    2023): k-means-cluster the corpus, then within each cluster mark as
+    duplicates every vector whose cosine to a LOWER-id cluster-mate is
+    ≥ ``threshold`` — the lowest id of each semantic-dup group survives
+    (the repo-wide deterministic-survivor convention; the paper's
+    farthest-from-centroid criterion is a one-line swap of the ordering
+    key, but id-ordering is total and engine-stable).
+
+    Scale shape: training is `kmeans_centroids` (bounded driver traffic);
+    assignment is a pure projection; the only pairwise work is the
+    within-cluster self-equi-join on the cluster id — per-cluster O(m²)
+    with m bounded by corpus/n_clusters, which is the SemDeDup contract
+    (n_clusters grows with the corpus so m stays fixed; the paper uses
+    50k clusters for LAION).  No cross-cluster pairs ever materialize.
+
+    Returns (id, cluster, kept) for every corpus row.
+    """
+    emb = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    cents = kmeans_centroids(emb, n_clusters, n_iter, id_col, vec_col)
+    assigned = _assign_to_centroids(emb, cents, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "cluster"
+    )
+    removed = (
+        a.join(b, "cluster")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (cosine(F.col("a_v"), F.col("b_v")) >= threshold)
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster"),
+            F.coalesce(~F.col("rm"), F.lit(True)).alias("kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                   part_col: str = "label") -> DataFrame:
     """Coarse quantizer: per-partition mean vector, computed with

@@ -1298,6 +1298,89 @@ def td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "td_semdedup",
+    # Replays the ENTIRE SemDeDup pipeline in SQL: the augmented corpus
+    # (planted near-dups, same construction as td_embed_near_dups),
+    # deterministic Lloyd training (identical CTE chain to the
+    # td_ivf_ann oracle), final assignment, within-cluster pair scan,
+    # lowest-id survivor — so clustering AND dedup decisions are
+    # hash-checked, not just row counts.
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(v, x -> x + 0.01) AS v
+  FROM base WHERE vec_id % 50 = 0),
+vecs AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8)),
+a1 AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c0.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c0.v) DESC, c0.c) AS rn
+    FROM vecs, c0) WHERE rn = 1),
+m1 AS (
+  SELECT c, i,
+    CAST(SUM(CAST(FLOOR(v[i + 1] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (COUNT(*) * 1048576.0) AS m
+  FROM a1, range(64) t(i) GROUP BY c, i),
+c1 AS (
+  SELECT c0.c, COALESCE(mm.v, c0.v) AS v
+  FROM c0 LEFT JOIN (SELECT c, list(m ORDER BY i) AS v
+                     FROM m1 GROUP BY c) mm USING (c)),
+a2 AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c1.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c1.v) DESC, c1.c) AS rn
+    FROM vecs, c1) WHERE rn = 1),
+m2 AS (
+  SELECT c, i,
+    CAST(SUM(CAST(FLOOR(v[i + 1] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (COUNT(*) * 1048576.0) AS m
+  FROM a2, range(64) t(i) GROUP BY c, i),
+c2 AS (
+  SELECT c1.c, COALESCE(mm.v, c1.v) AS v
+  FROM c1 LEFT JOIN (SELECT c, list(m ORDER BY i) AS v
+                     FROM m2 GROUP BY c) mm USING (c)),
+af AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c2.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c2.v) DESC, c2.c) AS rn
+    FROM vecs, c2) WHERE rn = 1),
+removed AS (
+  SELECT DISTINCT b.vec_id AS kb
+  FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.98)
+SELECT af.vec_id, CAST(af.c AS INT) AS cluster,
+       (r.kb IS NULL) AS kept
+FROM af LEFT JOIN removed r ON af.vec_id = r.kb
+ORDER BY af.vec_id
+""",
+)
+def td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-then-dedup over embeddings.
+    Corpus = embeddings + planted perturbed copies of every 50th vector
+    (cosine ~0.9999 vs a ~0.51 background), so exactly the planted
+    copies must be dropped and everything else kept — strict-checked
+    against a DuckDB oracle replaying training, assignment, and the
+    survivor rule end to end."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return similarity.semdedup_flags(corpus, threshold=0.98)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

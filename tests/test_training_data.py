@@ -152,6 +152,27 @@ def test_ann_results_bounded_and_deterministic(spark):
         assert len(ranks) <= 10 and len(set(ranks)) == len(ranks)
 
 
+def test_semdedup_drops_exactly_the_planted_copies(spark):
+    """SemDeDup on the planted corpus: every perturbed copy (cosine
+    ~0.9999 to its base) is removed, every original (background cosine
+    ~0.5) survives — the decision set, not just counts."""
+    base = table(spark, SF0001, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    kept = {r.vec_id: r.kept for r in
+            similarity.semdedup_flags(corpus, threshold=0.98).collect()}
+    base_ids = {r.vec_id for r in base.select("vec_id").collect()}
+    planted_ids = {i + 1000000 for i in base_ids if i % 50 == 0}
+    assert len(kept) == len(base_ids) + len(planted_ids)
+    assert all(not kept[p] for p in planted_ids), "planted copy survived"
+    assert all(kept[b] for b in base_ids), "original was dropped"
+
+
 def test_vectorized_cosine_identical_to_fold(spark):
     """The matmul scorer must be bit-identical to the fold-expression
     formulation (same float64 arithmetic, different engine path)."""
