@@ -45,6 +45,11 @@ HEADLINERS = [
     "td_fuzzy_prefix_match",       # blocked fuzzy match + levenshtein verify
     "etl_snapshot_diff",           # CDC diff: co-partitioned full-outer join
     "td_global_shuffle_shards",    # deterministic shuffle: hash-shard + per-shard rank
+    # round-5 additions (earlier keys unchanged for cross-round deltas)
+    "td_dup_span_detect",          # exact-substring spans: ngram hash + islands
+    "td_semdedup",                 # SemDeDup: Lloyd train + per-cluster GEMM
+    "fn_udtf_doc_top_terms",       # Arrow Python UDTF under lateral join
+    "etl_dpp_weekend_join",        # partitioned write + DPP-pruned join
 ]
 
 

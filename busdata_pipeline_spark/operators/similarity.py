@@ -382,25 +382,34 @@ def semdedup_flags(corpus: DataFrame, threshold: float = 0.98,
 
     Returns (id, cluster, kept) for every corpus row.
     """
+    import pandas as pd
+
     emb = corpus.select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     cents = kmeans_centroids(emb, n_clusters, n_iter, id_col, vec_col)
     assigned = _assign_to_centroids(emb, cents, vec_col)
-    a = assigned.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "cluster"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "cluster"
-    )
+
+    def cluster_removed(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # One cluster = one dense GEMM (the paper's formulation): ids
+        # sorted so the survivor rule is the upper-triangle mask; only
+        # the removed ids leave the worker.  m is bounded by
+        # corpus/n_clusters, so the m x m score matrix is a design
+        # constant, not a data-dependent blowup.
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        removed = np.unique(ju[S[iu, ju] >= threshold])
+        return pd.DataFrame({id_col: ids[removed]})
+
     removed = (
-        a.join(b, "cluster")
-        .where(
-            (F.col("a_id") < F.col("b_id"))
-            & (cosine(F.col("a_v"), F.col("b_v")) >= threshold)
-        )
-        .select(F.col("b_id").alias(id_col))
-        .distinct()
+        assigned.select("cluster", id_col, vec_col)
+        .groupBy("cluster")
+        .applyInPandas(cluster_removed, schema=f"{id_col} long")
         .withColumn("rm", F.lit(True))
     )
     return (
