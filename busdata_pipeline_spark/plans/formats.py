@@ -1,0 +1,75 @@
+"""Columnar-format parity beyond parquet.
+
+The reference's storage surface is JSONL + CSV + PostgreSQL tables; the
+engine's warehouse is parquet.  ORC is the other columnar format Spark
+ships built-in (vectorized reader, predicate pushdown, column pruning),
+and a complete engine must round-trip it — e.g. when ingesting an
+ORC-resident lake produced elsewhere.  Avro is NOT bundled in this
+runtime (external spark-avro module; `spark.read.format("avro")` raises
+AnalysisException here), so it stays gated rather than stubbed.
+
+The registered query proves the full loop: events → ORC write →
+predicate-pushdown ORC scan → aggregate, hash-checked against the same
+aggregate computed by DuckDB from the original parquet — if the format
+conversion dropped or mangled anything, the hashes diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+
+def write_events_orc(spark: SparkSession, sf_dir: str, path: str) -> None:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").orc(path)
+
+
+def orc_day_profile(spark: SparkSession, path: str, day: str) -> DataFrame:
+    """Day-sliced aggregate over the ORC copy; the date filter reaches
+    the ORC reader as a pushed predicate (pinned in test_formats.py)."""
+    return (
+        spark.read.orc(path)
+        .where(F.col("event_date") == F.lit(day).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "etl_orc_roundtrip",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format parity end-to-end: events land in ORC, the day-1
+    profile is computed from the ORC scan (pushdown intact), and the
+    oracle computes the same profile from the original parquet — any
+    loss in the conversion breaks the hash."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="orc_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_events_orc(spark, sf_dir, path)
+        return orc_day_profile(spark, path, "2024-01-01").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

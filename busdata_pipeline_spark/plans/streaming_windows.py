@@ -293,3 +293,69 @@ def st_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "st_cdc_merge_apply",
+    # Closed-form net effect of the three ordered CDC batches: batch 1
+    # updates custkey%3 (+100, segment UPDATED-1), batch 2 deletes
+    # custkey%5 and inserts custkey%7 clones at key+1e6, batch 3 updates
+    # the inserted clones (+50).  Double arithmetic (x+100, x+50) is the
+    # identical IEEE op on both engines — no rounding required.
+    oracle="""
+WITH upd AS (
+  SELECT c_custkey, c_name,
+         c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END
+           AS c_acctbal,
+         CASE WHEN c_custkey % 3 = 0 THEN 'UPDATED-1' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer),
+kept AS (SELECT * FROM upd WHERE c_custkey % 5 <> 0),
+ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey, c_name,
+         c_acctbal + 50 AS c_acctbal, 'INSERTED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0)
+SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey
+""",
+)
+def st_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-data-apply, driver-visible: three ordered CDC
+    batches (update / delete+insert / update-after-insert) replayed
+    through a real foreachBatch MERGE loop into a parquet target
+    (streaming/replay.cdc_merge_replay); the returned table is the final
+    target state, so the hash-check covers batch ordering, every MERGE
+    branch, and cross-batch update-after-insert."""
+    from busdata_pipeline_spark.streaming.replay import cdc_merge_replay
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    b1 = cust.where(k % 3 == 0).select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED-1").alias("c_mktsegment"),
+        F.lit("update").alias("op"),
+    )
+    dels = cust.where(k % 5 == 0).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        F.lit("delete").alias("op"),
+    )
+    ins = cust.where(k % 7 == 0).select(
+        (k + 1000000).alias("c_custkey"), "c_name", "c_acctbal",
+        F.lit("INSERTED").alias("c_mktsegment"),
+        F.lit("insert").alias("op"),
+    )
+    b2 = dels.unionByName(ins)
+    b3 = cust.where(k % 7 == 0).select(
+        (k + 1000000).alias("c_custkey"), "c_name",
+        (F.col("c_acctbal") + 50).alias("c_acctbal"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+        F.lit("update").alias("op"),
+    )
+    out = cdc_merge_replay(
+        spark, cust, [b1, b2, b3], key="c_custkey",
+        schema_ddl=("c_custkey bigint, c_name string, c_acctbal double, "
+                    "c_mktsegment string, op string"),
+    )
+    return out.orderBy("c_custkey")

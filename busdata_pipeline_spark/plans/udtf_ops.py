@@ -18,7 +18,10 @@ shuffle is introduced; the UDTF runs inside the scan stage.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from busdata_pipeline_spark.plans.registry import query
@@ -38,6 +41,56 @@ class DocTopTerms:
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: self.K]
         for rank, (term, n) in enumerate(best, 1):
             yield rank, term, n
+
+
+@query(
+    "fn_pandas_udaf_geomean",
+    # Geometric mean via exp(avg(ln x)) — DuckDB states it in closed
+    # form; summation-order float drift is absorbed by ROUND(...,6) on
+    # both sides (the repo-wide convention for order-sensitive float
+    # aggregates).
+    oracle="""
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value))), 6) AS geo_mean,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def fn_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg Pandas UDAF (the remaining UD* shape): per-event-type
+    geometric mean of positive readings.  Executes as AggregateInPandas —
+    Arrow-batched, one shuffle on the group key; the UDAF sees each
+    group's values as a single series (no partial aggregation, which is
+    the documented cost of custom Python aggregates vs built-ins)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # Spark refuses to mix grouped-agg pandas UDFs with built-in
+    # aggregates in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second pandas aggregate.
+    @pandas_udf("long")
+    def ngroup(v: pd.Series) -> int:
+        return len(v)
+
+    from busdata_pipeline_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").where(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(geomean("value"), 6).alias("geo_mean"),
+            ngroup("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @query(

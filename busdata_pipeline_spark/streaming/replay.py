@@ -262,3 +262,72 @@ def dedup_replay(spark: SparkSession, batches: list[DataFrame],
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def cdc_merge_replay(spark: SparkSession, target_init: DataFrame,
+                     batches: list[DataFrame], key: str,
+                     schema_ddl: str) -> DataFrame:
+    """Replay ordered CDC batches (rows carry an ``op`` column:
+    insert/update/delete) through a REAL streaming ``foreachBatch`` that
+    MERGEs each micro-batch into a parquet target — the lakehouse
+    change-data-apply loop (streaming source -> foreachBatch ->
+    ``operators.warehouse.merge_into`` -> atomic target rewrite).
+
+    Ordering is pinned the same way as every replay here (file mtime +
+    maxFilesPerTrigger=1 => one CDC batch per micro-batch, applied
+    sequentially).  Exactly-once effect under checkpointed redelivery:
+    re-merging an already-applied batch is a no-op (updates re-assert
+    the same values, deletes find nothing, inserts match-and-replace),
+    so the handler is idempotent per batch — the same contract as
+    ``stream_into_jdbc``'s keyed mode.
+
+    Scale: each merge is one co-partitioned full-outer join sized by
+    target + delta (AQE broadcasts small deltas); the rewrite is the
+    local stand-in for a table-format transactional commit — swap in a
+    manifest/version commit on a real lakehouse and the loop is
+    unchanged.  Returns the final target as a materialized DataFrame.
+    """
+    from busdata_pipeline_spark.operators.warehouse import merge_into
+
+    scratch = tempfile.mkdtemp(prefix="cdc_merge_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        target = os.path.join(scratch, "target")
+        stream_dir = os.path.join(scratch, "stream")
+        ckpt = os.path.join(scratch, "ckpt")
+        os.makedirs(stream_dir)
+        target_init.write.mode("overwrite").parquet(target)
+        cols = [f.split()[0] for f in schema_ddl.split(",")]
+        for i, b in enumerate(batches):
+            _stage_single_file(b.select(*cols), scratch, stream_dir, i)
+
+        src = (
+            spark.readStream.schema(schema_ddl)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            s = batch.sparkSession
+            tgt = s.read.parquet(target)
+            # localCheckpoint materializes the merge BEFORE the target
+            # dir is overwritten (read-then-overwrite-same-path hazard).
+            merged = merge_into(tgt, batch, key=key).localCheckpoint(
+                eager=True
+            )
+            merged.write.mode("overwrite").parquet(target)
+
+        q = (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(target).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(scratch, ignore_errors=True)

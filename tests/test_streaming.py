@@ -616,3 +616,72 @@ def test_stream_join_replay_semantics(spark):
     }
     # The late click is absent — but batch mode WOULD have matched it.
     assert ts("2024-01-01 10:30:00") not in out
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC merge-apply (cdc_merge_replay)
+
+def _cdc_batches(spark):
+    cust = table(spark, SF0001, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    b1 = cust.where(k % 3 == 0).select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED-1").alias("c_mktsegment"),
+        F.lit("update").alias("op"),
+    )
+    b2 = cust.where(k % 5 == 0).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        F.lit("delete").alias("op"),
+    ).unionByName(cust.where(k % 7 == 0).select(
+        (k + 1000000).alias("c_custkey"), "c_name", "c_acctbal",
+        F.lit("INSERTED").alias("c_mktsegment"),
+        F.lit("insert").alias("op"),
+    ))
+    b3 = cust.where(k % 7 == 0).select(
+        (k + 1000000).alias("c_custkey"), "c_name",
+        (F.col("c_acctbal") + 50).alias("c_acctbal"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+        F.lit("update").alias("op"),
+    )
+    return cust, [b1, b2, b3]
+
+
+def test_cdc_merge_replay_equals_sequential_batch_merge(spark):
+    """The streaming foreachBatch loop must land exactly where applying
+    the same merges in batch, in order, lands."""
+    from busdata_pipeline_spark.operators.warehouse import merge_into
+    from busdata_pipeline_spark.streaming.replay import cdc_merge_replay
+
+    cust, batches = _cdc_batches(spark)
+    got = sorted(map(tuple, cdc_merge_replay(
+        spark, cust, batches, key="c_custkey",
+        schema_ddl=("c_custkey bigint, c_name string, c_acctbal double, "
+                    "c_mktsegment string, op string"),
+    ).collect()))
+    want = cust
+    for b in batches:
+        want = merge_into(want, b, key="c_custkey")
+    assert got == sorted(map(tuple, want.collect()))
+    assert len(got) > 0
+
+
+def test_cdc_full_replay_is_idempotent(spark):
+    """Redelivering the whole ordered CDC sequence against the final
+    state reproduces the final state (absolute-valued change rows, so
+    re-merging re-asserts, never compounds) — the exactly-once-effect
+    contract under lost-checkpoint replay."""
+    from busdata_pipeline_spark.operators.warehouse import merge_into
+
+    cust, batches = _cdc_batches(spark)
+    once = cust
+    for b in batches:
+        once = merge_into(once, b, key="c_custkey")
+    once = once.localCheckpoint(eager=True)
+    twice = once
+    for b in batches:
+        twice = merge_into(twice, b, key="c_custkey")
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
