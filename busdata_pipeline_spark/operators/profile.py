@@ -37,3 +37,35 @@ def profile_documents(docs: DataFrame, approximate: bool = False) -> DataFrame:
             / n, 6
         ).alias("len_mismatch_rate"),
     )
+
+
+def quality_report(df: DataFrame, rules: list[tuple[str, Column]],
+                   unique_key: str | None = None) -> DataFrame:
+    """Constraint-check report (the expectation-suite / dbt-test shape):
+    one row per rule with its violation count.
+
+    Every predicate rule folds into a SINGLE hash aggregate over one
+    scan — adding rules adds expression columns, not jobs or shuffles.
+    ``unique_key`` adds a uniqueness rule computed in the same aggregate
+    as ``count(key) - count_distinct(key)`` (the exact distinct is the
+    one extra-shuffle cost at scale; swap approx_count_distinct in when
+    a 1% bound is acceptable).  The single result row is unpivoted to
+    (rule, n_violations) via stack — no second pass.
+    """
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in rules
+    ]
+    names = [name for name, _ in rules]
+    if unique_key is not None:
+        aggs.append(
+            (F.count(unique_key) - F.countDistinct(unique_key))
+            .cast("long")
+            .alias(f"duplicate_{unique_key}")
+        )
+        names.append(f"duplicate_{unique_key}")
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return one.selectExpr(
+        f"stack({len(names)}, {stack}) AS (rule, n_violations)"
+    ).orderBy("rule")

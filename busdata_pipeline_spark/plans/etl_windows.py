@@ -362,3 +362,64 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.sv").alias("new_sum"),
         )
     )
+
+
+@query(
+    "etl_quality_report",
+    # Each rule is a scalar aggregate; the oracle states them as a
+    # UNION ALL of scalar selects — the relational form of the engine's
+    # single-aggregate + stack unpivot.
+    oracle="""
+SELECT * FROM (
+  SELECT 'duplicate_event_id' AS rule,
+         CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
+           AS n_violations
+  FROM events
+  UNION ALL
+  SELECT 'null_ts', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'null_value', CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'empty_event_type',
+         CAST(SUM(CASE WHEN event_type IS NULL OR event_type = ''
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value_out_of_range',
+         CAST(SUM(CASE WHEN value IS NOT NULL
+                        AND (value < -1000000 OR value > 1000000)
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'ts_out_of_window',
+         CAST(SUM(CASE WHEN ts IS NOT NULL
+                        AND (ts <  TIMESTAMP '2024-01-01 00:00:00'
+                          OR ts >= TIMESTAMP '2025-01-01 00:00:00')
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM events
+) ORDER BY rule
+""",
+)
+def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite constraint report over the fact table (the
+    acceptance gate the reference approximates with per-line try/except
+    skipping, /root/reference/transform.py:28-59 — here the violations
+    are COUNTED per rule, not silently dropped).  All predicate rules +
+    the uniqueness rule fold into one aggregate over one scan
+    (operators/profile.quality_report)."""
+    from busdata_pipeline_spark.operators.profile import quality_report
+
+    ev = table(spark, sf_dir, "events")
+    rules = [
+        ("null_ts", F.col("ts").isNull()),
+        ("null_value", F.col("value").isNull()),
+        ("empty_event_type",
+         F.col("event_type").isNull() | (F.col("event_type") == "")),
+        ("value_out_of_range",
+         F.col("value").isNotNull()
+         & ((F.col("value") < -1000000) | (F.col("value") > 1000000))),
+        ("ts_out_of_window",
+         F.col("ts").isNotNull()
+         & ((F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2025-01-01 00:00:00").cast("timestamp")))),
+    ]
+    return quality_report(ev, rules, unique_key="event_id")
