@@ -73,3 +73,47 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "etl_pyds_breadcrumb_fetch",
+    # The fake fetcher is a pure function of (vehicle_id, i) — the
+    # oracle regenerates the fleet in closed form (range x range) and
+    # applies the same F1 timestamp decode arithmetic (service-day
+    # midnight + ACT_TIME seconds).
+    oracle="""
+SELECT v AS vehicle_id,
+       v * 100 + i AS event_no_trip,
+       CAST(250.0 * i AS DOUBLE) AS meters,
+       TIMESTAMP '2022-12-25 00:00:00' + to_seconds(30000 + 60 * i) AS ts
+FROM range(1, 200) t(v), range(3) s(i)
+ORDER BY vehicle_id, event_no_trip
+""",
+)
+def etl_pyds_breadcrumb_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 through the Spark 4 Python DataSource API: the collector
+    fan-out as a real ``spark.read.format("breadcrumbs")`` source (one
+    InputPartition per id slice = the fetch parallelism), decoded with
+    the F1 OPD_DATE/ACT_TIME timestamp algebra — hash-checked against a
+    closed-form replay of the deterministic fetcher."""
+    from busdata_pipeline_spark.functions.timestamps import (
+        breadcrumb_timestamp,
+    )
+    from busdata_pipeline_spark.sources import pyds
+
+    pyds.register(spark)
+    raw = (
+        spark.read.format("breadcrumbs")
+        .option("n_vehicles", "199")
+        .option("parts", "8")
+        .load()
+    )
+    return (
+        raw.select(
+            F.col("VEHICLE_ID").cast("bigint").alias("vehicle_id"),
+            F.col("EVENT_NO_TRIP").alias("event_no_trip"),
+            F.col("METERS").alias("meters"),
+            breadcrumb_timestamp("OPD_DATE", "ACT_TIME").alias("ts"),
+        )
+        .orderBy("vehicle_id", "event_no_trip")
+    )
