@@ -117,3 +117,61 @@ def etl_pyds_breadcrumb_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vehicle_id", "event_no_trip")
     )
+
+
+@query(
+    "st_pyds_poll_stream",
+    # Three polls of the 199-vehicle fleet, each advancing ACT_TIME by
+    # the 300 s cadence — the closed-form replay of the streaming
+    # source's deterministic offset math.
+    oracle="""
+SELECT v AS vehicle_id,
+       v * 100 + i AS event_no_trip,
+       CAST(30000 + 60 * i + 300 * k AS BIGINT) AS act_time,
+       TIMESTAMP '2022-12-25 00:00:00'
+         + to_seconds(30000 + 60 * i + 300 * k) AS ts
+FROM range(1, 200) t(v), range(3) s(i), range(3) r(k)
+ORDER BY vehicle_id, event_no_trip, act_time
+""",
+)
+def st_pyds_poll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 through the Python DataSource STREAM reader: an offset-tracked
+    readStream over the collector fleet (poll counter = offset, id
+    slices = partitions), drained with availableNow into a memory sink
+    and hash-checked against the closed-form poll replay."""
+    import uuid
+
+    from busdata_pipeline_spark.functions.timestamps import (
+        breadcrumb_timestamp,
+    )
+    from busdata_pipeline_spark.sources import pyds
+
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("breadcrumbs")
+        .option("n_vehicles", "199")
+        .option("parts", "4")
+        .option("max_polls", "3")
+        .load()
+    )
+    name = "pyds_poll_" + uuid.uuid4().hex
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        spark.table(name)
+        .select(
+            F.col("VEHICLE_ID").cast("bigint").alias("vehicle_id"),
+            F.col("EVENT_NO_TRIP").alias("event_no_trip"),
+            F.col("ACT_TIME").alias("act_time"),
+            breadcrumb_timestamp("OPD_DATE", "ACT_TIME").alias("ts"),
+        )
+        .orderBy("vehicle_id", "event_no_trip", "act_time")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out
