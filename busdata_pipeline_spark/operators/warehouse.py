@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.schemas import TRIP
@@ -366,3 +366,56 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
     ]
     return joined.where(~deleted & ~(src_only & (F.col(f"s.{op_col}") == "delete"))) \
                  .select(*outs)
+
+
+def assign_surrogate_keys(df: DataFrame, order_col: str,
+                          key_col: str = "sk",
+                          n_parts: int | None = None) -> DataFrame:
+    """Dense 1..N surrogate keys in ``order_col`` order — the dim-build
+    primitive (the reference leans on PostgreSQL sequences for this;
+    `monotonically_increasing_id` is neither dense nor order-defined).
+
+    A naive ``row_number() OVER (ORDER BY ...)`` is a single-partition
+    global sort at any scale.  This is the two-level formulation (same
+    discipline as operators/packing.py's distributed prefix sum):
+
+    1. range-partition + sort within partitions on ``order_col`` (the
+       normal distributed sort — no single reducer);
+    2. per-partition local rank;
+    3. per-partition row counts -> cumulative offsets (a window over
+       ~n_partitions rows — bounded by cluster width, not data);
+    4. key = partition offset + local rank.
+
+    Output depends only on the total order of ``order_col`` (which must
+    be unique), NOT on where the range sampler drew partition
+    boundaries, so re-runs and different cluster sizes assign identical
+    keys.
+    """
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = parted.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(order_col)
+        ),
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(key_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )

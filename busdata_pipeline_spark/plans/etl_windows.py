@@ -423,3 +423,29 @@ def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("ts") >= F.lit("2025-01-01 00:00:00").cast("timestamp")))),
     ]
     return quality_report(ev, rules, unique_key="event_id")
+
+
+@query(
+    "etl_surrogate_keys",
+    oracle="""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_name) AS BIGINT) AS sk,
+       c_custkey, c_name
+FROM customer
+ORDER BY sk
+""",
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key assignment for the customer dim, computed with
+    the two-level distributed formulation (range sort -> local rank ->
+    tiny offset window) — never a global single-partition window; the
+    oracle states the same keys as the naive global ROW_NUMBER."""
+    from busdata_pipeline_spark.operators.warehouse import (
+        assign_surrogate_keys,
+    )
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        assign_surrogate_keys(cust, order_col="c_name", n_parts=8)
+        .select("sk", "c_custkey", "c_name")
+        .orderBy("sk")
+    )

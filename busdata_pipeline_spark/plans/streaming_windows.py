@@ -359,3 +359,75 @@ def st_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "c_mktsegment string, op string"),
     )
     return out.orderBy("c_custkey")
+
+
+@query(
+    "st_stream_static_enrich",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE CAST(e.ts AS DATE) = DATE '2024-01-01'
+ORDER BY e.event_id
+""",
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension join (the enrichment class between plain
+    projection and stream-stream join): day-1 events replayed as a real
+    stream in two micro-batches, each joined against the static customer
+    dim — Spark re-plans the broadcast per micro-batch, so dim updates
+    between batches would be picked up (the canonical streaming-enrich
+    contract).  Output is the enriched row set, hash-checked against the
+    batch join."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from busdata_pipeline_spark.streaming.replay import _stage_single_file
+
+    ev = table(spark, sf_dir, "events")
+    day1 = ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date")).select(
+        "event_id", "user_id", "value"
+    )
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+
+    scratch = tempfile.mkdtemp(prefix="st_static_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_dir = os.path.join(scratch, "stream")
+        ckpt = os.path.join(scratch, "ckpt")
+        os.makedirs(stream_dir)
+        # two micro-batches: even / odd event ids
+        _stage_single_file(
+            day1.where(F.col("event_id") % 2 == 0), scratch, stream_dir, 0
+        )
+        _stage_single_file(
+            day1.where(F.col("event_id") % 2 == 1), scratch, stream_dir, 1
+        )
+        src = (
+            spark.readStream
+            .schema("event_id bigint, user_id bigint, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        enriched = src.join(
+            F.broadcast(dim), src.user_id == dim.c_custkey
+        ).select("event_id", "user_id", "c_mktsegment", "value")
+        name = "st_static_" + uuid.uuid4().hex
+        q = (
+            enriched.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).orderBy("event_id").localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(scratch, ignore_errors=True)
