@@ -175,3 +175,26 @@ def st_pyds_poll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return out
+
+
+@query(
+    "etl_file_lineage",
+    # The events table is one parquet file per sf dir, so the hidden
+    # _metadata.file_name column has a closed-form value.
+    oracle="""
+SELECT 'events.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+""",
+)
+def etl_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file lineage via the hidden ``_metadata`` struct — the
+    scan-time provenance a 100 TB audit needs (which files fed this
+    result, with no extra scan or join; the reader materializes the
+    constant per split)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("file_name")
+    )

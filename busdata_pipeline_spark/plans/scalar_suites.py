@@ -439,3 +439,39 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n"),
         F.array_contains(F.map_keys(m), "uid").alias("has_uid"),
     )
+
+
+@query(
+    "fn_hash_mask_suite",
+    # md5 / sha256 agree cross-engine (DuckDB lacks sha1 — omitted);
+    # masking = deterministic regex redaction over a synthesized
+    # email-ish string, plus crc-free length-preserving star mask.
+    oracle="""
+SELECT event_id,
+       md5(event_type) AS etype_md5,
+       sha256(CAST(event_id AS VARCHAR)) AS id_sha256,
+       regexp_replace(event_type || '_' || CAST(user_id AS VARCHAR)
+                      || '@example.com',
+                      '[^@]+@', '***@', 'g') AS masked_email,
+       repeat('*', LENGTH(event_type)) AS star_mask
+FROM events
+WHERE event_id % 97 = 0
+ORDER BY event_id
+""",
+)
+def fn_hash_mask_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing + data-masking parity: md5 / sha2-256 digests and the two
+    standard PII-redaction shapes (regex local-part mask,
+    length-preserving star mask) — all codegen'd column expressions."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    email = F.concat(
+        F.col("event_type"), F.lit("_"),
+        F.col("user_id").cast("string"), F.lit("@example.com"),
+    )
+    return ev.select(
+        "event_id",
+        F.md5("event_type").alias("etype_md5"),
+        F.sha2(F.col("event_id").cast("string"), 256).alias("id_sha256"),
+        F.regexp_replace(email, "[^@]+@", "***@").alias("masked_email"),
+        F.repeat(F.lit("*"), F.length("event_type")).alias("star_mask"),
+    ).orderBy("event_id")
