@@ -78,3 +78,27 @@ def merge_rollup(spark: SparkSession, delta: DataFrame, path: str,
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def merge_join_view(view_prev: DataFrame,
+                    a_prev: DataFrame, b_prev: DataFrame,
+                    a_delta: DataFrame, b_delta: DataFrame,
+                    on: list[str] | str) -> DataFrame:
+    """Incremental JOIN view maintenance for append-only sides:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_prev  ∪  A_prev ⋈ ΔB  ∪  ΔA ⋈ ΔB
+        view_new = view_prev ∪ Δ
+
+    The aggregate analog lives in ``merge_rollup``; this is the join
+    analog — the other half of classic IVM.  Cost at scale: every term
+    is delta-sized on at least one side (AQE broadcasts the delta), so
+    maintaining the view costs O(Δ ⋈ ·), never O(A ⋈ B); the view itself
+    is only appended to, which composes with the bucket-partitioned
+    storage discipline used by the rollup.
+    """
+    delta = (
+        a_delta.join(b_prev, on)
+        .unionByName(a_prev.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )
+    return view_prev.unionByName(delta)

@@ -449,3 +449,52 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sk", "c_custkey", "c_name")
         .orderBy("sk")
     )
+
+
+@query(
+    "etl_incremental_join_view",
+    oracle="""
+SELECT o.o_orderpriority,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def etl_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (the join half of IVM; the
+    aggregate half is etl_incremental_rollup): orders and lineitem each
+    arrive in two append batches, the orders⨝lineitem view is maintained
+    delta-wise (ΔA⨝B ∪ A⨝ΔB ∪ ΔA⨝ΔB per round), and the maintained view
+    must aggregate identically to the one-shot join."""
+    from busdata_pipeline_spark.operators.rollup import merge_join_view
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+
+    a1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    a2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    b1 = li.where(F.col("l_extendedprice") < 30000)
+    b2 = li.where(F.col("l_extendedprice") >= 30000)
+
+    empty_a, empty_b = a1.limit(0), b1.limit(0)
+    view1 = merge_join_view(
+        a1.join(b1, "o_orderkey").limit(0),  # empty view, joined schema
+        empty_a, empty_b, a1, b1, on="o_orderkey",
+    )
+    view2 = merge_join_view(view1, a1, b1, a2, b2, on="o_orderkey")
+    return (
+        view2.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

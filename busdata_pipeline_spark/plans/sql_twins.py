@@ -166,3 +166,38 @@ def _register(name: str, sql: str) -> None:
 
 for _name, _sql in SQL_TWINS.items():
     _register(_name, _sql)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape SQL twins: for these three the DuckDB oracle text is ALSO
+# valid Spark SQL (shared ANSI subset — ROUND/HAVING/TIMESTAMP literals,
+# no dialect deltas), so the literal oracle string runs on BOTH engines:
+# the strongest possible front-end parity statement.
+
+import busdata_pipeline_spark.plans.relational  # noqa: E402,F401
+
+_TPCH_VIEWS = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem")
+
+
+def register_tpch_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in _TPCH_VIEWS:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _register_shared_text(name: str) -> None:
+    @query(f"sql_{name}", oracle=ORACLES[name])
+    def twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tpch_views(spark, sf_dir)
+        return spark.sql(ORACLES[name])
+
+    twin.__name__ = f"sql_{name}"
+    twin.__doc__ = (
+        f"Shared-text SQL twin of {name}: the DuckDB oracle string "
+        f"itself runs through spark.sql."
+    )
+
+
+for _name in ("rel_q1_pricing_summary", "rel_q5_region_revenue",
+              "rel_q18_large_orders"):
+    _register_shared_text(_name)

@@ -64,3 +64,26 @@ def test_merge_touches_only_delta_buckets(spark, tmp_path):
     base = [r for r in user_day_delta(ev).collect()
             if r.user_id == one_user][0]
     assert row.n_events == 2 * base.n_events
+
+
+def test_join_view_maintenance_equals_full_recompute(spark):
+    """Row-for-row: the delta-maintained join view is the full join."""
+    from busdata_pipeline_spark.operators.rollup import merge_join_view
+    from busdata_pipeline_spark.sources import table
+    import pyspark.sql.functions as F
+
+    SF = "/root/testdata/sf0.001"
+    orders = table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    li = (table(spark, SF, "lineitem")
+          .select("l_orderkey", "l_extendedprice")
+          .withColumnRenamed("l_orderkey", "o_orderkey"))
+    a1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    a2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    b1 = li.where(F.col("l_extendedprice") < 30000)
+    b2 = li.where(F.col("l_extendedprice") >= 30000)
+    v1 = merge_join_view(a1.join(b1, "o_orderkey").limit(0),
+                         a1.limit(0), b1.limit(0), a1, b1, "o_orderkey")
+    v2 = merge_join_view(v1, a1, b1, a2, b2, "o_orderkey")
+    got = sorted(map(tuple, v2.collect()))
+    want = sorted(map(tuple, orders.join(li, "o_orderkey").collect()))
+    assert got == want and len(got) > 0
