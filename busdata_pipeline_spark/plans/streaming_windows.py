@@ -431,3 +431,64 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "st_stream_left_join",
+    # Closed-form fleet: users 1-20 click once (hour 10 for 1-10, hour
+    # 11 for 11-20); only even users have a view 30 min before their
+    # click.  The LEFT OUTER interval join must emit every click, with
+    # the odd users' null rows surfacing only after the watermark seals
+    # their 2 h lookback interval.
+    oracle="""
+WITH c AS (
+  SELECT u,
+         TIMESTAMP '2024-01-01 10:00:00'
+           + to_seconds(CASE WHEN u > 10 THEN 3600 ELSE 0 END + 60 * u)
+           AS lts,
+         CAST(u AS DOUBLE) AS lval
+  FROM range(1, 21) t(u)),
+v AS (
+  SELECT u, lts - INTERVAL 30 MINUTE AS rts,
+         CAST(u AS DOUBLE) * 10 AS rval
+  FROM c WHERE u % 2 = 0)
+SELECT date_trunc('hour', c.lts) AS click_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(v.rval) AS BIGINT) AS n_matched,
+       ROUND(COALESCE(SUM(v.rval), 0), 2) AS view_value
+FROM c LEFT JOIN v
+  ON v.u = c.u AND v.rts >= c.lts - INTERVAL 2 HOUR AND v.rts <= c.lts
+GROUP BY 1 ORDER BY 1
+""",
+)
+def st_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, driver-visible: the
+    matched pairs AND the watermark-sealed null emissions are both in
+    the hash (streaming/replay.stream_left_join_replay)."""
+    from busdata_pipeline_spark.streaming.replay import (
+        stream_left_join_replay,
+    )
+
+    base = F.lit("2024-01-01 10:00:00").cast("timestamp")
+
+    def clicks(lo: int, hi: int) -> DataFrame:
+        return spark.range(lo, hi).select(
+            F.col("id").alias("user_id"),
+            (base + F.make_interval(
+                secs=F.when(F.col("id") > 10, 3600).otherwise(0)
+                + 60 * F.col("id"))).alias("ts"),
+            F.col("id").cast("double").alias("value"),
+        )
+
+    def views(lo: int, hi: int) -> DataFrame:
+        return clicks(lo, hi).where(F.col("user_id") % 2 == 0).select(
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+            (F.col("value") * 10).alias("value"),
+        )
+
+    return stream_left_join_replay(
+        spark,
+        left_batches=[clicks(1, 11), clicks(11, 21)],
+        right_batches=[views(1, 11), views(11, 21)],
+    )

@@ -331,3 +331,108 @@ def cdc_merge_replay(spark: SparkSession, target_init: DataFrame,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def stream_left_join_replay(spark: SparkSession,
+                            left_batches: list[DataFrame],
+                            right_batches: list[DataFrame],
+                            delay: str = "1 hour",
+                            lookback: str = "2 hours") -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: matched pairs
+    emit like the inner form (stream_join_replay); unmatched left rows
+    emit ONCE with a NULL right side, only after the watermark proves no
+    match can still arrive — the semantics that make outer stream joins
+    hard (state must be held exactly until the interval is sealed).
+
+    Two far-future seal batches are staged after the data: the first
+    advances the watermark past every real interval, the second gives
+    the engine the extra micro-batch in which watermark-expired left
+    state is scanned and null-emitted (eviction happens on the batch
+    AFTER the watermark moves).  Seal rows carry user_id < 0 and are
+    filtered from the result; they themselves never emit (their own
+    intervals stay open at query end — by design).
+
+    Inputs: (user_id, ts, value) per batch.  Returns per click-hour:
+    n_clicks / n_matched / summed matched value.
+    """
+    assert len(left_batches) == len(right_batches)
+    scratch = tempfile.mkdtemp(prefix="slj_replay_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ldir = os.path.join(scratch, "left")
+        rdir = os.path.join(scratch, "right")
+        ckpt = os.path.join(scratch, "ckpt")
+        os.makedirs(ldir)
+        os.makedirs(rdir)
+        far = F.lit("2024-03-01 00:00:00").cast("timestamp")
+        seal = left_batches[0].limit(0).sparkSession.range(1).select(
+            F.lit(-1).cast("bigint").alias("user_id"),
+            far.alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        lbs = list(left_batches) + [seal, seal]
+        rbs = list(right_batches) + [seal, seal]
+        for i, (lb, rb) in enumerate(zip(lbs, rbs)):
+            _stage_single_file(
+                lb.select("user_id", "ts", "value"), scratch, ldir, i
+            )
+            _stage_single_file(
+                rb.select("user_id", "ts", "value"), scratch, rdir, i
+            )
+
+        schema = "user_id bigint, ts timestamp, value double"
+        left = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(ldir)
+            .select(
+                F.col("user_id").alias("l_user"),
+                F.col("ts").alias("lts"),
+                F.col("value").alias("lval"),
+            )
+            .withWatermark("lts", delay)
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(rdir)
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("ts").alias("rts"),
+                F.col("value").alias("rval"),
+            )
+            .withWatermark("rts", delay)
+        )
+        pairs = left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("rts") >= F.col("lts") - F.expr(f"INTERVAL {lookback}"))
+            & (F.col("rts") <= F.col("lts")),
+            "left_outer",
+        )
+        name = "slj_replay_" + uuid.uuid4().hex
+        q = (
+            pairs.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(name)
+            .where(F.col("l_user") >= 0)
+            .groupBy(F.date_trunc("hour", "lts").alias("click_hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_clicks"),
+                F.count("rval").alias("n_matched"),
+                F.round(F.coalesce(F.sum("rval"), F.lit(0.0)), 2)
+                .alias("view_value"),
+            )
+            .orderBy("click_hour")
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(scratch, ignore_errors=True)
