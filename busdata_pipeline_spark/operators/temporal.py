@@ -233,3 +233,49 @@ def resample_ffill(events: DataFrame, key: str = "user_id",
             ).alias("avg_value_ffill"),
         )
     )
+
+
+def interval_overlap_join(a: DataFrame, b: DataFrame,
+                          a_start: str, a_end: str,
+                          b_start: str, b_end: str,
+                          bin_seconds: int) -> DataFrame:
+    """General two-sided interval OVERLAP join (sessions × maintenance
+    windows, trips × incidents): emit every (a, b) pair whose closed
+    intervals intersect, with the overlap length attached.
+
+    The third temporal-join formulation (asof = point←latest-point,
+    range_join_count = point←window): here BOTH sides are intervals, so
+    both explode onto a shared time grid — an interval covers
+    ``duration / bin_seconds`` bins — and candidates come from the
+    (bin) equi-join; a pair meeting in several bins is collapsed with
+    distinct BEFORE the exact predicate verifies the overlap.  Candidate
+    count is bounded by interval density per bin, never by key
+    frequency; pick ``bin_seconds`` near the typical b-interval length
+    so b-side explosion stays ~2 rows.
+    """
+    from busdata_pipeline_spark.functions import epoch_seconds
+
+    w = F.lit(float(bin_seconds))
+    sa, ea = epoch_seconds(F.col(a_start)), epoch_seconds(F.col(a_end))
+    sb, eb = epoch_seconds(F.col(b_start)), epoch_seconds(F.col(b_end))
+
+    a_binned = a.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(F.floor(sa / w), F.floor(ea / w))
+        ),
+    )
+    b_binned = b.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(F.floor(sb / w), F.floor(eb / w))
+        ),
+    )
+    cand = a_binned.join(b_binned, "_bin").drop("_bin").distinct()
+    overlap = (
+        F.least(ea, eb) - F.greatest(sa, sb)
+    )
+    return (
+        cand.where((sa <= eb) & (sb <= ea))
+        .withColumn("overlap_seconds", F.round(overlap, 6))
+    )

@@ -142,3 +142,58 @@ def rel_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from busdata_pipeline_spark.operators.temporal import resample_ffill
 
     return resample_ffill(table(spark, sf_dir, "events"))
+
+
+@query(
+    "rel_interval_overlap_join",
+    oracle="""
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS w_day,
+         CAST(ts AS DATE)::TIMESTAMP + INTERVAL 12 HOUR AS w_start,
+         CAST(ts AS DATE)::TIMESTAMP + INTERVAL 14 HOUR AS w_end
+  FROM events)
+SELECT s.user_id, s.day, w.w_day,
+       ROUND(epoch(LEAST(s.s_end, w.w_end))
+             - epoch(GREATEST(s.s_start, w.w_start)), 6) AS overlap_seconds
+FROM s JOIN w ON s.s_start <= w.w_end AND w.w_start <= s.s_end
+ORDER BY user_id, day, w_day
+""",
+)
+def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided interval overlap join (sessions × daily maintenance
+    windows) via shared-grid binning + exact verify — the inequality
+    join DuckDB runs directly is never materialized; candidates come
+    from the 2-hour-bin equi-join (operators/temporal.
+    interval_overlap_join)."""
+    from busdata_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    windows = (
+        ev.select(F.to_date("ts").alias("w_day")).distinct()
+        .select(
+            "w_day",
+            (F.col("w_day").cast("timestamp")
+             + F.expr("INTERVAL 12 HOURS")).alias("w_start"),
+            (F.col("w_day").cast("timestamp")
+             + F.expr("INTERVAL 14 HOURS")).alias("w_end"),
+        )
+    )
+    return (
+        interval_overlap_join(
+            sessions, windows,
+            "s_start", "s_end", "w_start", "w_end",
+            bin_seconds=7200,
+        )
+        .select("user_id", "day", "w_day", "overlap_seconds")
+        .orderBy("user_id", "day", "w_day")
+    )

@@ -123,3 +123,72 @@ def test_resample_rejects_calendar_steps(spark):
     )
     with pytest.raises(ValueError, match="resample step"):
         resample_ffill(events, step="1 month")
+
+
+def test_interval_overlap_join_matches_naive_inequality(spark):
+    from busdata_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 13:00:00"),
+         (2, "2024-01-01 15:00:00", "2024-01-01 16:00:00"),
+         (3, "2024-01-01 11:30:00", "2024-01-02 12:30:00")],  # spans days
+        "aid long, s_start string, s_end string",
+    ).select("aid", F.col("s_start").cast("timestamp").alias("s_start"),
+             F.col("s_end").cast("timestamp").alias("s_end"))
+    b = spark.createDataFrame(
+        [(10, "2024-01-01 12:00:00", "2024-01-01 14:00:00"),
+         (11, "2024-01-02 12:00:00", "2024-01-02 14:00:00")],
+        "bid long, w_start string, w_end string",
+    ).select("bid", F.col("w_start").cast("timestamp").alias("w_start"),
+             F.col("w_end").cast("timestamp").alias("w_end"))
+
+    got = sorted(
+        (r.aid, r.bid, r.overlap_seconds)
+        for r in interval_overlap_join(
+            a, b, "s_start", "s_end", "w_start", "w_end", bin_seconds=7200
+        ).collect()
+    )
+    naive = sorted(
+        (r.aid, r.bid, r.ov)
+        for r in a.join(
+            b,
+            (F.col("s_start") <= F.col("w_end"))
+            & (F.col("w_start") <= F.col("s_end")),
+        ).select(
+            "aid", "bid",
+            F.round(
+                F.least(F.col("s_end").cast("double"),
+                        F.col("w_end").cast("double"))
+                - F.greatest(F.col("s_start").cast("double"),
+                             F.col("w_start").cast("double")), 6
+            ).alias("ov"),
+        ).collect()
+    )
+    assert got == naive
+    # sessions 1 and 3 hit window 10; session 3 also hits window 11
+    assert [(x[0], x[1]) for x in got] == [(1, 10), (3, 10), (3, 11)]
+
+
+def test_interval_overlap_join_plan_is_equi(spark):
+    from busdata_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    from busdata_pipeline_spark.sources import table
+    from tests.conftest import SF0001
+
+    ev = table(spark, SF0001, "events")
+    s = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    w = ev.select(F.to_date("ts").alias("w_day")).distinct().select(
+        "w_day",
+        (F.col("w_day").cast("timestamp") + F.expr("INTERVAL 12 HOURS")
+         ).alias("w_start"),
+        (F.col("w_day").cast("timestamp") + F.expr("INTERVAL 14 HOURS")
+         ).alias("w_end"))
+    df = interval_overlap_join(s, w, "s_start", "s_end",
+                               "w_start", "w_end", 7200)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
