@@ -498,3 +498,63 @@ def etl_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "etl_time_travel",
+    # Commit log: v1 append day1, v2 append day2, v3 OVERWRITE day3,
+    # v4 append day4.  Snapshot@2 = days 1-2; snapshot@4 = days 3-4;
+    # the overwrite must erase days 1-2 from later snapshots.
+    oracle="""
+SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+   OR CAST(ts AS DATE) = DATE '2024-01-02'
+UNION ALL
+SELECT 4, CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 6)
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+   OR CAST(ts AS DATE) = DATE '2024-01-04'
+ORDER BY version
+""",
+)
+def etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel (operators/versioned.py): four
+    commits (append, append, overwrite, append), then BOTH historical
+    snapshots are read back and profiled — the overwrite boundary and
+    the as-of reconstruction are in the hash."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    ev = table(spark, sf_dir, "events")
+
+    def day(d: str) -> DataFrame:
+        return ev.where(F.to_date("ts") == F.lit(d).cast("date"))
+
+    path = tempfile.mkdtemp(prefix="ttravel_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_version(day("2024-01-01"), path, "append")
+        write_version(day("2024-01-02"), path, "append")
+        write_version(day("2024-01-03"), path, "overwrite")
+        write_version(day("2024-01-04"), path, "append")
+
+        def snap(v: int) -> DataFrame:
+            return read_version(spark, path, v).agg(
+                F.lit(v).alias("version"),
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            ).select("version", "n_rows", "total_value")
+
+        return (
+            snap(2).unionByName(snap(4)).orderBy("version")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
