@@ -251,15 +251,30 @@ def _assign_to_centroids(df: DataFrame, centroids: list[list[float]],
     each cosine is evaluated exactly once — a when-chain would embed
     every prior comparison twice and blow the expression tree up
     exponentially in the cluster count)."""
-    entries = [
-        F.struct(
-            cosine(F.col(vec_col), _lit_vec(cent)).alias("s"),
-            F.lit(-c).alias("negc"),
+    import math
+    from functools import reduce
+
+    # One norm per ROW (not per row×centroid: Catalyst's CollapseProject
+    # keeps the alias because the fold expression is not "cheap"), and
+    # centroid norms folded to Python-float literals — the reduce mirrors
+    # the fold's left-to-right double summation exactly, so every cosine
+    # is bit-identical to the naive per-pair form (the SQL-replay oracles
+    # hash the trained centroids and would catch any drift).
+    vnorm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    tmp = df.withColumn("_vnorm", vnorm)
+    entries = []
+    for c, cent in enumerate(centroids):
+        cnorm = math.sqrt(
+            reduce(lambda acc, x: acc + float(x) * float(x), cent, 0.0)
         )
-        for c, cent in enumerate(centroids)
-    ]
+        score = _dot(F.col(vec_col), _lit_vec(cent)) / (
+            F.col("_vnorm") * F.lit(cnorm)
+        )
+        entries.append(
+            F.struct(score.alias("s"), F.lit(-c).alias("negc"))
+        )
     best = F.array_max(F.array(*entries))
-    return df.withColumn(out_col, (-best["negc"]).cast("int"))
+    return tmp.withColumn(out_col, (-best["negc"]).cast("int")).drop("_vnorm")
 
 
 def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
