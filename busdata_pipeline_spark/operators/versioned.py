@@ -81,3 +81,25 @@ def read_version(spark: SparkSession, path: str,
 
 def table_history(path: str) -> list[dict]:
     return _commits(path)
+
+
+def vacuum_versions(path: str) -> list[int]:
+    """Retention: delete data directories unreachable from the LATEST
+    snapshot (everything before the last overwrite).  The log entries
+    stay — history remains auditable, but time travel before the
+    overwrite now raises at read (the same contract as Delta VACUUM
+    beyond the retention window).  Returns the vacuumed versions."""
+    import shutil
+
+    commits = _commits(path)
+    start = 0
+    for i, c in enumerate(commits):
+        if c["mode"] == "overwrite":
+            start = i
+    gone = []
+    for c in commits[:start]:
+        d = os.path.join(path, c["dir"])
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            gone.append(c["version"])
+    return gone

@@ -60,3 +60,17 @@ def test_unmanifested_data_is_invisible(spark, tbl):
 def test_read_before_first_commit_raises(spark, tbl):
     with pytest.raises(ValueError):
         read_version(spark, tbl, 0)
+
+
+def test_vacuum_removes_only_unreachable_versions(spark, tbl):
+    from busdata_pipeline_spark.operators.versioned import vacuum_versions
+
+    assert vacuum_versions(tbl) == [1, 2]   # pre-overwrite dirs
+    # latest snapshot still fully readable
+    assert _xs(spark, tbl) == [10, 11, 12]
+    assert _xs(spark, tbl, 3) == [10, 11]
+    # pre-overwrite time travel is gone (retention window passed)
+    with pytest.raises(Exception):
+        _xs(spark, tbl, 2)
+    # idempotent
+    assert vacuum_versions(tbl) == []
