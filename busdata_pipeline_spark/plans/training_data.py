@@ -13,7 +13,7 @@ in tests/test_training_data.py on top.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.functions.text import (
@@ -1750,4 +1750,47 @@ def td_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         docs.select("doc_id", "n_chars")
         .join(F.broadcast(keep), "doc_id", "left_semi")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "td_weighted_sample",
+    # Deterministic Efraimidis-Spirakis A-Res: u = md5-derived uniform in
+    # (0,1), key = -ln(u)/w with w = n_chars; the k smallest keys per
+    # language are the weighted-without-replacement sample.  Both engines
+    # compute the identical key expression; ROUND(...,9) + doc_id
+    # tiebreak absorbs last-ulp libm drift.
+    oracle="""
+WITH k AS (
+  SELECT lang, doc_id, n_chars,
+         ROUND(-LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 1) / 4294967297.0) / n_chars, 9) AS key
+  FROM documents WHERE n_chars > 0)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY key, doc_id) AS rn FROM k)
+WHERE rn <= 20
+ORDER BY lang, doc_id
+""",
+)
+def td_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006), deterministic: the exponential-race key is a pure function of
+    doc_id, so re-runs, engines, and cluster sizes draw the SAME sample
+    (the same no-RNG-state discipline as td_stratified_sample, but
+    length-weighted — long documents proportionally likelier).  One
+    window shuffle per language; WindowGroupLimit keeps k rows per
+    group per task."""
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + 1) / F.lit(4294967297.0)
+    key = F.round((-F.log(u)) / F.col("n_chars"), 9)
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
     )

@@ -495,3 +495,16 @@ x AS (SELECT doc_id,
 SELECT MIN(ABS(ABS(v*1e6 - FLOOR(v*1e6)) - 0.5)) FROM x
 """).fetchone()[0]
     assert margin > 1e-5, f"round-6 boundary margin eroded: {margin}"
+
+
+def test_weighted_sample_prefers_long_documents(spark):
+    """Length-weighted sampling must over-represent long docs vs the
+    corpus mean (statistical sanity on the deterministic draw)."""
+    import __spark_entry__ as E
+    from tests.conftest import SF001
+
+    sample = E.queries()["td_weighted_sample"](spark, SF001)
+    got = sample.agg(F.avg("n_chars")).first()[0]
+    base = (table(spark, SF001, "documents").where("n_chars > 0")
+            .agg(F.avg("n_chars")).first()[0])
+    assert got > base * 1.05, (got, base)
