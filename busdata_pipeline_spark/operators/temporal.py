@@ -279,3 +279,93 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
         cand.where((sa <= eb) & (sb <= ea))
         .withColumn("overlap_seconds", F.round(overlap, 6))
     )
+
+
+def resample_linear(events: DataFrame, key: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    step: str = "1 hour") -> DataFrame:
+    """Time-series resampling with LINEAR interpolation — the companion
+    to ``resample_ffill``: interior gaps take the straight line between
+    the neighboring observed buckets; leading/trailing buckets (no
+    neighbor on one side) stay NULL, matching pandas
+    ``interpolate(limit_area='inside')``.
+
+    Same scale shape as the ffill: grid by sequence+explode, one hash
+    shuffle for the bucket aggregate, then ONE per-key window pass
+    computing both running neighbors (value + timestamp each way) —
+    never an inequality join.  Observed bucket means are rounded before
+    interpolating so downstream comparisons are engine-stable.
+    """
+    from pyspark.sql import Window
+
+    from busdata_pipeline_spark.functions import epoch_seconds
+
+    step_s = _step_seconds(step)
+
+    def _floor_to_step(c):
+        return F.timestamp_seconds(
+            F.floor(epoch_seconds(F.col(c)) / step_s).cast("long") * step_s
+        )
+
+    ev = events.where(F.col(value_col).isNotNull())
+    bounds = ev.agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    ).select(
+        _floor_to_step("_t0").alias("_h0"), _floor_to_step("_t1").alias("_h1")
+    )
+    grid = (
+        ev.select(key).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(
+                F.sequence("_h0", "_h1", F.expr(f"interval {step}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    # Quantized-integer mean (the kmeans_centroids trick): summing
+    # floor(x * 2^20 + 0.5) longs is exact in ANY order, so the bucket
+    # mean is the identical double on every engine — plain AVG + ROUND
+    # can straddle a rounding boundary cross-engine and corrupt every
+    # interpolation that consumes the bucket.
+    q = F.lit(1048576.0)
+    observed = ev.groupBy(
+        F.col(key), _floor_to_step(ts_col).alias("bucket_ts")
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col(value_col) * q + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * q)
+        ).alias("_obs")
+    )
+
+    j = grid.join(observed, [key, "bucket_ts"], "left")
+    wb = (
+        Window.partitionBy(key).orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key).orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("_obs").isNotNull(), F.col("bucket_ts"))
+    back = F.last("_obs", ignorenulls=True).over(wb)
+    back_ts = F.last(obs_ts, ignorenulls=True).over(wb)
+    fwd = F.first("_obs", ignorenulls=True).over(wf)
+    fwd_ts = F.first(obs_ts, ignorenulls=True).over(wf)
+    frac = (
+        (epoch_seconds(F.col("bucket_ts")) - epoch_seconds(back_ts))
+        / (epoch_seconds(fwd_ts) - epoch_seconds(back_ts))
+    )
+    value = (
+        F.when(F.col("_obs").isNotNull(), F.round(F.col("_obs"), 6))
+        .when(
+            back.isNotNull() & fwd.isNotNull(),
+            F.round(back + (fwd - back) * frac, 6),
+        )
+    )
+    return (
+        j.select(key, "bucket_ts", value.alias(value_col))
+        .orderBy(key, "bucket_ts")
+    )

@@ -197,3 +197,59 @@ def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "day", "w_day", "overlap_seconds")
         .orderBy("user_id", "day", "w_day")
     )
+
+
+@query(
+    "rel_resample_linear_interp",
+    # Same grid/bucket construction as the ffill oracle; interior gaps
+    # take the straight line between rounded neighbor means, edges stay
+    # NULL (limit_area='inside' semantics).
+    oracle="""
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT to_timestamp(FLOOR(epoch(MIN(ts)) / 3600) * 3600) AS h0,
+         to_timestamp(FLOOR(epoch(MAX(ts)) / 3600) * 3600) AS h1
+  FROM ev),
+g AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+           AS bucket_ts
+  FROM (SELECT DISTINCT user_id FROM ev), b),
+o AS (
+  SELECT user_id, to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS bucket_ts,
+         CAST(SUM(CAST(FLOOR(value * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1048576.0) AS obs
+  FROM ev GROUP BY 1, 2),
+j AS (
+  SELECT g.user_id, g.bucket_ts, o.obs
+  FROM g LEFT JOIN o USING (user_id, bucket_ts)),
+w AS (
+  SELECT user_id, bucket_ts, obs,
+    last_value(obs IGNORE NULLS) OVER wb AS back,
+    last_value(CASE WHEN obs IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+      OVER wb AS back_ts,
+    first_value(obs IGNORE NULLS) OVER wf AS fwd,
+    first_value(CASE WHEN obs IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+      OVER wf AS fwd_ts
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket_ts,
+  CASE WHEN obs IS NOT NULL THEN ROUND(obs, 6)
+       WHEN back IS NOT NULL AND fwd IS NOT NULL THEN
+         ROUND(back + (fwd - back)
+               * (epoch(bucket_ts) - epoch(back_ts))
+               / (epoch(fwd_ts) - epoch(back_ts)), 6)
+  END AS value
+FROM w
+ORDER BY user_id, bucket_ts
+""",
+)
+def rel_resample_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with linear interpolation over interior gaps
+    (operators/temporal.resample_linear) — the numeric companion to
+    rel_resample_hourly_ffill."""
+    from busdata_pipeline_spark.operators.temporal import resample_linear
+
+    return resample_linear(table(spark, sf_dir, "events"))

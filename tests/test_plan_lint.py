@@ -58,6 +58,7 @@ def test_no_cartesian_products_anywhere(plans):
 SCALAR_EXPANSION_BNLJ = {
     "rel_q22_rich_active_customers",  # scalar subquery: global avg(acctbal)
     "rel_resample_hourly_ffill",      # 1-row (min,max) span broadcast
+    "rel_resample_linear_interp",     # 1-row (min,max) span broadcast
     "td_dedup_summary",               # 1-row total-docs aggregate
     "td_tfidf_top_terms",             # 1-row corpus doc count (idf)
     "td_unigram_logprob",             # 1-row corpus token total (ln N)
