@@ -101,6 +101,30 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_check(args: argparse.Namespace) -> int:
+    """Data-quality gate: run the expectation suite against a parquet
+    table; exit 1 if any rule has violations (CI/orchestrator contract —
+    the reference's per-line try/except becomes an explicit gate)."""
+    from pyspark.sql import functions as F
+
+    from busdata_pipeline_spark.operators.profile import quality_report
+
+    spark = _spark("check")
+    df = spark.read.parquet(args.path)
+    missing = [c for c in (args.not_null or []) + ([args.unique] if args.unique else [])
+               if c not in df.columns]
+    if missing:
+        print(f"no such columns: {missing}", file=sys.stderr)
+        return 2
+    rules = [(f"null_{c}", F.col(c).isNull()) for c in (args.not_null or [])]
+    report = quality_report(df, rules, unique_key=args.unique).collect()
+    bad = 0
+    for r in report:
+        print(f"{r.rule}\t{r.n_violations}")
+        bad += r.n_violations
+    return 1 if bad else 0
+
+
 def cmd_list(_args: argparse.Namespace) -> int:
     import __spark_entry__ as entry
 
@@ -143,6 +167,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     l = sub.add_parser("list", help="list registered queries")
     l.set_defaults(fn=cmd_list)
+
+    k = sub.add_parser("check", help="data-quality gate over a parquet table")
+    k.add_argument("--path", required=True)
+    k.add_argument("--not-null", nargs="*", default=[])
+    k.add_argument("--unique")
+    k.set_defaults(fn=cmd_check)
     return p
 
 

@@ -55,3 +55,17 @@ def test_cli_list_names_everything(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert len(out.strip().splitlines()) == len(entry.queries())
+
+
+def test_cli_check_gate_passes_and_fails(spark, tmp_path):
+    clean = str(tmp_path / "clean")
+    dirty = str(tmp_path / "dirty")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string") \
+        .write.parquet(clean)
+    spark.createDataFrame([(1, "a"), (1, None)], "id long, name string") \
+        .write.parquet(dirty)
+    assert main(["check", "--path", clean,
+                 "--not-null", "name", "--unique", "id"]) == 0
+    assert main(["check", "--path", dirty,
+                 "--not-null", "name", "--unique", "id"]) == 1
+    assert main(["check", "--path", clean, "--not-null", "nope"]) == 2
