@@ -176,3 +176,115 @@ def test_breadcrumb_timestamp_rejects_dst_session(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
     # restored: construction succeeds again
     breadcrumb_timestamp("OPD_DATE", "ACT_TIME")
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: model-based properties
+
+def model_dup_spans(docs: list[tuple[int, str]], n: int = 8):
+    """Pure-Python reference for plans/dup_spans.duplicated_spans."""
+    grams: dict[str, set[int]] = {}
+    per_doc: dict[int, list[int]] = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        per_doc[did] = []
+        for p in range(1, len(toks) - n + 2):
+            g = " ".join(toks[p - 1:p - 1 + n])
+            grams.setdefault(g, set()).add(did)
+    out = []
+    for did, text in docs:
+        toks = text.split(" ")
+        dup_pos = [
+            p for p in range(1, len(toks) - n + 2)
+            if len(grams[" ".join(toks[p - 1:p - 1 + n])]) >= 2
+        ]
+        spans: list[list[int]] = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1] - n + 1 + n:  # p <= prev_start_max + n
+                if p <= spans[-1][2] + n:
+                    spans[-1][1] = p + n - 1
+                    spans[-1][2] = p
+                    continue
+            spans.append([p, p + n - 1, p])
+        for s, e, _ in spans:
+            out.append((did, s, e, e - s + 1))
+    return sorted(out)
+
+
+_doc_corpus = st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=24)
+    .map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_doc_corpus)
+def test_dup_spans_match_python_model(spark, texts):
+    from busdata_pipeline_spark.plans.dup_spans import duplicated_spans
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in duplicated_spans(df).collect())
+    assert got == model_dup_spans(docs)
+
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 500)).map(
+        lambda t: (min(t), max(t))
+    ),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(aiv=_intervals, biv=_intervals)
+def test_interval_overlap_matches_model(spark, aiv, biv):
+    from busdata_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    base = 1_700_000_000
+    a = spark.createDataFrame(
+        [(i, base + s * 60, base + e * 60) for i, (s, e) in enumerate(aiv)],
+        "aid long, s long, e long",
+    ).select("aid", F.timestamp_seconds("s").alias("a_s"),
+             F.timestamp_seconds("e").alias("a_e"))
+    b = spark.createDataFrame(
+        [(i, base + s * 60, base + e * 60) for i, (s, e) in enumerate(biv)],
+        "bid long, s long, e long",
+    ).select("bid", F.timestamp_seconds("s").alias("b_s"),
+             F.timestamp_seconds("e").alias("b_e"))
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bin_seconds=600
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, e1) in enumerate(aiv)
+        for j, (s2, e2) in enumerate(biv)
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=6),
+                     min_size=1, max_size=30, unique=True),
+       parts=st.integers(1, 6))
+def test_surrogate_keys_are_global_rank_for_any_partitioning(
+        spark, keys, parts):
+    from busdata_pipeline_spark.operators.warehouse import (
+        assign_surrogate_keys,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r.k: r.sk for r in
+           assign_surrogate_keys(df, "k", n_parts=parts).collect()}
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
