@@ -1794,3 +1794,67 @@ def td_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "td_winnow_fingerprints",
+    # Full SQL replay of winnowing: the same 60-bit md5-prefix gram hash
+    # (the portable-hash discipline shared with SimHash's oracle), the
+    # same w-window minima, the same distinct.  k=4 token-grams, w=5.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 8),
+g AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(t[i : i + 3], ' ')), 1, 15))::BIGINT
+           AS h
+  FROM toks, UNNEST(range(1, len(t) - 4 + 2)) r(i)),
+ga AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id),
+w AS (
+  SELECT doc_id, list_min(hs[j : j + 4]) AS fp
+  FROM ga, UNNEST(range(1, len(hs) - 5 + 2)) r(j))
+SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp
+""",
+)
+def td_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): hash every k-token gram, slide a w-window over
+    the hash sequence, keep each window's minimum, dedupe.  Guarantees
+    every shared substring of >= w+k-1 tokens yields a shared
+    fingerprint, at ~2/(w+1) selection density — the classic rolling-
+    hash fingerprint for plagiarism/overlap detection at corpus scale.
+
+    All array algebra inside the scan stage (transform/sequence/slice —
+    no shuffle until the final distinct, which moves only (doc_id, fp)
+    pairs); the "rolling" recurrence is a sequential micro-optimization
+    — semantically it IS the per-gram hash, computed here data-parallel.
+    """
+    K, W = 4, 5
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).where(F.size("t") >= K + W - 1)
+
+    def hash60(s):
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+    grams = toks.withColumn(
+        "hs",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - K + 1),
+            lambda i: hash60(F.array_join(F.slice("t", i, K), " ")),
+        ),
+    )
+    mins = grams.withColumn(
+        "fps",
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - W + 1),
+            lambda j: F.array_min(F.slice("hs", j, W)),
+        ),
+    )
+    return (
+        mins.select("doc_id", F.explode("fps").alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )

@@ -508,3 +508,31 @@ def test_weighted_sample_prefers_long_documents(spark):
     base = (table(spark, SF001, "documents").where("n_chars > 0")
             .agg(F.avg("n_chars")).first()[0])
     assert got > base * 1.05, (got, base)
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """Schleimer et al.'s core guarantee: two documents sharing a
+    substring of >= w+k-1 (= 8) tokens share at least one selected
+    fingerprint — checked on planted shared spans with disjoint
+    backgrounds."""
+    import __spark_entry__ as E
+    import tempfile, os, shutil
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"          # exactly w+k-1 tokens
+    rows = [
+        (1, f"a1 a2 a3 {shared} a4 a5 a6"),
+        (2, f"b1 b2 {shared} b3 b4 b5 b6 b7"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # unrelated
+    ]
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        fps = E.queries()["td_winnow_fingerprints"](spark, d).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[1] & by_doc[2], "shared substring lost"
+        assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
