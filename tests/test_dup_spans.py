@@ -57,3 +57,28 @@ def test_disjoint_repeats_stay_separate_spans(spark):
 def test_short_documents_are_skipped(spark):
     docs = _docs(spark, [(1, "a b c"), (2, "a b c")])
     assert duplicated_spans(docs).count() == 0
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Empty partitions/day-slices happen at scale; no operator may
+    throw on a zero-row input."""
+    from busdata_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    from busdata_pipeline_spark.operators.warehouse import (
+        assign_surrogate_keys,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicated_spans(empty_docs).count() == 0
+
+    empty_keys = spark.createDataFrame([], "k string")
+    assert assign_surrogate_keys(empty_keys, "k", n_parts=4).count() == 0
+
+    empty_iv = spark.createDataFrame(
+        [], "aid long, s_start timestamp, s_end timestamp")
+    empty_iv2 = spark.createDataFrame(
+        [], "bid long, w_start timestamp, w_end timestamp")
+    assert interval_overlap_join(
+        empty_iv, empty_iv2, "s_start", "s_end", "w_start", "w_end", 3600
+    ).count() == 0
