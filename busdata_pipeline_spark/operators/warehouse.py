@@ -368,7 +368,7 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
                  .select(*outs)
 
 
-def assign_surrogate_keys(df: DataFrame, order_col: str,
+def assign_surrogate_keys(df: DataFrame, order_col: str | list[str],
                           key_col: str = "sk",
                           n_parts: int | None = None) -> DataFrame:
     """Dense 1..N surrogate keys in ``order_col`` order — the dim-build
@@ -391,16 +391,17 @@ def assign_surrogate_keys(df: DataFrame, order_col: str,
     boundaries, so re-runs and different cluster sizes assign identical
     keys.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
     parted = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     local = parted.withColumn(
         "_rn",
         F.row_number().over(
-            Window.partitionBy("_pid").orderBy(order_col)
+            Window.partitionBy("_pid").orderBy(*order_cols)
         ),
     )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
