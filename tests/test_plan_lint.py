@@ -65,6 +65,7 @@ SCALAR_EXPANSION_BNLJ = {
     "td_ivf_ann",                     # queries × nlist centroids routing
     "rel_q11_important_parts",        # 1-row global value-sum threshold
     "td_mixture_resample",            # 1-row feasible-total (T) broadcast
+    "td_sketches",                    # 1-row sketch/anchor aggregates recombined
 }
 
 
