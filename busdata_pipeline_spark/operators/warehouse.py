@@ -404,6 +404,14 @@ def assign_surrogate_keys(df: DataFrame, order_col: str | list[str],
             Window.partitionBy("_pid").orderBy(*order_cols)
         ),
     )
+    # PIN the sampled range boundaries: the ranks branch and the counts
+    # branch below both consume `local`, and without a materialization
+    # barrier Spark may re-evaluate repartitionByRange per branch with a
+    # FRESH random sample — slightly different boundaries, offsets that
+    # disagree with the ranks, corrupted keys (caught by the 10x-replica
+    # differential; exchange reuse masks it at small scale).  One eager
+    # localCheckpoint makes both branches read the same partitioning.
+    local = local.localCheckpoint(eager=True)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     offsets = counts.withColumn(
         "_off",

