@@ -1895,3 +1895,87 @@ def td_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id", "fp")
     )
+
+
+@query(
+    "td_incremental_dedup",
+    # Two arrival batches with planted cross-batch and within-batch
+    # exact duplicates; the oracle states the net store: batch-1
+    # keep-first survivors, then batch-2 keys not already present.
+    oracle="""
+WITH base AS (SELECT doc_id, TRIM(text) AS t FROM documents),
+d1 AS (SELECT doc_id, md5(t) AS fp FROM base WHERE doc_id % 2 = 0),
+d2 AS (
+  SELECT doc_id, md5(t) AS fp FROM base WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, md5(t) FROM base
+  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, md5(t) FROM base
+  WHERE doc_id % 2 = 1 AND doc_id % 7 = 0
+),
+k1 AS (SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM d1 GROUP BY fp),
+k2 AS (SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM d2
+       WHERE fp NOT IN (SELECT fp FROM k1) GROUP BY fp)
+SELECT doc_id, fp, 1 AS batch FROM k1
+UNION ALL
+SELECT doc_id, fp, 2 FROM k2
+ORDER BY doc_id
+""",
+)
+def td_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as a MAINTAINED INDEX, not a batch job: a fingerprint store
+    on disk is appended per arrival batch with the S12 upsert-ignore
+    discipline (within-batch keep-first, then anti-join against the
+    store's keys) — so deduping a new day costs Δ ⨝ store-keys, never a
+    corpus rescan.  Batch 2 plants copies of batch-1 docs (cross-batch
+    dups → dropped via the store) AND internal dups (dropped via
+    keep-first); the returned store is the net corpus membership.
+
+    At 100 TB the store is the bucket-partitioned rollup layout (only
+    16-byte fingerprints + ids; bucket-scoped reads for the anti-join),
+    and this loop is exactly how td_dedup_exact becomes an operational
+    pipeline."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.operators.dedup import fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", fingerprint("text").alias("fp"))
+    d1 = base.where(F.col("doc_id") % 2 == 0)
+    d2 = (
+        base.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            base.where((F.col("doc_id") % 2 == 0)
+                       & (F.col("doc_id") % 10 == 0))
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "fp")
+        )
+        .unionByName(
+            base.where((F.col("doc_id") % 2 == 1)
+                       & (F.col("doc_id") % 7 == 0))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "fp")
+        )
+    )
+    store = tempfile.mkdtemp(prefix="dedup_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        def keep_first(df):
+            return df.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+
+        keep_first(d1).select("doc_id", "fp", F.lit(1).alias("batch")) \
+            .write.mode("overwrite").parquet(store)
+        existing = spark.read.parquet(store).select("fp")
+        new2 = (
+            keep_first(d2)
+            .join(existing, "fp", "left_anti")
+            .select("doc_id", "fp", F.lit(2).alias("batch"))
+        )
+        new2.write.mode("append").parquet(store)
+        return (
+            spark.read.parquet(store)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
