@@ -207,3 +207,55 @@ def etl_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("file_name").endswith(".parquet"))
         .alias("all_files_parquet"),
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-drift report between two table states: one row per
+    (column, change) with change ∈ added | removed | type_changed.
+    Pure metadata — no data scan; the DataFrame form keeps it
+    engine-checkable and composable with the quality gate."""
+    spark = old.sparkSession
+    o = [(f.name, f.dataType.simpleString()) for f in old.schema.fields]
+    n = [(f.name, f.dataType.simpleString()) for f in new.schema.fields]
+    od, nd = dict(o), dict(n)
+    rows = (
+        [(c, "added", None, t) for c, t in n if c not in od]
+        + [(c, "removed", t, None) for c, t in o if c not in nd]
+        + [
+            (c, "type_changed", od[c], nd[c])
+            for c in od
+            if c in nd and od[c] != nd[c]
+        ]
+    )
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
+    ).orderBy("column", "change")
+
+
+@query(
+    "etl_schema_drift_report",
+    # v1 = events minus props; v2 = adds a source_file string and turns
+    # value into float.  The expected drift is closed-form.
+    oracle="""
+SELECT * FROM (
+  VALUES ('props', 'removed', 'string', NULL),
+         ('source_file', 'added', NULL, 'string'),
+         ('value', 'type_changed', 'double', 'float'))
+  AS t(column_name, change, old_type, new_type)
+ORDER BY column_name, change
+""",
+)
+def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution, reported instead of silently merged: the drift
+    between two warehouse snapshots as (column, change, old, new) rows —
+    the gate an ingest pipeline runs before enabling mergeSchema (the
+    read side of evolution is covered by the fact table's mergeSchema
+    support)."""
+    ev = table(spark, sf_dir, "events")
+    v1 = ev
+    v2 = (
+        ev.drop("props")
+        .withColumn("source_file", F.lit("drop.jsonl"))
+        .withColumn("value", F.col("value").cast("float"))
+    )
+    return schema_drift(v1, v2).withColumnRenamed("column", "column_name")
