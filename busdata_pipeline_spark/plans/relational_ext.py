@@ -885,3 +885,77 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(nation2_rev) / F.sum(rev), 6).alias("mkt_share")
         )
     )
+
+
+@query(
+    "rel_funnel_conversion",
+    # signup -> first click at-or-after signup -> first purchase
+    # at-or-after that click, per user; stage populations + rates.
+    oracle="""
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
+       ROUND(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1), 6) AS click_rate,
+       ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s2), 6) AS purchase_rate
+""",
+)
+def rel_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step funnel (signup → click → purchase, order-respecting):
+    the oracle states it as three chained join-aggregates; the engine
+    computes it in ONE user-keyed shuffle — three conditional-min window
+    passes share the same partitioning (each stage's threshold is the
+    previous stage's window column), then a per-user reduce and a global
+    count.  The join-chain form re-shuffles the fact once per stage; the
+    window form's cost is flat in the number of funnel stages."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+        F.round(F.count("t2").cast("double") / F.count("t1"), 6)
+        .alias("click_rate"),
+        F.round(F.count("t3").cast("double") / F.count("t2"), 6)
+        .alias("purchase_rate"),
+    )

@@ -189,3 +189,18 @@ def test_q10_broadcast_and_take_ordered(spark):
     scan = [ln for ln in plan.splitlines()
             if "PushedFilters" in ln and "l_returnflag" in ln]
     assert scan, plan
+
+
+def test_funnel_is_one_exchange_three_windows(spark):
+    """rel_funnel_conversion: stage thresholds chain through window
+    columns, so all three conditional-min windows share ONE user-keyed
+    exchange — cost flat in funnel depth."""
+    import re
+
+    import __spark_entry__ as E
+    from tests.conftest import SF0001
+
+    df = E.queries()["rel_funnel_conversion"](spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 1
+    assert plan.count("Window") == 3
