@@ -959,3 +959,77 @@ def rel_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("t3").cast("double") / F.count("t2"), 6)
         .alias("purchase_rate"),
     )
+
+
+@query(
+    "rel_retention_cohorts",
+    # Cohort = first-activity day; retention(k) = distinct users of that
+    # cohort active exactly k days later, k in 1..7.
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(ts AS DATE) - cohort_day AS k
+  FROM events e JOIN firsts f USING (user_id))
+SELECT cohort_day, CAST(k AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+WHERE k BETWEEN 1 AND 7
+GROUP BY cohort_day, k
+ORDER BY cohort_day, day_offset
+""",
+)
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (the analytics companion to the funnel):
+    cohort users by first-activity day, count distinct users active at
+    each day offset 1..7.  The first-activity day is a per-user window
+    min sharing the distinct-activity shuffle — no self-join of the
+    fact against its own aggregate."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.distinct()
+        .withColumn("cohort_day", F.min("day").over(w))
+        .withColumn("k", F.datediff("day", "cohort_day"))
+        .where(F.col("k").between(1, 7))
+    )
+    return (
+        act.groupBy("cohort_day", F.col("k").cast("int").alias("day_offset"))
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "rel_event_transitions",
+    # First-order transition counts over each user's time-ordered event
+    # sequence (ties broken by event_id, both engines).
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+""",
+)
+def rel_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (Markov bigram) matrix over per-user ordered
+    sequences: one lead window on the user-keyed shuffle, then a
+    25-cell hash aggregate — path analysis without sessionizing."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "next_type")
+    )
