@@ -1876,22 +1876,32 @@ def td_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hash60(s):
         return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
-    grams = toks.withColumn(
-        "hs",
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - K + 1),
-            lambda i: hash60(F.array_join(F.slice("t", i, K), " ")),
-        ),
+    # Grams as ROWS, window minima as a ROWS-frame min over the per-doc
+    # position order — each gram hashed exactly once.  The tempting
+    # nested-array form (transform over windows of a transform-built
+    # hash array) re-inlines the inner transform into every window under
+    # projection collapse, turning O(n) hashing into O(n·w) or worse —
+    # measured 92 s at sf0.1 vs ~2 s for this formulation.
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - K + 1),
+                lambda i: F.array_join(F.slice("t", i, K), " "),
+            )
+        ).alias("i", "gram"),
+    ).select("doc_id", "i", hash60(F.col("gram")).alias("h"))
+    n_wins = Window.partitionBy("doc_id")
+    wmin = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, W - 1)
     )
-    mins = grams.withColumn(
-        "fps",
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - W + 1),
-            lambda j: F.array_min(F.slice("hs", j, W)),
-        ),
+    mins = (
+        grams.withColumn("m", F.count(F.lit(1)).over(n_wins))
+        .withColumn("fp", F.min("h").over(wmin))
+        .where(F.col("i") <= F.col("m") - W)  # posexplode is 0-based
     )
     return (
-        mins.select("doc_id", F.explode("fps").alias("fp"))
+        mins.select("doc_id", "fp")
         .distinct()
         .orderBy("doc_id", "fp")
     )
