@@ -1033,3 +1033,71 @@ def rel_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "rel_rfm_segments",
+    # Quartile RFM (recency/frequency/monetary) with deterministic
+    # (metric, user_id) tie-breaks; NTILE semantics agree cross-engine.
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         ROUND(SUM(CASE WHEN value > 0 THEN value ELSE 0 END), 6) AS monetary
+  FROM events GROUP BY user_id),
+q AS (
+  SELECT user_id,
+         NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r_q,
+         NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_q,
+         freq, monetary
+  FROM m)
+SELECT CAST(r_q AS INT) || '-' || CAST(f_q AS INT) || '-'
+         || CAST(m_q AS INT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(freq), 6) AS avg_freq,
+       ROUND(AVG(monetary), 6) AS avg_monetary
+FROM q GROUP BY 1 ORDER BY 1
+""",
+)
+def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation: one per-user aggregate, three NTILE
+    windows over the (small) per-user table, then a segment rollup.
+    The windows run on user-grain rows — cardinality users, not events
+    — so the global sorts are dim-sized; the only fact-sized operation
+    is the first aggregate."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("freq"),
+        F.round(
+            F.sum(F.when(F.col("value") > 0, F.col("value")).otherwise(0.0)),
+            6,
+        ).alias("monetary"),
+    )
+    q = m.select(
+        "user_id", "freq", "monetary",
+        F.ntile(4).over(
+            Window.orderBy(F.desc("last_ts"), F.asc("user_id"))
+        ).alias("r_q"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("freq"), F.asc("user_id"))
+        ).alias("f_q"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+        ).alias("m_q"),
+    )
+    seg = F.concat_ws(
+        "-", F.col("r_q").cast("int"), F.col("f_q").cast("int"),
+        F.col("m_q").cast("int"),
+    )
+    return (
+        q.groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("freq"), 6).alias("avg_freq"),
+            F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
