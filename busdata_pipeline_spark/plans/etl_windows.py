@@ -561,3 +561,69 @@ def etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "etl_compaction_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS files_reduced,
+       TRUE AS single_file,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+""",
+)
+def etl_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction, driver-visible: day-1 events land as ~32
+    streaming-sized files in a date-partitioned scratch warehouse,
+    `compact_day` rewrites the closed day into ONE file via writer-local
+    dynamic overwrite, and the result row carries the file-count
+    booleans plus the value checksum — so the hash covers both the
+    atomic swap's losslessness and the layout change."""
+    import glob
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.operators.warehouse import (
+        _fact_path,
+        compact_day,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    day1 = (
+        ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date"))
+        .withColumnRenamed("ts", "tstamp")
+        .withColumn("event_date", F.to_date("tstamp"))
+    )
+    warehouse = tempfile.mkdtemp(prefix="compact_q_")
+    shutil.rmtree(warehouse, ignore_errors=True)
+    try:
+        (
+            day1.repartition(32)
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(_fact_path(warehouse))
+        )
+
+        def n_files() -> int:
+            return len(
+                glob.glob(
+                    f"{_fact_path(warehouse)}/event_date=2024-01-01/*.parquet"
+                )
+            )
+
+        before = n_files()
+        compact_day(spark, warehouse, "2024-01-01", target_files=1)
+        after = n_files()
+        compacted = spark.read.parquet(_fact_path(warehouse))
+        return (
+            compacted.agg(
+                F.count("*").alias("n_rows"),
+                F.lit(before > after).alias("files_reduced"),
+                F.lit(after == 1).alias("single_file"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
