@@ -259,3 +259,50 @@ def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.col("value").cast("float"))
     )
     return schema_drift(v1, v2).withColumnRenamed("column", "column_name")
+
+
+@query(
+    "etl_bronze_roundtrip",
+    # Closed-form: every vehicle's 3 deterministic crumbs survive the
+    # partitioned JSON archive round-trip; meters sum 0+250+500 = 750.
+    oracle="""
+SELECT v AS vehicle_id,
+       CAST(3 AS BIGINT) AS n_crumbs,
+       CAST(750.0 AS DOUBLE) AS total_meters
+FROM range(1, 200) t(v)
+ORDER BY vehicle_id
+""",
+)
+def etl_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 driver-visible: fetch fan-out → bronze raw-JSON archive
+    (partitioned by vehicle/service-day, the reference's
+    vehicle_{id}_{date}.json layout) → partition-pruned read-back →
+    per-vehicle profile.  The hash covers the fetch, the partitioned
+    JSON write, and the read's type round-trip."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.sources.collector import (
+        fake_fetcher,
+        fetch_breadcrumbs,
+        write_bronze,
+    )
+
+    ids = spark.range(1, 200).select(F.col("id").cast("int").alias("vehicle_id"))
+    crumbs = fetch_breadcrumbs(ids, fake_fetcher, parallelism=8)
+    path = tempfile.mkdtemp(prefix="bronze_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bronze(crumbs, path)
+        back = spark.read.json(path)
+        return (
+            back.groupBy(F.col("VEHICLE_ID").cast("bigint").alias("vehicle_id"))
+            .agg(
+                F.count("*").alias("n_crumbs"),
+                F.sum("METERS").cast("double").alias("total_meters"),
+            )
+            .orderBy("vehicle_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
