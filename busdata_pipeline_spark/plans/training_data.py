@@ -1989,3 +1989,108 @@ def td_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+@query(
+    "td_bigram_logprob",
+    # Stupid-backoff bigram LM (Brants et al. 2007) trained on the EVEN
+    # docs, scored over every doc: seen bigram -> ln c12 - ln c1, unseen
+    # -> ln 0.4 + ln c2 - ln N.  Every log argument is an integer corpus
+    # count (the same float discipline as td_unigram_logprob), summed
+    # per doc and rounded to 6.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, i, t[i] AS w
+  FROM (SELECT doc_id, string_split(TRIM(text), ' ') AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) r(i)
+  WHERE t[i] <> ''),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+big AS (
+  SELECT a.doc_id, a.i, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+tbig AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM train a JOIN train b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM train GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train)
+SELECT big.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(-SUM(
+    CASE WHEN tbig.c12 IS NOT NULL AND k1.c IS NOT NULL
+         THEN ln(CAST(tbig.c12 AS DOUBLE)) - ln(CAST(k1.c AS DOUBLE))
+         ELSE ln(0.4) + ln(CAST(COALESCE(k2.c, 1) AS DOUBLE))
+              - ln(CAST(tot.n AS DOUBLE)) END
+  ) / COUNT(*), 6) AS xent_nats
+FROM big
+LEFT JOIN tbig ON tbig.w1 = big.w1 AND tbig.w2 = big.w2
+LEFT JOIN uni k1 ON k1.w = big.w1
+LEFT JOIN uni k2 ON k2.w = big.w2
+CROSS JOIN tot
+GROUP BY big.doc_id
+ORDER BY big.doc_id
+""",
+)
+def td_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram cross-entropy under a stupid-backoff LM (Brants
+    et al. 2007: score = c12/c1 when seen, 0.4·c2/N otherwise — no
+    normalization, which is what makes it shuffle-light at web scale):
+    the model trains on the even docs, every doc is scored.  All joins
+    are on token keys (vocab-sized dims broadcast); the per-doc reduce
+    is one hash aggregate.  Log arguments are integer counts only, so
+    both engines take ln of identical doubles (unseen-word fallback
+    count 1 keeps the argument integral)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("i", "w"),
+    ).where(F.col("w") != "")
+    w_next = Window.partitionBy("doc_id").orderBy("i")
+    big = (
+        toks.withColumn("w2", F.lead("w").over(w_next))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    train = toks.where(F.col("doc_id") % 2 == 0)
+    tbig = (
+        train.withColumn("w2", F.lead("w").over(w_next))
+        .where(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    uni = train.groupBy("w").agg(F.count("*").alias("c"))
+    n_total = train.count()  # bounded driver scalar (ln N literal)
+
+    scored = (
+        big.join(F.broadcast(tbig), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c").alias("c1"))),
+            "w1", "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c").alias("c2"))),
+            "w2", "left",
+        )
+        .withColumn(
+            "lp",
+            F.when(
+                F.col("c12").isNotNull() & F.col("c1").isNotNull(),
+                F.log(F.col("c12").cast("double"))
+                - F.log(F.col("c1").cast("double")),
+            ).otherwise(
+                F.log(F.lit(0.4))
+                + F.log(F.coalesce(F.col("c2"), F.lit(1)).cast("double"))
+                - F.log(F.lit(float(n_total)))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.sum("lp") / F.count("*"), 6).alias("xent_nats"),
+        )
+        .orderBy("doc_id")
+    )
