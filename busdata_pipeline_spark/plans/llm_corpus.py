@@ -1,0 +1,514 @@
+"""LLM-corpus curation surface, wave 6: the published curation recipes
+that sit between raw crawl and tokenizer-ready text.
+
+The reference (`/root/reference/`) has no text tier at all — this module
+extends the training-data north star (BASELINE.json) with four curation
+operators, each the Spark-first form of a specific published technique:
+
+- ``td_line_dedup``      — paragraph-granular exact dedup with global
+  first-occurrence-wins and document reassembly (CCNet, Wenzek et al.
+  2019; RefinedWeb runs the same line-level pass).
+- ``td_gopher_repetition`` — within-document repetition signals
+  (duplicate / most-common n-gram character fractions) from Gopher's
+  quality heuristics (Rae et al. 2021, table A1).
+- ``td_naive_bayes_quality`` — model-based quality scoring: a
+  multinomial Naive-Bayes classifier trained on a curated-vs-crawl
+  split of the corpus itself, scoring every document by log-odds
+  (the GPT-3 / CCNet "reference corpus classifier" pattern, with NB's
+  closed-form training replacing the logistic regression so training
+  is one aggregation pass, not an iterative fit).
+- ``td_bpe_train``       — byte-pair-encoding merge training (Sennrich
+  et al. 2016) over the word-frequency table, each merge one
+  count-pairs → argmax → apply round, unrolled into a strict DuckDB
+  replay oracle.
+
+Every float output is a ratio/log of integers rounded to 6 decimals
+(the house float discipline: see td_unigram_logprob); td_bpe_train and
+td_line_dedup are integer/string-only and hash-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+# ---------------------------------------------------------------------------
+# paragraph-granular exact dedup (CCNet / RefinedWeb line dedup)
+
+#: tokens per paragraph window.  The synthetic corpus is single-spaced
+#: prose with no newlines, so the paragraph unit is a fixed token window
+#: (on real crawl text this constant is replaced by a split on '\n').
+_PARA_TOKENS = 8
+
+
+@query(
+    "td_line_dedup",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+paras AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS para_idx,
+         array_to_string(
+           list_slice(toks, i * {_PARA_TOKENS} + 1,
+                      i * {_PARA_TOKENS} + {_PARA_TOKENS}), ' ') AS para
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / {_PARA_TOKENS}.0)
+                                    AS BIGINT))) AS i
+        FROM tk) q),
+keep AS (
+  SELECT doc_id, para_idx, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM paras),
+kept AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(para, ' ' ORDER BY para_idx) AS kept_text
+  FROM keep WHERE rn = 1 GROUP BY doc_id),
+np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+       FROM paras GROUP BY doc_id)
+SELECT np.doc_id, np.n_paras,
+       COALESCE(kept.n_kept, 0) AS n_kept,
+       COALESCE(kept.kept_text, '') AS kept_text
+FROM np LEFT JOIN kept USING (doc_id)
+""",
+)
+def td_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with reassembly (CCNet, Wenzek et al.
+    2019 §3.1): split every document into paragraph units, keep only the
+    globally FIRST occurrence of each distinct paragraph (ordered by
+    (doc_id, para_idx) — deterministic, engine-independent), then
+    reassemble each document from its surviving paragraphs in original
+    order.  This is the pass that removes boilerplate (headers, cookie
+    banners) that exact *document* dedup cannot touch.
+
+    Scale shape: paragraphs never cross documents, so the explode is a
+    projection; the only shuffle keys on md5(paragraph) — a 32-char hash,
+    not the paragraph text, so the exchange comparator cost is flat in
+    paragraph length; reassembly is one doc_id-keyed aggregation with an
+    in-group sort (array_sort on (idx, text) structs — no second window).
+    First-occurrence-wins needs a total order over occurrences, which
+    (doc_id, para_idx) provides without any global sort."""
+    return line_dedup_frame(table(spark, sf_dir, "documents"))
+
+
+def line_dedup_frame(docs: DataFrame,
+                     para_tokens: int = _PARA_TOKENS) -> DataFrame:
+    """Core of td_line_dedup over any (doc_id, text) frame."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(float(para_tokens))).cast("int")
+    paras_arr = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * para_tokens + 1, para_tokens), " "
+        ),
+    )
+    p = docs.select(
+        "doc_id", F.posexplode(paras_arr).alias("para_idx", "para")
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "para_idx")
+    keep = p.withColumn("rn", F.row_number().over(w))
+    kept = (
+        keep.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda x: x["para"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    np_ = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return np_.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021)
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Overlapping token n-grams as space-joined strings; empty array
+    when the document has fewer than ``n`` tokens (zip_with of
+    slice-shortened arrays — no sequence() call that could go negative).
+    """
+    parts = [F.slice(toks, 1 + i, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+             for i in range(n)]
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def _gopher_gram_oracle(n: int, label: str) -> str:
+    """Per-doc duplicate-gram and top-gram character fractions for one n."""
+    return f"""
+g{label} AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {n} + 2)) AS i
+        FROM tk) q{label}),
+c{label} AS (
+  SELECT doc_id, gram, COUNT(*) AS occ, length(gram) AS glen
+  FROM g{label} GROUP BY doc_id, gram),
+a{label} AS (
+  SELECT doc_id,
+         SUM(CASE WHEN occ > 1 THEN (occ - 1) * glen ELSE 0 END) AS dup_chars,
+         MAX(occ * glen) AS top_chars
+  FROM c{label} GROUP BY doc_id)"""
+
+
+@query(
+    "td_gopher_repetition",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, length(trim(text)) AS total_chars,
+         string_split(trim(text), ' ') AS toks
+  FROM documents),
+{_gopher_gram_oracle(2, "2")},
+{_gopher_gram_oracle(3, "3")}
+SELECT tk.doc_id,
+  ROUND(COALESCE(a2.dup_chars, 0) / CAST(tk.total_chars AS DOUBLE), 6)
+    AS dup_2gram_frac,
+  ROUND(COALESCE(a3.dup_chars, 0) / CAST(tk.total_chars AS DOUBLE), 6)
+    AS dup_3gram_frac,
+  ROUND(COALESCE(a2.top_chars, 0) / CAST(tk.total_chars AS DOUBLE), 6)
+    AS top_2gram_frac,
+  (COALESCE(a2.dup_chars, 0) / CAST(tk.total_chars AS DOUBLE) > 0.20
+   OR COALESCE(a3.dup_chars, 0) / CAST(tk.total_chars AS DOUBLE) > 0.18)
+    AS repetitive
+FROM tk
+LEFT JOIN a2 ON tk.doc_id = a2.doc_id
+LEFT JOIN a3 ON tk.doc_id = a3.doc_id
+""",
+)
+def td_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals from Gopher's quality rules
+    (Rae et al. 2021, appendix A1): per document, the fraction of
+    characters contained in DUPLICATE token n-grams (each occurrence
+    beyond the first counts its characters — the Dolma/DataTrove
+    formulation of the rule) for n=2,3, the fraction covered by the
+    single most frequent 2-gram, and the combined reject flag at the
+    paper's thresholds (dup-2gram > 0.20, dup-3gram > 0.18).
+
+    Scale shape: n-grams are built by zip_with over slice-aligned token
+    arrays (a projection — no join, no window); the only shuffle is the
+    (doc_id, gram) hash aggregate, whose map-side partial collapses
+    every repeated gram before it travels.  Fractions are ratios of
+    integer character counts, rounded to 6 (house float discipline)."""
+    return gopher_repetition_frame(table(spark, sf_dir, "documents"))
+
+
+def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
+    """Core of td_gopher_repetition over any (doc_id, text) frame."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    base = docs.select(
+        "doc_id",
+        F.length(F.trim(F.col("text"))).alias("total_chars"),
+        toks.alias("toks"),
+    )
+
+    def gram_agg(n: int) -> DataFrame:
+        g = base.select(
+            "doc_id", F.explode(_grams(F.col("toks"), n)).alias("gram")
+        )
+        c = g.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("occ"), F.length("gram").alias("glen")
+        )
+        return c.groupBy("doc_id").agg(
+            F.sum(
+                F.when(F.col("occ") > 1, (F.col("occ") - 1) * F.col("glen"))
+                .otherwise(F.lit(0))
+            ).alias("dup_chars"),
+            F.max(F.col("occ") * F.col("glen")).alias("top_chars"),
+        )
+
+    a2 = gram_agg(2).withColumnRenamed("dup_chars", "dup2").withColumnRenamed(
+        "top_chars", "top2"
+    )
+    a3 = gram_agg(3).select(
+        "doc_id", F.col("dup_chars").alias("dup3")
+    )
+    tc = F.col("total_chars").cast("double")
+    dup2 = F.coalesce("dup2", F.lit(0)) / tc
+    dup3 = F.coalesce("dup3", F.lit(0)) / tc
+    top2 = F.coalesce("top2", F.lit(0)) / tc
+    return (
+        base.select("doc_id", "total_chars")
+        .join(a2, "doc_id", "left")
+        .join(a3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(dup2, 6).alias("dup_2gram_frac"),
+            F.round(dup3, 6).alias("dup_3gram_frac"),
+            F.round(top2, 6).alias("top_2gram_frac"),
+            ((dup2 > 0.20) | (dup3 > 0.18)).alias("repetitive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scoring (GPT-3 / CCNet reference-corpus classifier)
+
+#: the "curated reference" slice of the corpus — the role WebText plays
+#: in GPT-3's quality filter: documents from these sources are the
+#: positive training class, everything else is the crawl class.
+_CURATED_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@query(
+    "td_naive_bayes_quality",
+    # Float discipline: every log argument is a positive INTEGER
+    # ((count+1), (N+V), doc counts), the per-doc sum is two SUM(c*ln(int))
+    # terms (same shape td_unigram_logprob ships strict), and the final
+    # score is rounded to 6 with the boundary margin measured in tests.
+    oracle=f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         source IN {str(tuple(_CURATED_SOURCES))} AS pos
+  FROM documents),
+toks AS (
+  SELECT doc_id, pos, unnest(string_split(trim(text), ' ')) AS tok
+  FROM lab),
+dt AS (SELECT doc_id, tok, COUNT(*) AS c_dt FROM toks GROUP BY doc_id, tok),
+ct AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM ct),
+prior AS (
+  SELECT ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE))
+         - ln(CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE)) AS lp
+  FROM lab)
+SELECT dt.doc_id,
+  CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+  ROUND(SUM(c_dt * ln(CAST(c_pos + 1 AS DOUBLE)))
+        - SUM(c_dt * ln(CAST(c_neg + 1 AS DOUBLE)))
+        - SUM(c_dt) * ln(CAST(MIN(n_pos + v) AS DOUBLE))
+        + SUM(c_dt) * ln(CAST(MIN(n_neg + v) AS DOUBLE))
+        + MIN(lp), 6) AS log_odds
+FROM dt JOIN ct USING (tok) CROSS JOIN tot CROSS JOIN prior
+GROUP BY dt.doc_id
+""",
+)
+def td_naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the GPT-3 appendix-A pattern: train a
+    classifier to separate a curated reference corpus from raw crawl,
+    keep crawl documents the model scores reference-like).  The model is
+    multinomial Naive Bayes with add-1 smoothing — NB because its
+    training is a single token-count aggregation (closed form), so the
+    whole train+score pipeline is two shuffles and needs no iterative
+    optimizer:
+
+        score(d) = Σ_t c_dt·[ln(c_pos(t)+1) − ln(c_neg(t)+1)]
+                   − n_d·[ln(N_pos+V) − ln(N_neg+V)] + ln(P_pos/P_neg)
+
+    Scale shape: one exploded token pass feeds both the per-doc and
+    per-class count aggregates (the training pass IS a groupBy); they
+    meet in a fact-fact equi-join on token; the 1-row totals/prior are
+    broadcast scalar expansions (whitelisted in the plan lint).  Every
+    log argument is an integer, so the only cross-engine float risk is
+    summation order, absorbed by ROUND(_, 6) with a measured margin."""
+    return naive_bayes_frame(table(spark, sf_dir, "documents"))
+
+
+def naive_bayes_frame(
+    docs: DataFrame, curated: tuple[str, ...] = _CURATED_SOURCES
+) -> DataFrame:
+    """Core of td_naive_bayes_quality over any (doc_id, text, source)."""
+    lab = docs.select(
+        "doc_id",
+        "text",
+        F.col("source").isin(*curated).alias("pos"),
+    )
+    toks = lab.select(
+        "doc_id", "pos",
+        F.explode(F.split(F.trim("text"), " ")).alias("tok"),
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_dt"))
+    ct = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("c_neg"),
+    )
+    tot = ct.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    prior = lab.agg(
+        (
+            F.log(F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double"))
+            - F.log(F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("double"))
+        ).alias("lp")
+    )
+    return (
+        dt.join(ct, "tok")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c_dt") * F.log((F.col("c_pos") + 1).cast("double")))
+                - F.sum(F.col("c_dt") * F.log((F.col("c_neg") + 1).cast("double")))
+                - F.sum("c_dt") * F.log(F.max(F.col("n_pos") + F.col("v")).cast("double"))
+                + F.sum("c_dt") * F.log(F.max(F.col("n_neg") + F.col("v")).cast("double"))
+                + F.min("lp"),
+                6,
+            ).alias("log_odds"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016)
+
+#: number of merges to learn.  Six keeps the unrolled SQL replay oracle
+#: readable while exercising the interesting case (later merges pairing
+#: symbols that earlier merges created).
+_BPE_MERGES = 6
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replay of the merge loop: each step counts
+    adjacent symbol pairs weighted by word frequency, picks the argmax
+    (ties: lexicographic smallest pair — both engines compare ASCII
+    strings identically), and applies the merge by string replacement on
+    the ``<sym>``-wrapped sequence encoding.  ``replace`` is
+    left-to-right non-overlapping in BOTH engines, which is exactly
+    BPE's greedy pairing ('aaaa' + merge (a,a) → '(aa)(aa)')."""
+    steps = []
+    prev = "s0"
+    finals = []
+    for i in range(1, n_merges + 1):
+        steps.append(f"""
+p{i} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, word, sym AS a,
+           LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b
+    FROM (SELECT freq, word,
+                 unnest(syms) AS sym, generate_subscripts(syms, 1) AS pos
+          FROM (SELECT freq, word,
+                       string_split(substring(seq, 2, length(seq) - 2),
+                                    '><') AS syms
+                FROM {prev}) q1) q2) q3
+  WHERE b IS NOT NULL GROUP BY a, b),
+b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+s{i} AS (
+  SELECT word, freq,
+         replace(seq, '<' || a || '><' || b || '>',
+                 '<' || a || ' ' || b || '>') AS seq
+  FROM {prev} CROSS JOIN b{i})""")
+        finals.append(
+            f"SELECT {i} AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM b{i}"
+        )
+        prev = f"s{i}"
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents),
+wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       FROM words GROUP BY word),
+s0 AS (
+  SELECT word, freq,
+         array_to_string(
+           list_transform(string_split(word, ''), c -> '<' || c || '>'),
+           '') AS seq
+  FROM wf),{",".join(steps)}
+{" UNION ALL ".join(finals)}
+"""
+
+
+@query("td_bpe_train", oracle=_bpe_oracle(_BPE_MERGES))
+def td_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    tokenizer-building step of an LLM data pipeline, run distributedly:
+    train on the word-frequency table (the classical formulation: pair
+    counts weighted by word frequency), learn ``_BPE_MERGES`` merges,
+    return the merge table (step, lhs, rhs, pair_count).
+
+    Per round: adjacent symbol pairs come from zip_with over the
+    slice-shifted symbol array (a projection), pair counts are one hash
+    aggregate over (a, b) weighted by word freq, the argmax is a 1-row
+    bounded driver collect (cnt DESC, then lexicographic pair — the
+    deterministic tie-break both engines share), and the merge applies
+    as a single string ``replace`` on the ``<sym>`` wrapped encoding
+    (left-to-right non-overlapping in Spark and DuckDB alike — BPE's
+    greedy pairing).  The working set is the DISTINCT-WORD table, not
+    the corpus: at 100 TB the vocabulary is ~10⁵–10⁶ rows, so each of
+    the N rounds is an aggregate over a dimension-sized table, and
+    ``localCheckpoint`` per round keeps the growing replace-chain plan
+    O(1) (same loop discipline as operators/clustering.py).  The corpus
+    itself is touched exactly once (the word-count aggregate).
+
+    Oracle: full unrolled replay — each merge step re-derived in SQL,
+    so the DRIVER verifies training itself, not just the final state
+    (same contract as td_ivf_ann's Lloyd replay)."""
+    return bpe_train_frame(spark, table(spark, sf_dir, "documents"))
+
+
+def bpe_train_frame(
+    spark: SparkSession, docs: DataFrame, n_merges: int = _BPE_MERGES
+) -> DataFrame:
+    """Core of td_bpe_train over any (doc_id, text) frame."""
+    wf = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq0 = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.col("word"), ""),
+            lambda c: F.concat(F.lit("<"), c, F.lit(">")),
+        ),
+    )
+    cur = wf.select("word", "freq", seq0.alias("seq")).localCheckpoint(eager=True)
+
+    rows = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), "><"
+        )
+        sz = F.size(syms)
+        pairs_arr = F.zip_with(
+            F.slice(syms, 1, sz - 1),
+            F.slice(syms, 2, sz - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pair_counts = (
+            cur.select("freq", F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pair_counts.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()[0]
+        rows.append((step, best["a"], best["b"], int(best["cnt"])))
+        cur = cur.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"<{best['a']}><{best['b']}>"),
+                F.lit(f"<{best['a']} {best['b']}>"),
+            ),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        rows, "step int, lhs string, rhs string, pair_count bigint"
+    )

@@ -27,7 +27,11 @@ QUERIES = entrymod.queries()
 #: queries whose *construction* runs jobs (iterative label propagation,
 #: driver-broadcast query sets) — their final plan is still linted, but
 #: they are the documented exceptions to "plan construction is free".
-CONSTRUCTION_RUNS_JOBS = {"td_dup_clusters", "td_dedup_summary", "td_cosine_topk"}
+CONSTRUCTION_RUNS_JOBS = {
+    "td_dup_clusters", "td_dedup_summary", "td_cosine_topk",
+    # BPE merge loop: N bounded 1-row argmax collects during training
+    "td_bpe_train",
+}
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.
 def _lintable_names():
@@ -66,6 +70,7 @@ SCALAR_EXPANSION_BNLJ = {
     "rel_q11_important_parts",        # 1-row global value-sum threshold
     "td_mixture_resample",            # 1-row feasible-total (T) broadcast
     "td_sketches",                    # 1-row sketch/anchor aggregates recombined
+    "td_naive_bayes_quality",         # 1-row class totals + prior broadcast
 }
 
 
