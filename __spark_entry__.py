@@ -18,6 +18,7 @@ import busdata_pipeline_spark.plans.census  # noqa: F401
 import busdata_pipeline_spark.plans.dup_spans  # noqa: F401
 import busdata_pipeline_spark.plans.etl_windows  # noqa: F401
 import busdata_pipeline_spark.plans.formats  # noqa: F401
+import busdata_pipeline_spark.plans.graph  # noqa: F401
 import busdata_pipeline_spark.plans.llm_corpus  # noqa: F401
 import busdata_pipeline_spark.plans.pruning  # noqa: F401
 import busdata_pipeline_spark.plans.relational  # noqa: F401

@@ -1,0 +1,95 @@
+"""Ground-truth tests for plans/graph.py (weighted PageRank)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from busdata_pipeline_spark.plans.graph import _DAMPING, _QUANT, pagerank_frame
+from tests.conftest import SF001
+
+
+def _pure_python_pagerank(nodes, edges, iters=5, damping=_DAMPING):
+    """The identical quantized iteration in plain Python (dict algebra)."""
+    n = len(nodes)
+    wu = {}
+    for u, _, w in edges:
+        wu[u] = wu.get(u, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        m = {v: 0.0 for v in nodes}
+        for u, v, w in edges:
+            m[v] += (w / wu[u]) * r[u]
+        r = {
+            v: round((1 - damping) / n + damping * m[v], _QUANT)
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_pure_python_on_handcrafted_graph(spark):
+    # star + chain: 1 feeds 2 and 3; 2 and 3 feed each other; 4 dangling.
+    nodes = [1, 2, 3, 4]
+    edges = [
+        (1, 2, 2.0), (1, 3, 1.0),
+        (2, 3, 1.0), (3, 2, 1.0),
+        (2, 1, 1.0),
+    ]
+    nd = spark.createDataFrame([(v,) for v in nodes], "v long")
+    ed = spark.createDataFrame(edges, "u long, v long, w double")
+    got = {r["v"]: r["r"] for r in pagerank_frame(nd, ed).collect()}
+    want = _pure_python_pagerank(nodes, edges)
+    for v in nodes:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+    # dangling node holds only the base term through every iteration
+    assert got[4] == pytest.approx(round((1 - _DAMPING) / 4, _QUANT), abs=2e-9)
+    # probability mass is conserved up to the (documented) dangling leak
+    assert 0.5 < sum(got.values()) <= 1.0 + 1e-6
+
+
+def test_pagerank_weight_sensitivity(spark):
+    # v=2 receives a double-weight edge from 1; with equal in-degree
+    # counts, 2 must outrank 3.
+    nd = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    ed = spark.createDataFrame(
+        [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        "u long, v long, w double",
+    )
+    got = {r["v"]: r["r"] for r in pagerank_frame(nd, ed).collect()}
+    assert got[2] > got[3] > got[1]
+
+
+def test_pagerank_quantization_margin_at_driver_sf():
+    """Per-iteration pre-quantization values must sit away from the
+    0.5e-9 rounding boundary, so the ~1e-15 cross-engine summation-order
+    deltas cannot flip the quantized state (the property that makes the
+    iterative float loop strict-hashable at all)."""
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF001}/{t}.parquet')"
+        )
+    [(margin,)] = con.execute(f"""
+WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM e0 a JOIN e0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY u, v),
+wd AS (SELECT u, SUM(w) AS wu FROM pairs GROUP BY u),
+nodes AS (SELECT s_suppkey AS v FROM supplier),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+raw1 AS (
+  SELECT nodes.v,
+         {1 - _DAMPING} / MIN(nn.n)
+         + {_DAMPING} * COALESCE(SUM(p.w / wd.wu * r0.r), 0) AS x
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN pairs p ON p.v = nodes.v
+  LEFT JOIN wd ON wd.u = p.u
+  LEFT JOIN r0 ON r0.v = p.u
+  GROUP BY nodes.v)
+SELECT MIN(abs(abs(x * 1e{_QUANT} - floor(x * 1e{_QUANT})) - 0.5)) FROM raw1
+""").fetchall()
+    assert margin > 1e-4, f"iteration-1 value near quantization boundary: {margin}"

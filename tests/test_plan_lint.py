@@ -31,6 +31,8 @@ CONSTRUCTION_RUNS_JOBS = {
     "td_dup_clusters", "td_dedup_summary", "td_cosine_topk",
     # BPE merge loop: N bounded 1-row argmax collects during training
     "td_bpe_train",
+    # PageRank power iterations: per-round checkpoints + node count
+    "rel_pagerank_cosuppliers",
 }
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.
@@ -124,8 +126,9 @@ def test_aqe_wraps_every_shuffling_plan(plans):
     bad = [
         n for n, p in plans.items()
         if re.search(r"\(\d+\) Exchange", p) and "AdaptiveSparkPlan" not in p
-        # label-propagation output reads from checkpointed RDDs whose
-        # remaining one-stage plan AQE has nothing to re-plan
-        and n not in {"td_dup_clusters"}
+        # label-propagation / power-iteration outputs read from
+        # checkpointed RDDs whose remaining one-stage plan AQE has
+        # nothing to re-plan
+        and n not in {"td_dup_clusters", "rel_pagerank_cosuppliers"}
     ]
     assert not bad, f"non-adaptive shuffling plans: {bad}"
