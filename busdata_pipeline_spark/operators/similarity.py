@@ -486,3 +486,169 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — tier 4 of the search ladder:
+# compress the corpus to M sub-codes, score queries against code books
+# (asymmetric distance computation), never touching the full vectors.
+
+
+def _sq_norm_lit(values) -> float:
+    """Σx² folded left-to-right in Python — bit-identical to the engines'
+    left-to-right list folds over the same doubles."""
+    acc = 0.0
+    for x in values:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def _assign_to_centroids_l2(df: DataFrame, centroids: list[list[float]],
+                            vec_col: str, out_col: str = "cluster"
+                            ) -> DataFrame:
+    """Nearest-centroid assignment under squared L2, as a pure
+    projection (centroid literals, no join).  The comparison key drops
+    the per-row ‖x‖² term (constant across centroids):
+
+        key_c = ‖c‖² − 2·x·c      (argmin ⇔ argmin ‖x−c‖²)
+
+    ties → lowest centroid index via lexicographic struct array_min —
+    the same tie rule the SQL replay oracles state as ORDER BY key, c."""
+    entries = []
+    for c, cent in enumerate(centroids):
+        key = F.lit(_sq_norm_lit(cent)) - F.lit(2.0) * _dot(
+            F.col(vec_col), _lit_vec(cent)
+        )
+        entries.append(F.struct(key.alias("d"), F.lit(c).alias("c")))
+    best = F.array_min(F.array(*entries))
+    return df.withColumn(out_col, best["c"].cast("int"))
+
+
+def kmeans_centroids_l2(embeddings: DataFrame, n_clusters: int = 4,
+                        n_iter: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """Lloyd under squared L2 — the PQ sub-quantizer trainer.  Identical
+    replay discipline to the spherical ``kmeans_centroids`` (lowest-id
+    init, 2^-20-quantized integer-sum means, empty clusters keep their
+    centroid, bounded n_clusters×dim driver traffic); only the
+    assignment metric differs."""
+    emb = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    init = emb.orderBy(id_col).limit(n_clusters).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids_l2(emb, cents, vec_col)
+        rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * _QUANT + F.lit(0.5)).cast("long")
+                ).alias("qs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster", "i",
+                (F.col("qs").cast("double")
+                 / (F.col("n").cast("double") * F.lit(_QUANT))).alias("m"),
+            )
+            .collect()
+        )
+        new = {}
+        for r in rows:
+            new.setdefault(r["cluster"], {})[r["i"]] = r["m"]
+        cents = [
+            [new[c][i] for i in range(len(cents[c]))] if c in new else cents[c]
+            for c in range(n_clusters)
+        ]
+    return cents
+
+
+def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
+                       dim: int = 64, n_iter: int = 2,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> list[list[list[float]]]:
+    """Train the M per-subspace code books: each is an independent L2
+    Lloyd run over the corpus restricted to its ``dim/m`` coordinates.
+    Returns codebooks[m][j] = centroid j of subspace m."""
+    dsub = dim // m
+    books = []
+    for mi in range(m):
+        sub = embeddings.select(
+            id_col,
+            F.slice(
+                F.col(vec_col).cast("array<double>"), mi * dsub + 1, dsub
+            ).alias("sv"),
+        )
+        books.append(
+            kmeans_centroids_l2(sub, n_clusters=ksub, n_iter=n_iter,
+                                id_col=id_col, vec_col="sv")
+        )
+    return books
+
+
+def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                m: int = 4, ksub: int = 4, dim: int = 64, n_iter: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Product-quantization search with asymmetric distance computation
+    (Jégou et al. 2011): encode every corpus vector as M sub-codes
+    (nearest L2 centroid per subspace — a pure projection over literal
+    code books), build each query's M×K distance table once, then score
+    candidates as the SUM OF M TABLE LOOKUPS — the corpus's full vectors
+    are never touched at query time, which is the point: at 100 TB the
+    codes are dim/(m·log2(ksub)·?) smaller than the vectors (here 64
+    floats → 4 bytes) and the ADC scan is memory-bandwidth-, not
+    FLOP-bound.
+
+    approx_d2(q, x) = Σ_m dtab_m[code_m(x)],
+    dtab_m[j] = ‖q_m‖² − 2·q_m·c_mj + ‖c_mj‖²
+
+    The distance expression is a FIXED-ORDER sum of M doubles (not an
+    aggregate), so both engines compute the identical IEEE value — the
+    SQL oracle replays training, encoding, tables, and ranking."""
+    dsub = dim // m
+    books = pq_train_codebooks(embeddings, m, ksub, dim, n_iter,
+                               id_col, vec_col)
+
+    enc = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v")
+    )
+    for mi in range(m):
+        sub = F.slice(F.col("v"), mi * dsub + 1, dsub)
+        enc = _assign_to_centroids_l2(
+            enc.withColumn("_sv", sub), books[mi], "_sv", f"code{mi}"
+        ).drop("_sv")
+    enc = enc.drop("v")
+
+    q = queries.select(
+        qid_col, F.col(qvec_col).cast("array<double>").alias("qv")
+    )
+    for mi in range(m):
+        qs = F.slice(F.col("qv"), mi * dsub + 1, dsub)
+        q = q.withColumn("_qs", qs).withColumn(
+            f"dtab{mi}",
+            F.array(*[
+                _dot(F.col("_qs"), F.col("_qs"))
+                - F.lit(2.0) * _dot(F.col("_qs"), _lit_vec(cent))
+                + F.lit(_sq_norm_lit(cent))
+                for cent in books[mi]
+            ]),
+        ).drop("_qs")
+    q = q.drop("qv")
+
+    joined = enc.join(F.broadcast(q))
+    ad2 = None
+    for mi in range(m):
+        term = F.element_at(F.col(f"dtab{mi}"), F.col(f"code{mi}") + 1)
+        ad2 = term if ad2 is None else ad2 + term
+    scored = joined.select(
+        qid_col, id_col, ad2.alias("ad2")
+    ).where(F.col(qid_col) != F.col(id_col))
+    w = Window.partitionBy(qid_col).orderBy(F.asc("ad2"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, F.round("ad2", 6).alias("approx_d2"), "rank")
+    )

@@ -512,3 +512,113 @@ def bpe_train_frame(
     return spark.createDataFrame(
         rows, "step int, lhs string, rhs string, pair_count bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (Jégou et al. 2011) — tier 4 of the search
+# ladder (brute force → LSH → IVF → PQ), completing the
+# similarity-search inventory with the compressed-domain scan.
+
+_PQ_M = 4        #: subspaces
+_PQ_KSUB = 4     #: centroids per subspace
+_PQ_DIM = 64
+_PQ_ITER = 2     #: Lloyd iterations per sub-quantizer
+
+
+def _pq_oracle(m: int = _PQ_M, ksub: int = _PQ_KSUB, dim: int = _PQ_DIM,
+               k: int = 10) -> str:
+    """Full SQL replay of the PQ pipeline: per-subspace Lloyd training
+    (lowest-id init, 2^-20-quantized means — the td_ivf_ann discipline,
+    under squared-L2 assignment with the ties→lowest-centroid rule),
+    corpus encoding, per-query distance tables, ADC ranking."""
+    dsub = dim // m
+    parts = []
+    for mi in range(m):
+        lo, hi = mi * dsub + 1, mi * dsub + dsub
+        assign = (
+            "ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY "
+            "list_dot_product(cb.cv, cb.cv) "
+            "- 2 * list_dot_product(t.sv, cb.cv), cb.c) AS rn"
+        )
+        mean = (
+            "CAST(SUM(CAST(FLOOR(sv[i + 1] * 1048576.0 + 0.5) AS BIGINT)) "
+            f"AS DOUBLE) / (COUNT(*) * 1048576.0) AS mval"
+        )
+        parts.append(f"""
+vs{mi} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM vecs),
+c0_{mi} AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+         sv AS cv
+  FROM (SELECT vec_id, sv FROM vs{mi} ORDER BY vec_id LIMIT {ksub})),
+a1_{mi} AS (SELECT vec_id, sv, c FROM (
+  SELECT t.vec_id, t.sv, cb.c, {assign}
+  FROM vs{mi} t, c0_{mi} cb) WHERE rn = 1),
+m1_{mi} AS (SELECT c, i, {mean}
+  FROM a1_{mi}, range({dsub}) t(i) GROUP BY c, i),
+c1_{mi} AS (SELECT c0_{mi}.c, COALESCE(mm.cv, c0_{mi}.cv) AS cv
+  FROM c0_{mi} LEFT JOIN (SELECT c, list(mval ORDER BY i) AS cv
+                          FROM m1_{mi} GROUP BY c) mm USING (c)),
+a2_{mi} AS (SELECT vec_id, sv, c FROM (
+  SELECT t.vec_id, t.sv, cb.c, {assign}
+  FROM vs{mi} t, c1_{mi} cb) WHERE rn = 1),
+m2_{mi} AS (SELECT c, i, {mean}
+  FROM a2_{mi}, range({dsub}) t(i) GROUP BY c, i),
+c2_{mi} AS (SELECT c1_{mi}.c, COALESCE(mm.cv, c1_{mi}.cv) AS cv
+  FROM c1_{mi} LEFT JOIN (SELECT c, list(mval ORDER BY i) AS cv
+                          FROM m2_{mi} GROUP BY c) mm USING (c)),
+enc_{mi} AS (SELECT vec_id, c AS code FROM (
+  SELECT t.vec_id, cb.c, {assign}
+  FROM vs{mi} t, c2_{mi} cb) WHERE rn = 1),
+qd{mi} AS (
+  SELECT q.qid, cb.c,
+         list_dot_product(q.sv, q.sv) - 2 * list_dot_product(q.sv, cb.cv)
+         + list_dot_product(cb.cv, cb.cv) AS d2
+  FROM (SELECT vec_id AS qid, list_slice(v, {lo}, {hi}) AS sv
+        FROM vecs WHERE vec_id % 100 = 0) q, c2_{mi} cb)""")
+    code_joins = " ".join(
+        f"JOIN enc_{mi} e{mi} USING (vec_id)" for mi in range(1, m)
+    )
+    code_cols = ", ".join(f"e{mi}.code AS code{mi}" for mi in range(m))
+    dt_joins = " ".join(
+        f"JOIN qd{mi} q{mi} ON q{mi}.c = codes.code{mi}"
+        + (f" AND q{mi}.qid = q0.qid" if mi else "")
+        for mi in range(m)
+    )
+    ad2 = " + ".join(f"q{mi}.d2" for mi in range(m))
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),{",".join(parts)},
+codes AS (
+  SELECT e0.vec_id, {code_cols}
+  FROM enc_0 e0 {code_joins}),
+cand AS (
+  SELECT q0.qid, codes.vec_id, {ad2} AS ad2
+  FROM codes {dt_joins}
+  WHERE codes.vec_id <> q0.qid)
+SELECT qid, vec_id, ROUND(ad2, 6) AS approx_d2,
+  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       ORDER BY ad2, vec_id) AS INT) AS rank
+FROM cand QUALIFY rank <= {k}
+"""
+
+
+@query("td_pq_ann", oracle=_pq_oracle())
+def td_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011): 4 subspaces × 4 L2-Lloyd-trained centroids,
+    corpus encoded to 4 sub-codes, queries scored by M table lookups —
+    the compressed-domain tier of the search ladder (the corpus's full
+    vectors are never read at query time; at 100 TB the code table is
+    ~64× smaller than the vectors and the ADC scan is bandwidth-bound).
+    The oracle replays training, encoding, distance tables, and ranking
+    end to end (same contract as td_ivf_ann's Lloyd replay); recall vs
+    the exact scorer is asserted on a planted clustered corpus in
+    tests/test_pq.py."""
+    from busdata_pipeline_spark.operators import similarity
+    from busdata_pipeline_spark.plans.training_data import _queries_df
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, _queries_df(spark, sf_dir), k=10,
+        m=_PQ_M, ksub=_PQ_KSUB, dim=_PQ_DIM, n_iter=_PQ_ITER,
+    )

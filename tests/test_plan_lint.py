@@ -33,6 +33,8 @@ CONSTRUCTION_RUNS_JOBS = {
     "td_bpe_train",
     # PageRank power iterations: per-round checkpoints + node count
     "rel_pagerank_cosuppliers",
+    # PQ codebook training: bounded ksub x dsub mean collects per subspace
+    "td_pq_ann",
 }
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.
@@ -73,6 +75,8 @@ SCALAR_EXPANSION_BNLJ = {
     "td_mixture_resample",            # 1-row feasible-total (T) broadcast
     "td_sketches",                    # 1-row sketch/anchor aggregates recombined
     "td_naive_bayes_quality",         # 1-row class totals + prior broadcast
+    "td_pq_ann",                      # bounded query-dtab set × corpus codes
+                                      # (ADC is a broadcast map by design)
 }
 
 

@@ -1,0 +1,144 @@
+"""Ground-truth tests for the product-quantization tier
+(operators/similarity.py: pq_train_codebooks / pq_adc_topk)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators import similarity
+
+
+def _clustered_corpus(spark, n_clusters=8, per=30, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.1 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return emb, q
+
+
+def _product_corpus(spark, m=4, ksub=4, dim=16, n=240, noise=0.1, seed=11):
+    """PRODUCT-structured corpus — the structure PQ models: each
+    subspace draws its own cluster independently.  (A globally-clustered
+    corpus is the WRONG recall fixture for PQ: every cluster collapses
+    to a single code tuple, so ADC has zero within-cluster resolution
+    and recall measures only tie-breaking — measured 0.25-0.45 there
+    regardless of codebook size.)"""
+    rng = np.random.default_rng(seed)
+    dsub = dim // m
+    subcenters = rng.standard_normal((m, ksub, dsub))
+    rows = []
+    for vid in range(n):
+        v = []
+        for mi in range(m):
+            c = rng.integers(0, ksub)
+            v.extend(subcenters[mi][c] + noise * rng.standard_normal(dsub))
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return emb, q
+
+
+def test_pq_recall_and_distance_quality_on_product_data(spark):
+    """On product-structured data, PQ-ADC must (a) recover most of the
+    exact L2 top-10 and (b) return candidates whose TRUE distances are
+    close to optimal — the honest pair of metrics for a lossy quantizer
+    whose within-cell ranks are tie-broken arbitrarily.  Measured
+    recall ~0.62-0.68 / mean ratio ~1.4-1.6 across seeds; bars carry
+    headroom."""
+    emb, q = _product_corpus(spark)
+    out = similarity.pq_adc_topk(emb, q, k=10, m=4, ksub=4, dim=16).collect()
+    approx = {(r.qid, r.vec_id) for r in out}
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    exact, truth = set(), {}
+    for r in q.collect():
+        qv = np.array(r.qvec)
+        d = sorted(
+            ((float(np.sum((v - qv) ** 2)), vid)
+             for vid, v in vecs.items() if vid != r.qid),
+        )
+        truth[r.qid] = d
+        exact |= {(r.qid, vid) for _, vid in d[:10]}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"PQ recall@10 = {recall:.3f}"
+    got = {}
+    for r in out:
+        got.setdefault(r.qid, []).append(r.vec_id)
+    for qid, ids in got.items():
+        dmap = {i: dd for dd, i in truth[qid]}
+        mean_got = float(np.mean([dmap[i] for i in ids]))
+        mean_true = float(np.mean([dd for dd, _ in truth[qid][:10]]))
+        assert mean_got <= 2.0 * mean_true, (
+            f"qid {qid}: retrieved mean true-dist {mean_got:.3f} vs "
+            f"optimal {mean_true:.3f}"
+        )
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    emb, _ = _clustered_corpus(spark, seed=3)
+    b1 = similarity.pq_train_codebooks(emb, m=4, ksub=4, dim=16)
+    b2 = similarity.pq_train_codebooks(emb, m=4, ksub=4, dim=16)
+    assert b1 == b2, "training must be bit-deterministic"
+    assert len(b1) == 4 and all(len(bk) == 4 for bk in b1)
+    assert all(len(c) == 4 for bk in b1 for c in bk)  # dsub = 16/4
+
+
+def test_pq_adc_equals_naive_lookup_model(spark):
+    """The ADC score of every returned pair must equal the pure-Python
+    reconstruction: sum over subspaces of ||q_m - c_m[code]||^2 computed
+    from the trained codebooks and an independent encode pass."""
+    emb, q = _clustered_corpus(spark, n_clusters=4, per=12, seed=5)
+    m, ksub, dim = 4, 4, 16
+    dsub = dim // m
+    books = similarity.pq_train_codebooks(emb, m=m, ksub=ksub, dim=dim)
+    out = similarity.pq_adc_topk(emb, q, k=5, m=m, ksub=ksub, dim=dim).collect()
+    vecs = {r.vec_id: list(map(float, r.embedding)) for r in emb.collect()}
+    qs = {r.qid: list(map(float, r.qvec)) for r in q.collect()}
+
+    def encode(v):
+        codes = []
+        for mi in range(m):
+            sv = v[mi * dsub:(mi + 1) * dsub]
+            best = min(
+                range(ksub),
+                key=lambda j: (
+                    sum((a - b) ** 2 for a, b in zip(sv, books[mi][j])), j
+                ),
+            )
+            codes.append(best)
+        return codes
+
+    for r in out:
+        codes = encode(vecs[r.vec_id])
+        qv = qs[r.qid]
+        want = 0.0
+        for mi in range(m):
+            sv = qv[mi * dsub:(mi + 1) * dsub]
+            c = books[mi][codes[mi]]
+            want += sum((a - b) ** 2 for a, b in zip(sv, c))
+        assert r.approx_d2 == pytest.approx(round(want, 6), abs=1e-6), (
+            r.qid, r.vec_id
+        )
+
+
+def test_pq_ranks_bounded_and_deterministic(spark):
+    emb, q = _clustered_corpus(spark, seed=9)
+    a = similarity.pq_adc_topk(emb, q, k=10, m=4, ksub=4, dim=16).collect()
+    b = similarity.pq_adc_topk(emb, q, k=10, m=4, ksub=4, dim=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r.qid, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert len(ranks) <= 10 and sorted(ranks) == list(range(1, len(ranks) + 1))
