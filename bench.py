@@ -50,6 +50,11 @@ HEADLINERS = [
     "td_semdedup",                 # SemDeDup: Lloyd train + per-cluster GEMM
     "fn_udtf_doc_top_terms",       # Arrow Python UDTF under lateral join
     "etl_dpp_weekend_join",        # partitioned write + DPP-pruned join
+    # round-6 additions (earlier keys unchanged for cross-round deltas)
+    "td_line_dedup",               # paragraph dedup: md5-keyed window + reassembly
+    "td_bpe_train",                # BPE merge loop: N aggregate+argmax rounds
+    "td_pq_ann",                   # PQ: subspace Lloyd + ADC lookup scan
+    "rel_pagerank_cosuppliers",    # weighted PageRank power iterations
 ]
 
 

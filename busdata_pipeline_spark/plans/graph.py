@@ -135,16 +135,17 @@ def pagerank_frame(
             .groupBy("v")
             .agg(F.sum(F.col("w") / F.col("wu") * F.col("r")).alias("m"))
         )
-        ranks = (
-            nodes.join(contrib, "v", "left")
-            .select(
-                "v",
-                F.round(
-                    F.lit((1 - damping) / n)
-                    + F.lit(damping) * F.coalesce("m", F.lit(0.0)),
-                    _QUANT,
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        # No per-round checkpoint: a FIXED iteration count builds a
+        # bounded (iters-deep) plan over the checkpointed graph tables —
+        # one job at the end instead of one materialization per round
+        # (5.2 s → ~2 s on the sf0.1 bench).  Checkpoint-per-round is
+        # for UNBOUNDED convergence loops (operators/clustering.py).
+        ranks = nodes.join(contrib, "v", "left").select(
+            "v",
+            F.round(
+                F.lit((1 - damping) / n)
+                + F.lit(damping) * F.coalesce("m", F.lit(0.0)),
+                _QUANT,
+            ).alias("r"),
         )
     return ranks

@@ -385,14 +385,17 @@ def naive_bayes_frame(
 _BPE_MERGES = 6
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled DuckDB replay of the merge loop: each step counts
+def _bpe_steps_sql(n_merges: int) -> tuple[str, str, list[str]]:
+    """Shared unrolled DuckDB replay of the merge loop: each step counts
     adjacent symbol pairs weighted by word frequency, picks the argmax
     (ties: lexicographic smallest pair — both engines compare ASCII
     strings identically), and applies the merge by string replacement on
     the ``<sym>``-wrapped sequence encoding.  ``replace`` is
     left-to-right non-overlapping in BOTH engines, which is exactly
-    BPE's greedy pairing ('aaaa' + merge (a,a) → '(aa)(aa)')."""
+    BPE's greedy pairing ('aaaa' + merge (a,a) → '(aa)(aa)').
+
+    Returns (WITH-clause body, final seq-CTE name, per-step best-row
+    selects)."""
     steps = []
     prev = "s0"
     finals = []
@@ -419,8 +422,7 @@ s{i} AS (
             f"SELECT {i} AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM b{i}"
         )
         prev = f"s{i}"
-    return f"""
-WITH words AS (
+    body = f"""words AS (
   SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents),
 wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        FROM words GROUP BY word),
@@ -429,9 +431,70 @@ s0 AS (
          array_to_string(
            list_transform(string_split(word, ''), c -> '<' || c || '>'),
            '') AS seq
-  FROM wf),{",".join(steps)}
-{" UNION ALL ".join(finals)}
+  FROM wf),{",".join(steps)}"""
+    return body, prev, finals
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    body, _, finals = _bpe_steps_sql(n_merges)
+    return f"WITH {body}\n{' UNION ALL '.join(finals)}\n"
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Replay training, then tokenize the corpus with the final merge
+    state: per-word BPE token count = symbol count of its final seq."""
+    body, last, _ = _bpe_steps_sql(n_merges)
+    return f"""
+WITH {body},
+tokc AS (
+  SELECT word,
+         CAST(len(string_split(substring(seq, 2, length(seq) - 2),
+                               '><')) AS BIGINT) AS n_bpe
+  FROM {last}),
+docw AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+  FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 6) AS tokens_per_word
+FROM docw JOIN tokc USING (word)
+GROUP BY doc_id
 """
+
+
+@query("td_bpe_encode", oracle=_bpe_encode_oracle(_BPE_MERGES))
+def td_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of td_bpe_train: encode
+    the corpus with the learned merges and report per-document BPE token
+    counts and the tokens-per-word fertility ratio (the metric tokenizer
+    builders actually monitor).  Encoding cost at 100 TB: the merge
+    state lives on the DISTINCT-WORD table, so documents join to their
+    words' token counts through one fact-fact equi-join on word — the
+    corpus text itself is re-tokenized nowhere; fertility is a ratio of
+    integer counts (round-6 exact)."""
+    docs = table(spark, sf_dir, "documents")
+    _, cur = _bpe_learn(spark, docs, _BPE_MERGES)
+    tokc = cur.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
+        ).cast("long").alias("n_bpe"),
+    )
+    docw = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("word")
+    )
+    return (
+        docw.join(tokc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_word"),
+        )
+    )
 
 
 @query("td_bpe_train", oracle=_bpe_oracle(_BPE_MERGES))
@@ -466,6 +529,17 @@ def bpe_train_frame(
     spark: SparkSession, docs: DataFrame, n_merges: int = _BPE_MERGES
 ) -> DataFrame:
     """Core of td_bpe_train over any (doc_id, text) frame."""
+    rows, _ = _bpe_learn(spark, docs, n_merges)
+    return spark.createDataFrame(
+        rows, "step int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, docs: DataFrame, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """Run the merge loop; returns (merge rows, final word-seq frame
+    (word, freq, seq)) so encoding can reuse the trained state."""
     wf = (
         docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
         .groupBy("word")
@@ -509,9 +583,7 @@ def bpe_train_frame(
             ),
         ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        rows, "step int, lhs string, rhs string, pair_count bigint"
-    )
+    return rows, cur
 
 
 # ---------------------------------------------------------------------------

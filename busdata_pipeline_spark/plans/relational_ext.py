@@ -1101,3 +1101,95 @@ def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics — median/MAD outlier detection per group.
+
+#: 3 sigma-equivalents under normality: 3 x 1.4826; computed once in
+#: Python and embedded as the SAME literal in engine and oracle so the
+#: outlier predicate compares bit-identical doubles.
+_MAD_K = 3 * 1.4826
+
+
+def _mad_outliers_oracle() -> str:
+    return f"""
+WITH m1 AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, abs(e.value - m1.med) AS absdev
+  FROM events e JOIN m1 USING (event_type)
+  WHERE e.value IS NOT NULL),
+m2 AS (
+  SELECT event_type, ROUND(quantile_cont(absdev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type)
+SELECT dev.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(m1.med) AS med,
+  MIN(m2.mad) AS mad,
+  CAST(SUM(CASE WHEN m2.mad > 0 AND dev.absdev > {_MAD_K!r} * m2.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  ROUND(CASE WHEN MIN(m2.mad) > 0
+             THEN MAX(dev.absdev) / (1.4826 * MIN(m2.mad)) END, 6)
+    AS max_robust_z
+FROM dev
+JOIN m1 USING (event_type)
+JOIN m2 USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+@query("rel_mad_outliers", oracle=_mad_outliers_oracle())
+def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation), the estimator that survives the outliers it hunts —
+    mean/stddev z-scores (rel_stats_aggregates) break down past ~21%
+    contamination, MAD at 50%.  A row is an outlier when
+    |x − med| > 3·1.4826·MAD (1.4826 scales MAD to sigma under
+    normality).
+
+    Cross-engine float determinism for a PREDICATE (not just an output):
+    med and MAD are quantized to 6 decimals in both engines before the
+    comparison, and the 3·1.4826 constant is embedded as the identical
+    Python-computed literal — so the compared doubles are bit-equal and
+    the outlier SET (not merely its rounded score) is engine-stable.
+
+    Scale shape: two grouped exact-percentile passes (the group's values
+    sort within its hash partition only — rel_value_percentiles
+    contract) bridged by a broadcastable per-group medians dim; the
+    corpus-wide scalable variant swaps in approx_percentile."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    m1 = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(m1), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("absdev")
+    )
+    m2 = dev.groupBy("event_type").agg(
+        F.round(F.percentile("absdev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(m1), "event_type")
+        .join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.col("absdev") > F.lit(_MAD_K) * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(
+                F.when(
+                    F.min("mad") > 0,
+                    F.max("absdev") / (F.lit(1.4826) * F.min("mad")),
+                ),
+                6,
+            ).alias("max_robust_z"),
+        )
+    )

@@ -93,3 +93,32 @@ raw1 AS (
 SELECT MIN(abs(abs(x * 1e{_QUANT} - floor(x * 1e{_QUANT})) - 0.5)) FROM raw1
 """).fetchall()
     assert margin > 1e-4, f"iteration-1 value near quantization boundary: {margin}"
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Planted group: values {1..9} plus a 100 outlier.  med/MAD are
+    computed over the 10 values; only the 100 crosses 3*1.4826*MAD."""
+    from busdata_pipeline_spark.plans import relational_ext  # noqa: F401
+    from busdata_pipeline_spark.plans.registry import QUERIES
+    import statistics
+
+    # run the registered query against a temp parquet dir shaped like the
+    # events table
+    import tempfile, os
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    rows = [(i, None, i, "t", v, None) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["rel_mad_outliers"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    med = statistics.median(vals)                      # 5.5
+    mad = statistics.median(sorted(abs(v - med) for v in vals))  # 2.5
+    assert r["med"] == med and r["mad"] == mad
+    assert r["n_outliers"] == 1
+    assert r["max_robust_z"] == round((100.0 - med) / (1.4826 * mad), 6)

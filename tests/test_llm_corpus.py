@@ -251,3 +251,30 @@ SELECT MIN(abs(abs(x * 1e6 - floor(x * 1e6)) - 0.5)) FROM raw
         "SELECT MAX(length(trim(text))) FROM documents"
     ).fetchall()
     assert mx < 2 ** 53
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (application of learned merges)
+
+
+def test_bpe_encode_fertility_hand_computed(spark):
+    """corpus 'aab aab ab': merges learned = (a,b) then (a,'a b').
+    After merge 1: aab -> <a><a b>, ab -> <a b>; merge 2 then fuses
+    (a,'a b') so aab -> <a a b> — ONE symbol.  Both words tokenize to a
+    single BPE token."""
+    from busdata_pipeline_spark.plans.llm_corpus import _bpe_learn
+
+    docs = _docs(spark, [(0, "aab aab ab")])
+    _, cur = _bpe_learn(spark, docs, 2)
+    from pyspark.sql import functions as F
+
+    tokc = {
+        r["word"]: r["n"]
+        for r in cur.select(
+            "word",
+            F.size(
+                F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
+            ).alias("n"),
+        ).collect()
+    }
+    assert tokc == {"aab": 1, "ab": 1}

@@ -30,7 +30,7 @@ QUERIES = entrymod.queries()
 CONSTRUCTION_RUNS_JOBS = {
     "td_dup_clusters", "td_dedup_summary", "td_cosine_topk",
     # BPE merge loop: N bounded 1-row argmax collects during training
-    "td_bpe_train",
+    "td_bpe_train", "td_bpe_encode",
     # PageRank power iterations: per-round checkpoints + node count
     "rel_pagerank_cosuppliers",
     # PQ codebook training: bounded ksub x dsub mean collects per subspace
