@@ -694,3 +694,100 @@ def td_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _queries_df(spark, sf_dir), k=10,
         m=_PQ_M, ksub=_PQ_KSUB, dim=_PQ_DIM, n_iter=_PQ_ITER,
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded-memory exact heavy hitters (Misra-Gries candidates + verify)
+
+_HH_K = 50
+
+
+@query(
+    "td_heavy_hitters",
+    # DEFINITIONAL oracle: all tokens with count*k >= N (integer compare,
+    # no float threshold).  The engine must produce exactly this set at
+    # bounded memory — the MG candidate superset varies with
+    # partitioning, but the exact verify filter makes the OUTPUT
+    # invariant, which is what the hash check proves.
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+SELECT tok, cnt FROM c CROSS JOIN tot WHERE cnt * {_HH_K} >= n
+""",
+)
+def td_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens (count ≥ N/k) at bounded memory: weighted
+    Misra-Gries summaries per partition (≤ k counters each, vocabulary-
+    independent) generate a guaranteed-complete candidate superset; an
+    exact verify pass counts ONLY candidates (semi-join before the
+    shuffle) and applies the integer threshold.  See
+    operators/profile.py:heavy_hitters_exact for the undercount-bound
+    completeness argument — this is how "exact top terms" stays
+    feasible when the vocabulary itself no longer fits an executor."""
+    from busdata_pipeline_spark.operators.profile import heavy_hitters_exact
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    return heavy_hitters_exact(toks, k=_HH_K)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val split (cluster-granular assignment)
+
+
+@query(
+    "td_leakage_safe_split",
+    oracle=None,  # assigned below — reuses training_data._CLUSTER_CTE
+)
+def td_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: near-duplicate CLUSTERS, not
+    documents, are the unit of assignment, so two near-copies can never
+    land on opposite sides of the split (the cross-split contamination
+    that inflates eval scores — the reason dedup papers run dedup
+    BEFORE splitting).  group = connected-component id under the
+    MinHash near-dup relation (singletons group as themselves); split =
+    deterministic md5 threshold on the GROUP id (~15/16 train), so
+    membership is a pure function of group — engine- and
+    partitioning-independent.
+
+    Scale shape: the CC labels come from the same hash-min propagation
+    as td_dup_clusters (one shuffle per round); assignment adds one
+    left join + a projection."""
+    from busdata_pipeline_spark.operators import clustering, dedup
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    clusters = clustering.dedup_clusters(pairs)
+    grouped = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_id"),
+    )
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        F.when(
+            F.substring(F.md5(F.col("group_id").cast("string")), 1, 2) < "f0",
+            F.lit("train"),
+        ).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+def _register_leakage_oracle() -> None:
+    from busdata_pipeline_spark.plans.registry import ORACLES
+    from busdata_pipeline_spark.plans.training_data import _CLUSTER_CTE
+
+    ORACLES["td_leakage_safe_split"] = _CLUSTER_CTE + """
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS group_id,
+       CASE WHEN substring(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                    AS VARCHAR)), 1, 2) < 'f0'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+"""
+
+
+_register_leakage_oracle()

@@ -278,3 +278,64 @@ def test_bpe_encode_fertility_hand_computed(spark):
         ).collect()
     }
     assert tokc == {"aab": 1, "ab": 1}
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries exact heavy hitters
+
+
+def test_heavy_hitters_exact_with_eviction_pressure(spark):
+    """k smaller than the vocabulary so MG evictions actually fire; the
+    output must still equal the brute-force frequent set exactly."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from busdata_pipeline_spark.operators.profile import heavy_hitters_exact
+
+    words = (["alpha"] * 40 + ["beta"] * 25 + ["gamma"] * 12
+             + [f"rare{i}" for i in range(60)] + ["delta"] * 8)
+    toks = spark.createDataFrame(
+        [(w,) for w in words], "tok string"
+    ).repartition(7)
+    k = 5
+    got = {r["tok"]: r["cnt"] for r in heavy_hitters_exact(toks, k=k).collect()}
+    n = len(words)
+    want = {w: c for w, c in Counter(words).items() if c * k >= n}
+    assert got == want
+
+
+def test_mg_summaries_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from busdata_pipeline_spark.operators.profile import mg_partition_summaries
+
+    words = [f"w{i % 37}" for i in range(2000)]
+    toks = spark.createDataFrame([(w,) for w in words], "tok string").repartition(4)
+    k = 6
+    sizes = (
+        mg_partition_summaries(toks, k)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= k for r in sizes)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from busdata_pipeline_spark.plans.registry import QUERIES
+    from tests.conftest import SF001
+
+    out = QUERIES["td_leakage_safe_split"](spark, SF001).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values()), "cluster straddles split"
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "val"}
+    frac = sum(r["split"] == "train" for r in out) / len(out)
+    assert 0.75 < frac < 1.0  # ~15/16 by construction

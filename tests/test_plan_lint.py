@@ -35,6 +35,8 @@ CONSTRUCTION_RUNS_JOBS = {
     "rel_pagerank_cosuppliers",
     # PQ codebook training: bounded ksub x dsub mean collects per subspace
     "td_pq_ann",
+    # CC label propagation inside the split assignment
+    "td_leakage_safe_split",
 }
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.
@@ -77,6 +79,7 @@ SCALAR_EXPANSION_BNLJ = {
     "td_naive_bayes_quality",         # 1-row class totals + prior broadcast
     "td_pq_ann",                      # bounded query-dtab set × corpus codes
                                       # (ADC is a broadcast map by design)
+    "td_heavy_hitters",               # 1-row corpus-total broadcast threshold
 }
 
 
@@ -133,6 +136,7 @@ def test_aqe_wraps_every_shuffling_plan(plans):
         # label-propagation / power-iteration outputs read from
         # checkpointed RDDs whose remaining one-stage plan AQE has
         # nothing to re-plan
-        and n not in {"td_dup_clusters", "rel_pagerank_cosuppliers"}
+        and n not in {"td_dup_clusters", "rel_pagerank_cosuppliers",
+                      "td_leakage_safe_split"}
     ]
     assert not bad, f"non-adaptive shuffling plans: {bad}"
