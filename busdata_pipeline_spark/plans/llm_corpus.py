@@ -791,3 +791,125 @@ FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 
 
 _register_leakage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup maintenance (signature store + delta batch)
+
+_SHINGLE_SQL = """CASE WHEN len(string_split(t, ' ')) >= 3 THEN
+    list_distinct(list_transform(
+      range(1, len(string_split(t, ' ')) - 1),
+      i -> string_split(t, ' ')[i] || ' ' ||
+           string_split(t, ' ')[i+1] || ' ' ||
+           string_split(t, ' ')[i+2])) ELSE [] END"""
+
+
+@query(
+    "td_incremental_minhash",
+    # DEFINITIONAL oracle: every (delta, store) pair with exact 3-gram
+    # Jaccard >= 0.5 — the banded-LSH candidate path must reproduce it
+    # (the LSH==exact guard for THIS corpus is test-asserted, same
+    # contract as td_minhash_near_dups).
+    oracle=f"""
+WITH base AS (SELECT doc_id, TRIM(text) AS t FROM documents),
+store AS (SELECT doc_id, t FROM base WHERE doc_id % 2 = 0),
+delta AS (
+  SELECT doc_id, t FROM base WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_slice(string_split(t, ' '), 1,
+                                    len(string_split(t, ' ')) - 1), ' ')
+  FROM base WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+shs AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM store),
+shd AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM delta)
+SELECT d.doc_id AS new_doc_id, s.doc_id AS store_doc_id,
+       ROUND(CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
+             / (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))),
+             6) AS jaccard
+FROM shd d JOIN shs s ON
+  CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
+  / (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))) >= 0.5
+""",
+)
+def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup dedup as a maintained index — the fuzzy sibling of
+    td_incremental_dedup: a MinHash SIGNATURE store is persisted once
+    per corpus state; a new arrival batch computes signatures for ITS
+    documents only, and candidate pairs come from a banded equi-join of
+    delta bands against store bands — the stored corpus is never
+    re-shingled (its text is touched only for the exact-Jaccard verify
+    of candidates, a candidate-bounded lookup that at 100 TB is a
+    bucket join against the corpus table).
+
+    Demo state: store = even docs' signatures (written to parquet and
+    READ BACK, so the no-reshingle property is physical, not notional);
+    delta = odd docs + planted truncated copies of every 10th even doc.
+    Output: (new_doc_id, store_doc_id, jaccard ≥ 0.5)."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    store_docs = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    words = F.split(F.trim("text"), " ")
+    copies = (
+        docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(
+                F.slice(words, 1, F.size(words) - 1), " "
+            ).alias("text"),
+        )
+    )
+    delta_docs = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(copies)
+    )
+
+    store = tempfile.mkdtemp(prefix="minhash_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        minhash_signatures(store_docs).write.mode("overwrite").parquet(store)
+        store_sigs = spark.read.parquet(store)
+        delta_sigs = minhash_signatures(delta_docs)
+
+        def banded(sigs, out_id):
+            return sigs.select(
+                F.col("doc_id").alias(out_id),
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(0, 7), b -> "
+                        "xxhash64(concat_ws(',', slice(signature, "
+                        "b * (size(signature) div 8) + 1, "
+                        "size(signature) div 8)), b))"
+                    )
+                ).alias("band", "band_hash"),
+            )
+
+        cands = (
+            banded(delta_sigs, "b")
+            .join(banded(store_sigs, "a"), ["band", "band_hash"])
+            .select("a", "b")
+            .distinct()
+        )
+        both = store_docs.unionByName(delta_docs)
+        out = (
+            jaccard_pairs(both, cands, pairs_small=True)
+            .where(F.col("jaccard") >= 0.5)
+            .select(
+                F.col("b").alias("new_doc_id"),
+                F.col("a").alias("store_doc_id"),
+                "jaccard",
+            )
+        )
+        # eager checkpoint materializes to Spark-managed storage so the
+        # temp store dir can be removed (td_incremental_dedup pattern —
+        # the result stays DISTRIBUTED, no driver collect)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

@@ -339,3 +339,23 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     assert splits == {"train", "val"}
     frac = sum(r["split"] == "train" for r in out) / len(out)
     assert 0.75 < frac < 1.0  # ~15/16 by construction
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash (signature store + delta)
+
+
+def test_incremental_minhash_finds_planted_truncated_copies(spark):
+    from busdata_pipeline_spark.plans.registry import QUERIES
+    from tests.conftest import SF001
+
+    out = QUERIES["td_incremental_minhash"](spark, SF001).collect()
+    pairs = {(r["new_doc_id"], r["store_doc_id"]): r["jaccard"] for r in out}
+    planted_new_ids = {new for new, _ in pairs if new >= 1000000}
+    assert planted_new_ids, "no planted matches found"
+    # every planted truncated copy must match its own base doc at
+    # near-1 jaccard (one shingle-set member lost to the truncation)
+    for new in planted_new_ids:
+        base = new - 1000000
+        assert (new, base) in pairs, f"planted copy {new} missed base {base}"
+        assert pairs[(new, base)] > 0.85, (new, base, pairs[(new, base)])

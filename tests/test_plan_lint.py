@@ -37,6 +37,8 @@ CONSTRUCTION_RUNS_JOBS = {
     "td_pq_ann",
     # CC label propagation inside the split assignment
     "td_leakage_safe_split",
+    # signature-store write + checkpointed delta result
+    "td_incremental_minhash",
 }
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.
