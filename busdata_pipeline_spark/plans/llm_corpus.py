@@ -913,3 +913,94 @@ def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end entity resolution (blocking -> fuzzy match -> CC -> golden record)
+
+
+@query(
+    "rel_entity_resolution",
+    # The full workflow replayed: the blocked-fuzzy edge predicate is
+    # the td_fuzzy_prefix_match definition, closure is the recursive
+    # CTE, the golden record is a deterministic (n_chars DESC, doc_id)
+    # survivorship pick, membership a sorted CSV.
+    oracle="""
+WITH RECURSIVE nm AS (
+  SELECT doc_id, rpad(lower(substring(text, 1, 12)), 12, '_') AS nm,
+         length(trim(text)) AS n_chars
+  FROM documents),
+blocks AS (
+  SELECT doc_id, nm, i, substring(nm, 1 + (i - 1) * 4, 4) AS blk
+  FROM nm, range(1, 4) t(i)),
+edges AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM blocks a JOIN blocks b
+    ON a.i = b.i AND a.blk = b.blk AND b.doc_id > a.doc_id
+  WHERE levenshtein(a.nm, b.nm) <= 2),
+sym AS (SELECT a AS v, b AS w FROM edges UNION SELECT b, a FROM edges),
+reach(v, w) AS (
+  SELECT v, v FROM sym GROUP BY v
+  UNION
+  SELECT r.v, s.w FROM reach r JOIN sym s ON s.v = r.w),
+clusters AS (SELECT v AS doc_id, MIN(w) AS cluster_id FROM reach GROUP BY v),
+rep AS (
+  SELECT cluster_id, doc_id AS rep_doc_id FROM (
+    SELECT c.cluster_id, n.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY n.n_chars DESC, n.doc_id) AS rn
+    FROM clusters c JOIN nm n USING (doc_id)) q WHERE rn = 1)
+SELECT c.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(rep.rep_doc_id) AS rep_doc_id,
+       string_agg(c.doc_id, ',' ORDER BY c.doc_id) AS members
+FROM clusters c JOIN rep USING (cluster_id)
+GROUP BY c.cluster_id
+""",
+)
+def rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the record-linkage workflow a
+    warehouse user actually runs, composed from the engine's parts:
+
+    1. BLOCKING + fuzzy match (operators/dedup.fuzzy_prefix_matches):
+       aligned-prefix-block equi-join candidates, levenshtein verify;
+    2. CLUSTERING (operators/clustering.connected_components): hash-min
+       label propagation over the match edges;
+    3. SURVIVORSHIP: per entity, the golden record is the longest
+       document (ties → lowest id) — a deterministic total order, so
+       the pick is engine-stable; membership is a sorted CSV.
+
+    Scale: each leg inherits its operator's posture (blocked equi-join,
+    one shuffle per CC round, one cluster-keyed window + aggregate);
+    nothing here is new physics — the point is that the composition
+    stays three shuffles deep end to end."""
+    from busdata_pipeline_spark.operators import clustering, dedup
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.fuzzy_prefix_matches(docs)
+    clusters = clustering.dedup_clusters(pairs)
+    n_chars = docs.select("doc_id", F.length(F.trim("text")).alias("n_chars"))
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    rep = (
+        clusters.join(n_chars, "doc_id")
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("rep_doc_id"))
+    )
+    return (
+        clusters.join(rep, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("rep_doc_id").alias("rep_doc_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+    )

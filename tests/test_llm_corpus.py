@@ -359,3 +359,32 @@ def test_incremental_minhash_finds_planted_truncated_copies(spark):
         base = new - 1000000
         assert (new, base) in pairs, f"planted copy {new} missed base {base}"
         assert pairs[(new, base)] > 0.85, (new, base, pairs[(new, base)])
+
+
+# ---------------------------------------------------------------------------
+# entity resolution
+
+
+def test_entity_resolution_golden_record_is_longest_member(spark):
+    from pyspark.sql import functions as F
+
+    from busdata_pipeline_spark.plans.registry import QUERIES
+    from busdata_pipeline_spark.sources import table
+    from tests.conftest import SF001
+
+    out = QUERIES["rel_entity_resolution"](spark, SF001).collect()
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, SF001, "documents")
+        .select("doc_id", F.length(F.trim("text")).alias("n")).collect()
+    }
+    for r in out:
+        members = [int(x) for x in r["members"].split(",")]
+        assert r["rep_doc_id"] in members
+        assert r["n_members"] == len(members)
+        best = max(lens[m] for m in members)
+        assert lens[r["rep_doc_id"]] == best
+        # ties -> lowest id
+        tied = [m for m in members if lens[m] == best]
+        assert r["rep_doc_id"] == min(tied)
+        assert r["cluster_id"] == min(members)

@@ -39,6 +39,8 @@ CONSTRUCTION_RUNS_JOBS = {
     "td_leakage_safe_split",
     # signature-store write + checkpointed delta result
     "td_incremental_minhash",
+    # CC label propagation inside the resolution workflow
+    "rel_entity_resolution",
 }
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.
@@ -139,6 +141,6 @@ def test_aqe_wraps_every_shuffling_plan(plans):
         # checkpointed RDDs whose remaining one-stage plan AQE has
         # nothing to re-plan
         and n not in {"td_dup_clusters", "rel_pagerank_cosuppliers",
-                      "td_leakage_safe_split"}
+                      "td_leakage_safe_split", "rel_entity_resolution"}
     ]
     assert not bad, f"non-adaptive shuffling plans: {bad}"
