@@ -492,3 +492,32 @@ def st_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_batches=[clicks(1, 11), clicks(11, 21)],
         right_batches=[views(1, 11), views(11, 21)],
     )
+
+
+@query(
+    "st_trending_types",
+    oracle="""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n, rank FROM (
+  SELECT c.*, CAST(ROW_NUMBER() OVER (
+      PARTITION BY window_start ORDER BY n DESC, event_type) AS INT) AS rank
+  FROM c) q
+WHERE rank <= 3
+""",
+)
+def st_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending topics: top-3 event types per tumbling hour.  The COUNT
+    half streams (incremental state, watermark-bounded); the RANK half
+    runs downstream of the sink — the standard split for streaming
+    top-k, asserted stream==batch in
+    tests/test_streaming.py::test_trending_stream_equals_batch."""
+    from busdata_pipeline_spark.streaming.windows import (
+        rank_trending,
+        type_counts_windowed,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return rank_trending(type_counts_windowed(ev, "1 hour"), k=3)

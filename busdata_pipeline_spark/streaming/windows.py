@@ -73,3 +73,36 @@ def session_stats(df: DataFrame, gap: str = "5 minutes",
             "total_value",
         )
     )
+
+
+def type_counts_windowed(df: DataFrame, width: str = "1 hour",
+                         ts_col: str = "ts",
+                         key_col: str = "event_type") -> DataFrame:
+    """Per-window per-key counts — the streamable HALF of trending
+    topics: this aggregation runs incrementally (update/complete mode,
+    watermark-bounded state); the rank over it is applied DOWNSTREAM of
+    the sink by ``rank_trending`` (ranking needs the window's final
+    state, so it belongs to the serving layer, batch and streaming
+    alike — same split a real trending dashboard uses)."""
+    w = F.window(ts_col, width)
+    return (
+        df.groupBy(w.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n")
+    )
+
+
+def rank_trending(counts: DataFrame, k: int = 3,
+                  key_col: str = "event_type") -> DataFrame:
+    """Top-k per window over the (window_start, key, n) counts; ties →
+    key order so results are engine-stable.  WindowGroupLimit keeps k
+    rows per window partition — no global sort."""
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc(key_col)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+    )

@@ -685,3 +685,35 @@ def test_cdc_full_replay_is_idempotent(spark):
         twice = merge_into(twice, b, key="c_custkey")
     assert sorted(map(tuple, once.collect())) == \
         sorted(map(tuple, twice.collect()))
+
+
+def test_trending_stream_equals_batch(spark, tmp_path):
+    """Trending top-k: the count half runs as a REAL stream (complete
+    mode, memory sink); the rank half applies to the sink state and
+    must equal the batch twin end to end."""
+    from busdata_pipeline_spark.sources import table
+    from busdata_pipeline_spark.streaming.windows import (
+        rank_trending,
+        type_counts_windowed,
+        with_watermark,
+    )
+    from tests.conftest import SF0001
+
+    ev = table(spark, SF0001, "events")
+    src = tmp_path / "trend_src"
+    ev.coalesce(2).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    counts = type_counts_windowed(with_watermark(stream, "2 hours"), "1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("trend_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = rank_trending(spark.sql("SELECT * FROM trend_stream"), k=3)
+    batch = rank_trending(type_counts_windowed(ev, "1 hour"), k=3)
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(want) > 0
