@@ -103,3 +103,60 @@ def vacuum_versions(path: str) -> list[int]:
             shutil.rmtree(d)
             gone.append(c["version"])
     return gone
+
+
+# ---------------------------------------------------------------------------
+# Cross-table atomic snapshots: one transaction manifest pins a version
+# per table, so readers get a CONSISTENT view across tables — table A at
+# v2 with table B still at v1 is unobservable, even when each table's
+# own commit already landed (the torn-write window the single-table log
+# cannot close).
+
+
+def _txn_log(root: str) -> str:
+    return os.path.join(root, "_txn")
+
+
+def txn_commits(root: str) -> list[dict]:
+    d = _txn_log(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d), key=lambda s: int(s.split(".")[0])):
+        with open(os.path.join(d, f)) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def txn_commit(root: str, table_versions: dict[str, int]) -> int:
+    """Atomically publish a cross-table snapshot {table: version}.  The
+    manifest rename is the ONLY commit point: per-table data and
+    per-table version manifests may already exist (written in any
+    order, by any number of writers) — none of it is visible through
+    ``txn_read`` until this rename lands."""
+    os.makedirs(_txn_log(root), exist_ok=True)
+    txn = len(txn_commits(root)) + 1
+    entry = {"txn": txn, "tables": dict(table_versions)}
+    fd, tmp = tempfile.mkstemp(dir=_txn_log(root))
+    with os.fdopen(fd, "w") as fh:
+        json.dump(entry, fh)
+    os.rename(tmp, os.path.join(_txn_log(root), f"{txn}.json"))
+    return txn
+
+
+def txn_read(spark: SparkSession, root: str, paths: dict[str, str],
+             txn: int | None = None) -> dict[str, DataFrame]:
+    """The snapshot as of transaction ``txn`` (default latest): every
+    table read AT ITS PINNED VERSION via time travel — cross-table
+    consistency reduces to single-table time travel plus one atomic
+    manifest."""
+    commits = txn_commits(root)
+    if txn is not None:
+        commits = [c for c in commits if c["txn"] <= txn]
+    if not commits:
+        raise ValueError(f"no transaction at or before {txn}")
+    pinned = commits[-1]["tables"]
+    return {
+        name: read_version(spark, paths[name], pinned[name])
+        for name in pinned
+    }

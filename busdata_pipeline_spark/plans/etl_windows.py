@@ -627,3 +627,77 @@ def etl_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "etl_multi_table_txn",
+    # The mid snapshot reads THROUGH a torn write: both tables' v2 data
+    # AND table-level version manifests are already on disk, only the
+    # cross-table txn manifest is missing — so the counts must still be
+    # v1's.  If table-level visibility leaked into the txn view, the
+    # mid counts would include v2 rows and the hash would fail.
+    oracle="""
+SELECT
+ (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey <= 50)
+   AS mid_dim_rows,
+ (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-01') AS mid_fact_rows,
+ (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey <= 80)
+   AS final_dim_rows,
+ (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+     OR CAST(ts AS DATE) = DATE '2024-01-02') AS final_fact_rows
+""",
+)
+def etl_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table atomic snapshot (operators/versioned.py txn layer):
+    dim and fact each commit v2 — data on disk, per-table manifests
+    renamed — but until the ONE transaction manifest lands, ``txn_read``
+    serves both tables at v1 (the mid counts in the hash prove the torn
+    write is unobservable).  After ``txn_commit``, both flip together.
+    This closes the window the reference's two sequential INSERTs leave
+    open (`/root/reference/transform.py:186-288`: Trip then BreadCrumb,
+    a reader between them sees dangling trips)."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.operators.versioned import (
+        txn_commit,
+        txn_read,
+        write_version,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="txn_q_")
+    shutil.rmtree(root, ignore_errors=True)
+    dim_p, fact_p = f"{root}/dim", f"{root}/fact"
+    try:
+        v_dim1 = write_version(
+            cust.where(F.col("c_custkey") <= 50), dim_p, "append")
+        v_fact1 = write_version(
+            ev.where(F.to_date("ts") == F.lit("2024-01-01").cast("date")),
+            fact_p, "append")
+        txn_commit(root, {"dim": v_dim1, "fact": v_fact1})
+
+        # v2 of BOTH tables fully lands at table level — no txn yet
+        v_dim2 = write_version(
+            cust.where((F.col("c_custkey") > 50) & (F.col("c_custkey") <= 80)),
+            dim_p, "append")
+        v_fact2 = write_version(
+            ev.where(F.to_date("ts") == F.lit("2024-01-02").cast("date")),
+            fact_p, "append")
+
+        mid = txn_read(spark, root, {"dim": dim_p, "fact": fact_p})
+        mid_counts = (mid["dim"].count(), mid["fact"].count())
+
+        txn_commit(root, {"dim": v_dim2, "fact": v_fact2})
+        fin = txn_read(spark, root, {"dim": dim_p, "fact": fact_p})
+        return spark.createDataFrame(
+            [(mid_counts[0], mid_counts[1],
+              fin["dim"].count(), fin["fact"].count())],
+            "mid_dim_rows long, mid_fact_rows long, "
+            "final_dim_rows long, final_fact_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -41,6 +41,8 @@ CONSTRUCTION_RUNS_JOBS = {
     "td_incremental_minhash",
     # CC label propagation inside the resolution workflow
     "rel_entity_resolution",
+    # versioned-table writes + txn manifests during construction
+    "etl_multi_table_txn",
 }
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.

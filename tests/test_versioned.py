@@ -74,3 +74,50 @@ def test_vacuum_removes_only_unreachable_versions(spark, tbl):
         _xs(spark, tbl, 2)
     # idempotent
     assert vacuum_versions(tbl) == []
+
+
+# ---------------------------------------------------------------------------
+# cross-table transactions
+
+
+def test_txn_hides_torn_cross_table_write(spark, tmp_path):
+    from busdata_pipeline_spark.operators.versioned import (
+        txn_commit,
+        txn_read,
+        write_version,
+    )
+
+    root = str(tmp_path / "txnroot")
+    a, b = f"{root}/a", f"{root}/b"
+    d1 = spark.range(5).withColumnRenamed("id", "k")
+    d2 = spark.range(5, 9).withColumnRenamed("id", "k")
+    va1 = write_version(d1, a, "append")
+    vb1 = write_version(d1, b, "append")
+    txn_commit(root, {"a": va1, "b": vb1})
+
+    # both tables commit v2 at TABLE level; txn manifest missing
+    write_version(d2, a, "append")
+    write_version(d2, b, "append")
+    snap = txn_read(spark, root, {"a": a, "b": b})
+    assert snap["a"].count() == 5 and snap["b"].count() == 5
+
+
+def test_txn_as_of_reads(spark, tmp_path):
+    from busdata_pipeline_spark.operators.versioned import (
+        txn_commit,
+        txn_read,
+        write_version,
+    )
+
+    root = str(tmp_path / "txnroot2")
+    a, b = f"{root}/a", f"{root}/b"
+    va1 = write_version(spark.range(3), a, "append")
+    vb1 = write_version(spark.range(4), b, "append")
+    txn_commit(root, {"a": va1, "b": vb1})
+    va2 = write_version(spark.range(10, 13), a, "append")
+    txn_commit(root, {"a": va2, "b": vb1})
+
+    old = txn_read(spark, root, {"a": a, "b": b}, txn=1)
+    new = txn_read(spark, root, {"a": a, "b": b})
+    assert old["a"].count() == 3 and new["a"].count() == 6
+    assert old["b"].count() == 4 and new["b"].count() == 4
