@@ -1004,3 +1004,107 @@ def rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch set-algebra: audience overlap via HLL inclusion-exclusion
+
+_OVERLAP_DAYS = ["2024-01-0%d" % d for d in range(1, 6)]
+
+
+@query(
+    "td_sketch_overlap",
+    # Exact anchors + per-engine sketch invariant (the td_sketches
+    # contract): each engine asserts ITS OWN HLL inclusion-exclusion
+    # estimate lands within the bound of the exact overlap — the bound
+    # is generous enough (20% + 10) that both engines' sketches sit
+    # inside it, so the boolean is engine-stable.
+    oracle=f"""
+WITH days(d) AS (VALUES {", ".join("(DATE '%s')" % d for d in _OVERLAP_DAYS)}),
+m AS (
+  SELECT p.pair_day, e.user_id, (CAST(e.ts AS DATE) = p.pair_day) AS is_a
+  FROM events e
+  JOIN (SELECT d AS pair_day FROM days WHERE d < DATE '{_OVERLAP_DAYS[-1]}') p
+    ON CAST(e.ts AS DATE) = p.pair_day
+    OR CAST(e.ts AS DATE) = p.pair_day + INTERVAL 1 DAY),
+per_user AS (
+  SELECT pair_day, user_id,
+         MAX(CASE WHEN is_a THEN 1 ELSE 0 END) AS has_a,
+         MAX(CASE WHEN is_a THEN 0 ELSE 1 END) AS has_b
+  FROM m GROUP BY pair_day, user_id),
+ex AS (
+  SELECT pair_day,
+         CAST(SUM(has_a) AS BIGINT) AS exact_a,
+         CAST(SUM(has_b) AS BIGINT) AS exact_b,
+         CAST(SUM(has_a * has_b) AS BIGINT) AS exact_overlap
+  FROM per_user GROUP BY pair_day),
+est AS (
+  SELECT pair_day,
+         approx_count_distinct(CASE WHEN is_a THEN user_id END) AS ea,
+         approx_count_distinct(CASE WHEN NOT is_a THEN user_id END) AS eb,
+         approx_count_distinct(user_id) AS eu
+  FROM m GROUP BY pair_day)
+SELECT ex.pair_day, ex.exact_a, ex.exact_b, ex.exact_overlap,
+       abs((est.ea + est.eb - est.eu) - ex.exact_overlap)
+         <= 0.2 * ex.exact_overlap + 10 AS overlap_est_ok
+FROM ex JOIN est USING (pair_day)
+""",
+)
+def td_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set OVERLAP between consecutive days, two ways at once:
+    exact (per-(pair, user) bitmask fold — two hash aggregates, no
+    self-join) and sketched (|A∩B| ≈ HLL(A) + HLL(B) − HLL(A∪B), the
+    inclusion-exclusion identity that lets pre-aggregated per-partition
+    HLL states answer overlap questions no COUNT(DISTINCT) rollup can).
+    At 100 TB the exact side is the audit; the sketch side is what a
+    dashboard serves from merged per-day sketch states without
+    re-scanning either day.  The subtraction amplifies sketch error —
+    which is the point of carrying the exact anchor and asserting the
+    bound in-band (boolean in the hash)."""
+    ev = table(spark, sf_dir, "events")
+    days = [F.lit(d).cast("date") for d in _OVERLAP_DAYS]
+    d = F.to_date("ts")
+    pairs = F.array(*[
+        F.struct(
+            days[i].alias("pair_day"),
+            (d == days[i]).alias("is_a"),
+        )
+        for i in range(len(days) - 1)
+    ])
+    m = (
+        ev.where(d.isin([F.lit(x) for x in _OVERLAP_DAYS]))
+        .select("user_id", d.alias("d"), F.explode(pairs).alias("p"))
+        .where(
+            (F.col("d") == F.col("p.pair_day"))
+            | (F.col("d") == F.date_add(F.col("p.pair_day"), 1))
+        )
+        .select(
+            F.col("p.pair_day").alias("pair_day"),
+            "user_id",
+            (F.col("d") == F.col("p.pair_day")).alias("is_a"),
+        )
+    )
+    per_user = m.groupBy("pair_day", "user_id").agg(
+        F.max(F.when(F.col("is_a"), 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(F.col("is_a"), 0).otherwise(1)).alias("has_b"),
+    )
+    ex = per_user.groupBy("pair_day").agg(
+        F.sum("has_a").alias("exact_a"),
+        F.sum("has_b").alias("exact_b"),
+        F.sum(F.col("has_a") * F.col("has_b")).alias("exact_overlap"),
+    )
+    est = m.groupBy("pair_day").agg(
+        F.approx_count_distinct(
+            F.when(F.col("is_a"), F.col("user_id")), 0.01).alias("ea"),
+        F.approx_count_distinct(
+            F.when(~F.col("is_a"), F.col("user_id")), 0.01).alias("eb"),
+        F.approx_count_distinct("user_id", 0.01).alias("eu"),
+    )
+    return ex.join(est, "pair_day").select(
+        "pair_day", "exact_a", "exact_b", "exact_overlap",
+        (
+            F.abs((F.col("ea") + F.col("eb") - F.col("eu"))
+                  - F.col("exact_overlap"))
+            <= 0.2 * F.col("exact_overlap") + 10
+        ).alias("overlap_est_ok"),
+    )

@@ -388,3 +388,31 @@ def test_entity_resolution_golden_record_is_longest_member(spark):
         tied = [m for m in members if lens[m] == best]
         assert r["rep_doc_id"] == min(tied)
         assert r["cluster_id"] == min(members)
+
+
+# ---------------------------------------------------------------------------
+# sketch overlap
+
+
+def test_sketch_overlap_exact_anchors_match_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from busdata_pipeline_spark.plans.registry import QUERIES
+    from busdata_pipeline_spark.sources import table
+    from tests.conftest import SF001
+
+    out = {str(r["pair_day"]): r
+           for r in QUERIES["td_sketch_overlap"](spark, SF001).collect()}
+    ev = table(spark, SF001, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).collect()
+    by_day = {}
+    for r in ev:
+        by_day.setdefault(str(r["d"]), set()).add(r["user_id"])
+    for i in range(1, 5):
+        d1, d2 = f"2024-01-0{i}", f"2024-01-0{i+1}"
+        r = out[d1]
+        assert r["exact_a"] == len(by_day[d1])
+        assert r["exact_b"] == len(by_day[d2])
+        assert r["exact_overlap"] == len(by_day[d1] & by_day[d2])
+        assert bool(r["overlap_est_ok"]) is True
