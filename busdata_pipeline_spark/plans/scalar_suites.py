@@ -14,7 +14,7 @@ driver's sorted-column value hash is bit-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.plans.registry import query
@@ -475,3 +475,102 @@ def fn_hash_mask_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(email, "[^@]+@", "***@").alias("masked_email"),
         F.repeat(F.lit("*"), F.length("event_type")).alias("star_mask"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# geodesic scalar surface (haversine + bearing over derived coordinates)
+
+#: shared literals: embedding the SAME python-repr double in both
+#: engines keeps x*PI/180 bit-identical (radians() internals may
+#: associate differently per engine).
+_PI = 3.141592653589793
+_EARTH_KM = 6371.0088
+
+
+@query(
+    "fn_geo_suite",
+    # Transcendental parity discipline: sin/cos/asin/atan2 may differ by
+    # 1 ulp between libm and JDK Math; at km magnitude that is ~1e-12
+    # absolute, so ROUND(_, 4) (1e-4 boundaries) leaves ~8 orders of
+    # margin — the same reasoning as fn_math_bitwise_suite, derated for
+    # the larger value range.
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         value / 10.0 - 25.0 AS lat,
+         CAST(user_id AS DOUBLE) - 75.0 AS lon
+  FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-01' AND value IS NOT NULL),
+seq AS (
+  SELECT event_id, user_id, lat, lon,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id,
+  ROUND(2 * {_EARTH_KM!r} * asin(sqrt(
+      sin((lat - plat) * {_PI!r} / 180 / 2)
+        * sin((lat - plat) * {_PI!r} / 180 / 2)
+      + cos(plat * {_PI!r} / 180) * cos(lat * {_PI!r} / 180)
+        * sin((lon - plon) * {_PI!r} / 180 / 2)
+        * sin((lon - plon) * {_PI!r} / 180 / 2))), 4) AS dist_km,
+  ROUND(atan2(
+      sin((lon - plon) * {_PI!r} / 180) * cos(lat * {_PI!r} / 180),
+      cos(plat * {_PI!r} / 180) * sin(lat * {_PI!r} / 180)
+      - sin(plat * {_PI!r} / 180) * cos(lat * {_PI!r} / 180)
+        * cos((lon - plon) * {_PI!r} / 180)) * 180 / {_PI!r}, 4)
+    AS bearing_deg,
+  (lat BETWEEN -10 AND 10 AND lon BETWEEN -40 AND 40) AS in_bbox
+FROM seq WHERE plat IS NOT NULL
+""",
+)
+def fn_geo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic scalars over consecutive per-user points — the exact
+    computation the reference derives speed from (consecutive GPS
+    breadcrumbs, `/root/reference/transform.py:219-230`), on the
+    (value, user_id)-derived coordinate plane: haversine great-circle
+    distance, initial bearing, bounding-box membership.  One window
+    exchange supplies the lagged point; everything else is codegen'd
+    column math (no UDF)."""
+    from busdata_pipeline_spark.sources import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    pts = ev.where(
+        (F.to_date("ts") == F.lit("2024-01-01").cast("date"))
+        & F.col("value").isNotNull()
+    ).select(
+        "event_id", "user_id", "ts",
+        (F.col("value") / 10.0 - 25.0).alias("lat"),
+        (F.col("user_id").cast("double") - 75.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        "event_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).where(F.col("plat").isNotNull())
+
+    def rad(c):
+        return c * F.lit(_PI) / 180
+
+    dphi2 = rad(F.col("lat") - F.col("plat")) / 2
+    dlam = rad(F.col("lon") - F.col("plon"))
+    dlam2 = dlam / 2
+    hav = (
+        F.sin(dphi2) * F.sin(dphi2)
+        + F.cos(rad(F.col("plat"))) * F.cos(rad(F.col("lat")))
+        * F.sin(dlam2) * F.sin(dlam2)
+    )
+    dist = F.lit(2.0) * F.lit(_EARTH_KM) * F.asin(F.sqrt(hav))
+    bearing = F.atan2(
+        F.sin(dlam) * F.cos(rad(F.col("lat"))),
+        F.cos(rad(F.col("plat"))) * F.sin(rad(F.col("lat")))
+        - F.sin(rad(F.col("plat"))) * F.cos(rad(F.col("lat")))
+        * F.cos(dlam),
+    ) * 180 / F.lit(_PI)
+    return seq.select(
+        "event_id",
+        F.round(dist, 4).alias("dist_km"),
+        F.round(bearing, 4).alias("bearing_deg"),
+        (
+            F.col("lat").between(-10, 10) & F.col("lon").between(-40, 40)
+        ).alias("in_bbox"),
+    )

@@ -416,3 +416,41 @@ def test_sketch_overlap_exact_anchors_match_bruteforce(spark):
         assert r["exact_b"] == len(by_day[d2])
         assert r["exact_overlap"] == len(by_day[d1] & by_day[d2])
         assert bool(r["overlap_est_ok"]) is True
+
+
+# ---------------------------------------------------------------------------
+# geodesic suite
+
+
+def test_geo_suite_matches_pure_python_haversine(spark):
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from busdata_pipeline_spark.sources import table
+    from tests.conftest import SF001
+
+    out = {r["event_id"]: r
+           for r in entrymod.queries()["fn_geo_suite"](spark, SF001).collect()}
+    ev = table(spark, SF001, "events").where(
+        (F.to_date("ts") == F.lit("2024-01-01").cast("date"))
+        & F.col("value").isNotNull()
+    ).select("event_id", "user_id", "ts", "value").collect()
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    R = 6371.0088
+    checked = 0
+    for rows in by_user.values():
+        for prev, cur in zip(rows, rows[1:]):
+            la1, lo1 = prev["value"] / 10 - 25, prev["user_id"] - 75.0
+            la2, lo2 = cur["value"] / 10 - 25, cur["user_id"] - 75.0
+            p1, p2 = m.radians(la1), m.radians(la2)
+            dp, dl = m.radians(la2 - la1), m.radians(lo2 - lo1)
+            h = m.sin(dp / 2) ** 2 + m.cos(p1) * m.cos(p2) * m.sin(dl / 2) ** 2
+            want = 2 * R * m.asin(m.sqrt(h))
+            got = out[cur["event_id"]]["dist_km"]
+            assert abs(got - want) < 1e-3, (cur["event_id"], got, want)
+            checked += 1
+    assert checked > 100
