@@ -701,3 +701,66 @@ def etl_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "etl_psi_drift",
+    # Laplace +1 on bucket counts keeps every log argument a positive
+    # rational of integers (no log(0) branch, same float discipline as
+    # td_unigram_logprob); PSI contributions and the total round to 6.
+    oracle="""
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(least(floor(value / 50), 9) AS INTEGER) AS bucket
+  FROM events
+  WHERE value IS NOT NULL
+    AND (CAST(ts AS DATE) = DATE '2024-01-01'
+         OR CAST(ts AS DATE) = DATE '2024-01-15')),
+c AS (
+  SELECT bucket,
+         SUM(CASE WHEN d = DATE '2024-01-01' THEN 1 ELSE 0 END) + 1 AS c1,
+         SUM(CASE WHEN d = DATE '2024-01-15' THEN 1 ELSE 0 END) + 1 AS c2
+  FROM b GROUP BY bucket),
+t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c)
+SELECT bucket,
+  CAST(c1 - 1 AS BIGINT) AS day1_rows,
+  CAST(c2 - 1 AS BIGINT) AS day15_rows,
+  ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+        * ln((CAST(c1 AS DOUBLE) / n1) / (CAST(c2 AS DOUBLE) / n2)), 6)
+    AS psi_term
+FROM c CROSS JOIN t
+""",
+)
+def etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two daily
+    snapshots of the fact's value distribution — the monitoring gate
+    that catches upstream shifts before they poison models trained on
+    the warehouse.  PSI_i = (p_i − q_i)·ln(p_i/q_i) per equal-width
+    bucket (Laplace-smoothed so empty buckets stay defined); the total
+    is Σ over buckets, conventionally alarmed at 0.2.
+
+    One scan over the two partitions (date filter prunes at the
+    source), one 10-bucket conditional aggregate, a 1-row totals
+    broadcast — drift monitoring at 100 TB is a partition-pruned
+    two-day read, never a full-table scan."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = F.to_date("ts")
+    d1, d15 = (F.lit(x).cast("date") for x in ("2024-01-01", "2024-01-15"))
+    b = ev.where((d == d1) | (d == d15)).select(
+        d.alias("d"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
+        .alias("bucket"),
+    )
+    c = b.groupBy("bucket").agg(
+        (F.sum(F.when(F.col("d") == d1, 1).otherwise(0)) + 1).alias("c1"),
+        (F.sum(F.when(F.col("d") == d15, 1).otherwise(0)) + 1).alias("c2"),
+    )
+    t = c.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    return c.join(F.broadcast(t)).select(
+        "bucket",
+        (F.col("c1") - 1).alias("day1_rows"),
+        (F.col("c2") - 1).alias("day15_rows"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
