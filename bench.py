@@ -55,6 +55,10 @@ HEADLINERS = [
     "td_bpe_train",                # BPE merge loop: N aggregate+argmax rounds
     "td_pq_ann",                   # PQ: subspace Lloyd + ADC lookup scan
     "rel_pagerank_cosuppliers",    # weighted PageRank power iterations
+    "rel_entity_resolution",       # blocking + fuzzy + CC + golden record
+    "td_heavy_hitters",            # Misra-Gries candidates + exact verify
+    "td_incremental_minhash",      # signature store + delta banded join
+    "rel_spatial_proximity_join",  # 2-D grid bin-and-verify pair join
 ]
 
 

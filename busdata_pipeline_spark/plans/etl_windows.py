@@ -764,3 +764,59 @@ def etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c2") - 1).alias("day15_rows"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+@query(
+    "etl_cusum_changepoint",
+    # CUSUM over the daily mean series: all means and the running sums
+    # quantize to 6 decimals on BOTH engines before comparison, so the
+    # argmax day (an output ROW, not just a score) is engine-stable —
+    # same predicate discipline as rel_mad_outliers.
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         ROUND(AVG(value), 6) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+g AS (SELECT ROUND(AVG(m), 6) AS gbar FROM daily),
+s AS (
+  SELECT d, m, n,
+         ROUND(SUM(m - gbar) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+  FROM daily CROSS JOIN g)
+SELECT d, m AS day_mean, n AS day_rows, cusum,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs(cusum) DESC, d) AS INT)
+         AS change_rank
+FROM s
+""",
+)
+def etl_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over the daily-mean series (Page 1954 —
+    the classic sequential shift detector, paired with etl_psi_drift as
+    the monitoring tier): S_t = Σ_{i≤t} (x̄_i − x̄), and the day where
+    |S_t| peaks is the most likely level-shift point (change_rank = 1).
+
+    The day grain collapses the fact table to one row per partition
+    (partial-agg shuffle of day-count rows), so the window runs over a
+    DAYS-long series — the single-partition running sum is bounded by
+    the calendar, not the data, and is the correct frame for a global
+    ordered statistic at any scale."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = daily.agg(F.round(F.avg("m"), 6).alias("gbar"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.join(F.broadcast(g)).select(
+        "d", "m", "n",
+        F.round(F.sum(F.col("m") - F.col("gbar")).over(w), 6).alias("cusum"),
+    )
+    wr = Window.orderBy(F.abs(F.col("cusum")).desc(), F.asc("d"))
+    return s.select(
+        "d",
+        F.col("m").alias("day_mean"),
+        F.col("n").alias("day_rows"),
+        "cusum",
+        F.row_number().over(wr).cast("int").alias("change_rank"),
+    )

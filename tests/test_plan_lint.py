@@ -86,6 +86,8 @@ SCALAR_EXPANSION_BNLJ = {
     "td_pq_ann",                      # bounded query-dtab set × corpus codes
                                       # (ADC is a broadcast map by design)
     "td_heavy_hitters",               # 1-row corpus-total broadcast threshold
+    "etl_cusum_changepoint",          # 1-row grand-mean broadcast
+    "etl_psi_drift",                  # 1-row bucket-totals broadcast
 }
 
 
