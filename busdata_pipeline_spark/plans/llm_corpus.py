@@ -2,8 +2,8 @@
 that sit between raw crawl and tokenizer-ready text.
 
 The reference (`/root/reference/`) has no text tier at all — this module
-extends the training-data north star (BASELINE.json) with four curation
-operators, each the Spark-first form of a specific published technique:
+extends the training-data north star (BASELINE.json) with the
+Spark-first forms of specific published techniques:
 
 - ``td_line_dedup``      — paragraph-granular exact dedup with global
   first-occurrence-wins and document reassembly (CCNet, Wenzek et al.
@@ -17,10 +17,25 @@ operators, each the Spark-first form of a specific published technique:
   (the GPT-3 / CCNet "reference corpus classifier" pattern, with NB's
   closed-form training replacing the logistic regression so training
   is one aggregation pass, not an iterative fit).
-- ``td_bpe_train``       — byte-pair-encoding merge training (Sennrich
-  et al. 2016) over the word-frequency table, each merge one
-  count-pairs → argmax → apply round, unrolled into a strict DuckDB
-  replay oracle.
+- ``td_bpe_train`` / ``td_bpe_encode`` — byte-pair-encoding merge
+  training (Sennrich et al. 2016) over the word-frequency table, each
+  merge one count-pairs → argmax → apply round, unrolled into a strict
+  DuckDB replay oracle; encoding applies the merges through the
+  distinct-word table and reports tokens-per-word fertility.
+- ``td_pq_ann``          — product-quantization ANN with asymmetric
+  distance computation (Jégou et al. 2011), tier 4 of the search
+  ladder (operators/similarity.py).
+- ``td_heavy_hitters``   — bounded-memory exact frequent tokens via
+  weighted Misra-Gries candidates + exact verify
+  (operators/profile.py).
+- ``td_leakage_safe_split`` — near-dup-cluster-granular train/val
+  assignment (no cross-split contamination).
+- ``td_incremental_minhash`` — near-dup maintenance against a
+  persisted signature store (the store is never re-shingled).
+- ``rel_entity_resolution`` — blocking → fuzzy verify → connected
+  components → survivorship golden record.
+- ``td_sketch_overlap``  — HLL inclusion-exclusion distinct overlap
+  with exact anchors.
 
 Every float output is a ratio/log of integers rounded to 6 decimals
 (the house float discipline: see td_unigram_logprob); td_bpe_train and
