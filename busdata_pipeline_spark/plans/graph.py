@@ -91,6 +91,16 @@ def rel_pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree tables are checkpointed once and reused).  Ranks are
     quantized to 1e-9 each round so cross-engine summation-order deltas
     cannot compound (module docstring)."""
+    pairs, nodes = _cosupply_graph(spark, sf_dir)
+    ranks = pagerank_frame(nodes, pairs)
+    return ranks.select(
+        F.col("v").alias("s_suppkey"), F.round("r", 6).alias("pagerank")
+    )
+
+
+def _cosupply_graph(spark: SparkSession, sf_dir: str):
+    """(pairs[u, v, w], nodes[v]) — the weighted co-supply graph, both
+    checkpointed once for reuse across iterations."""
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
 
@@ -109,10 +119,7 @@ def rel_pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nodes = sup.select(F.col("s_suppkey").alias("v")).localCheckpoint(eager=True)
-    ranks = pagerank_frame(nodes, pairs)
-    return ranks.select(
-        F.col("v").alias("s_suppkey"), F.round("r", 6).alias("pagerank")
-    )
+    return pairs, nodes
 
 
 def pagerank_frame(
@@ -149,3 +156,64 @@ def pagerank_frame(
             ).alias("r"),
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# bounded-hop BFS (min-plus traversal — the integer-exact sibling of the
+# PageRank float fixpoint; no quantization needed, distances are ints)
+
+_BFS_HOPS = 4
+
+
+def _bfs_oracle(hops: int = _BFS_HOPS) -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, hops + 1):
+        steps.append(f"""
+d{i} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT sym.v AS node, {prev}.d + 1 AS d
+    FROM {prev} JOIN sym ON sym.u = {prev}.node) q{i}
+  GROUP BY node)""")
+        prev = f"d{i}"
+    return f"""
+WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+sym AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM e0 a JOIN e0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+src AS (SELECT MIN(s_suppkey) AS s FROM supplier),
+d0 AS (SELECT s AS node, 0 AS d FROM src),{",".join(steps)}
+SELECT node AS s_suppkey, CAST(d AS INTEGER) AS hops FROM {prev}
+"""
+
+
+@query("rel_bfs_cosuppliers", oracle=_bfs_oracle())
+def rel_bfs_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS from the lowest-id supplier over the co-supply
+    graph: hop distance via ``_BFS_HOPS`` rounds of min-plus expansion
+    (frontier ⨝ edges, union, MIN per node) — the traversal composition
+    the CC loop (boolean fixpoint) and PageRank (float fixpoint) don't
+    cover.  Distances are INTEGERS, so cross-engine parity is exact by
+    construction; the oracle unrolls every round.  Per round: one
+    equi-join on the source endpoint + one destination-keyed MIN
+    aggregate over the checkpointed edge table — the same bounded-depth
+    no-checkpoint plan argument as pagerank_frame."""
+    pairs, nodes = _cosupply_graph(spark, sf_dir)
+    sym = pairs.select("u", "v")
+    dist = nodes.agg(F.min("v").alias("node")).select(
+        "node", F.lit(0).alias("d")
+    )
+    for _ in range(_BFS_HOPS):
+        ext = (
+            dist.join(sym, dist["node"] == sym["u"])
+            .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = dist.unionByName(ext).groupBy("node").agg(
+            F.min("d").alias("d")
+        )
+    return dist.select(
+        F.col("node").alias("s_suppkey"), F.col("d").cast("int").alias("hops")
+    )

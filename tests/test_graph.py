@@ -122,3 +122,24 @@ def test_mad_outliers_hand_computed(spark):
     assert r["med"] == med and r["mad"] == mad
     assert r["n_outliers"] == 1
     assert r["max_robust_z"] == round((100.0 - med) / (1.4826 * mad), 6)
+
+
+def test_bfs_hand_checked_distances(spark):
+    """Tiny chain + branch graph: distances must equal hand BFS, and
+    unreached nodes (beyond the hop bound) must be absent."""
+    from busdata_pipeline_spark.plans.graph import _BFS_HOPS  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # replicate the query loop on a handcrafted sym edge table
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (9, 10), (10, 9)],
+        "u long, v long",
+    )
+    dist = spark.createDataFrame([(1, 0)], "node long, d int")
+    for _ in range(2):  # 2 hops only
+        ext = dist.join(sym, dist["node"] == sym["u"]).select(
+            F.col("v").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = dist.unionByName(ext).groupBy("node").agg(F.min("d").alias("d"))
+    got = {r["node"]: r["d"] for r in dist.collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 is 3 hops away; 9/10 disconnected

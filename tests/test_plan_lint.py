@@ -43,6 +43,8 @@ CONSTRUCTION_RUNS_JOBS = {
     "rel_entity_resolution",
     # versioned-table writes + txn manifests during construction
     "etl_multi_table_txn",
+    # co-supply graph checkpoint during construction
+    "rel_bfs_cosuppliers",
 }
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.
