@@ -820,3 +820,64 @@ def etl_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         F.row_number().over(wr).cast("int").alias("change_rank"),
     )
+
+
+@query(
+    "etl_benford_audit",
+    # chi-square contribution per digit: (obs - exp)^2 / exp with
+    # exp = N * log10(1 + 1/d) — logs of exact integer ratios, one
+    # multiply per digit, ROUND 6 (same float discipline as the LM
+    # scorers); digit extraction is integer math on both engines.
+    oracle="""
+WITH v AS (
+  SELECT CAST(floor(value / power(10, floor(log10(value)))) AS INTEGER)
+           AS digit
+  FROM events WHERE value IS NOT NULL AND value >= 1),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM v GROUP BY digit),
+t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c),
+d AS (SELECT unnest(range(1, 10)) AS digit),
+e AS (
+  SELECT d.digit, COALESCE(c.obs, 0) AS obs,
+         t.n * log10(1 + 1.0 / d.digit) AS exp
+  FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t)
+SELECT CAST(digit AS INTEGER) AS digit,
+       CAST(obs AS BIGINT) AS observed,
+       ROUND(exp, 6) AS expected,
+       ROUND((obs - exp) * (obs - exp) / exp, 6) AS chi2_term
+FROM e
+""",
+)
+def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit of the fact's value column — the
+    forensic data-quality check for fabricated or truncated numeric
+    feeds: observed first-digit counts vs the Benford expectation
+    N·log10(1+1/d), with per-digit chi-square contributions (alarm on
+    the sum).  One scan, a 9-group aggregate, a 1-row total broadcast —
+    the audit costs one partial-agg pass at any scale."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") >= 1)
+    )
+    digit = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("int")
+    c = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    t = c.agg(F.sum("obs").alias("n"))
+    d = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    e = (
+        d.join(c, "digit", "left")
+        .join(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            (F.col("n") * F.log10(1 + 1.0 / F.col("digit"))).alias("exp"),
+        )
+    )
+    return e.select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("obs").cast("long").alias("observed"),
+        F.round("exp", 6).alias("expected"),
+        F.round((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp"))
+                / F.col("exp"), 6).alias("chi2_term"),
+    )

@@ -90,6 +90,7 @@ SCALAR_EXPANSION_BNLJ = {
     "td_heavy_hitters",               # 1-row corpus-total broadcast threshold
     "etl_cusum_changepoint",          # 1-row grand-mean broadcast
     "etl_psi_drift",                  # 1-row bucket-totals broadcast
+    "etl_benford_audit",              # 1-row digit-total broadcast
 }
 
 
