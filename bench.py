@@ -59,6 +59,12 @@ HEADLINERS = [
     "td_heavy_hitters",            # Misra-Gries candidates + exact verify
     "td_incremental_minhash",      # signature store + delta banded join
     "rel_spatial_proximity_join",  # 2-D grid bin-and-verify pair join
+    # round-7 additions (earlier keys unchanged for cross-round deltas)
+    "td_bm25_search",              # inverted-index BM25 probe join
+    "td_rrf_hybrid_search",        # lexical+vector reciprocal-rank fusion
+    "td_setsim_prefix_join",       # exact Jaccard prefix-filter self-join
+    "rel_triangle_count",          # degree-ordered oriented triangle join
+    "rel_ewma_value",              # per-key sequential recurrence (Arrow)
 ]
 
 
@@ -84,29 +90,42 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # A single broken query must degrade the bench, not zero it (the
+    # round-3 BENCH crashed outright on one AnalysisException and recorded
+    # nothing for the other 31 queries).  Errors are reported per-query in
+    # an "errors" map; the JSON line is always emitted.
+    errors: dict[str, str] = {}
+
     # Warm pass: JVM JIT, whole-stage-codegen compilation, and parquet
     # footer caches are one-time costs amortized away on any long-running
     # cluster; the timed passes measure the steady-state plans.
     for name in names:
-        run(name)
+        try:
+            run(name)
+        except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Min-of-N: this box has up to ~2x run-to-run variance (GC timing,
     # shared-host jitter); the minimum is the best estimate of the plan's
     # actual cost and is stable across rounds.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings = {
-        name: round(min(run(name) for _ in range(repeats)), 3)
-        for name in names
-    }
+    timings = {}
+    for name in names:
+        if name in errors:
+            continue
+        timings[name] = round(min(run(name) for _ in range(repeats)), 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

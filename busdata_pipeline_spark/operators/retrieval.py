@@ -1,0 +1,185 @@
+"""Lexical retrieval + hybrid rank fusion over the documents corpus.
+
+The reference has no retrieval tier (all analytics are relational —
+`/root/reference/analytic.sql`); this extends the engine with the two
+search primitives an LLM-data platform needs next to embedding ANN
+(operators/similarity.py): BM25 ranked lexical retrieval (Robertson &
+Walker 1994; the Okapi BM25 formulation) and reciprocal-rank fusion of
+lexical + vector result lists (Cormack, Clarke & Büttcher 2009).
+
+Scale design
+------------
+- The BM25 probe is the **inverted index expressed as an equi-join**:
+  posting lists are the per-(doc, token) tf table partitioned by token,
+  and the query side (query terms + their idf) is dimension-sized, so it
+  broadcasts — the corpus shuffles once to build tf/dl/df aggregates and
+  the candidate scan never moves document text.
+- High-df terms are both a skew hazard (the "the" posting list) and
+  noise (idf ≈ 0), so query terms with df > N/2 are pruned — the
+  standard stopword cut, applied identically in the oracle so results
+  stay engine-identical.  Residual hot terms split under AQE skew-join.
+- Per-term score contributions are quantized to integer nano-units and
+  summed as BIGINT, so the per-(query, doc) score is exact and
+  **summation-order-independent** — the same discipline as the IVF
+  centroid means (operators/similarity.py) — making the rank cut
+  engine-stable without per-engine float drift.
+- RRF fusion joins two already-top-k lists (tiny per query), so the
+  fusion stage costs nothing at scale; its value is the contract that
+  both input rankings are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Okapi BM25 constants (the textbook defaults).  K1P1 is a literal, not
+#: ``K1 + 1.0`` computed at runtime: the float sum 1.2 + 1.0 need not
+#: round to the same double as the literal 2.2 the oracle SQL parses, and
+#: the two engines must fold bit-identical constants.
+K1 = 1.2
+K1P1 = 2.2
+B = 0.75
+#: integer quantization unit for per-term contributions (nano-units).
+QUANT = 1_000_000_000
+#: RRF smoothing constant from Cormack et al. 2009.
+RRF_K = 60
+
+
+def corpus_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) token stream — whitespace tokenization, empties
+    dropped; the same convention as the vocabulary/TF-IDF tier."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_pred,
+    k: int = 10,
+    stopword_prune: bool = False,
+) -> DataFrame:
+    """Top-k BM25 retrieval, query-by-document: each document matching
+    ``query_pred`` (a Column predicate over ``doc_id``) is issued as a
+    bag-of-words query against the whole corpus (self-match excluded).
+
+    Output: (qid, doc_id, bm25, rank) — rank 1..k per qid, ordered by
+    the exact quantized score then doc_id.
+    """
+    toks = corpus_tokens(docs)
+
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+
+    # Query side: distinct terms of the query docs + idf per term.  The
+    # df lookup happens on this dimension-sized side (not against the
+    # full posting table), then broadcasts into the probe join.
+    qterms = (
+        toks.where(query_pred)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+        .join(dfreq, "tok")
+        .join(F.broadcast(stats))
+    )
+    if stopword_prune:
+        # optional df > N/2 stopword cut: on web-scale vocabularies the
+        # hot posting lists ("the") are both a skew hazard and ~zero-idf
+        # noise.  OFF by default — the synthetic corpus has a ~31-token
+        # template vocabulary where every term exceeds N/2 (pruning
+        # would empty the queries); BM25's idf already down-weights
+        # common terms, and residual join skew splits under AQE.
+        qterms = qterms.where(F.col("df") * 2 <= F.col("n_docs"))
+    qterms = (
+        qterms.select(
+            "qid",
+            "tok",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(K1P1))
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + (F.lit(B) * F.col("dl")) / avgdl)
+        )
+    )
+
+    cand = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(stats))
+        .where(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            "doc_id",
+            F.floor(contrib * F.lit(float(QUANT)) + F.lit(0.5))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+
+    scored = cand.groupBy("qid", "doc_id").agg(F.sum("cq").alias("sq"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sq"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            F.round(F.col("sq") / F.lit(float(QUANT)), 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
+def rrf_fuse(lex: DataFrame, vec: DataFrame, k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings.
+
+    ``lex``/``vec``: (qid, id, rank).  Score = Σ 1/(RRF_K + rank) over
+    the lists containing the doc — a fixed-order two-term double sum, so
+    bit-identical across engines; ties break on id.
+    """
+    lexr = lex.select("qid", "id", F.col("rank").alias("r_lex"))
+    vecr = vec.select("qid", "id", F.col("rank").alias("r_vec"))
+    fused = (
+        lexr.join(vecr, ["qid", "id"], "full_outer")
+        .select(
+            "qid",
+            "id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")).cast("double"),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("r_vec")).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_raw"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_raw"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("id").alias("doc_id"),
+            F.round("rrf_raw", 6).alias("rrf"),
+            "rank",
+        )
+    )

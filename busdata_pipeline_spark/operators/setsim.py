@@ -1,0 +1,161 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs /
+PPJoin family — Bayardo, Ma & Srikant, WWW 2007; Xiao et al., WWW 2008).
+
+Completes the near-duplicate ladder (operators/dedup.py: MinHash-LSH and
+SimHash are probabilistic candidate generators) with the EXACT variant:
+every pair of documents whose token-set Jaccard similarity ≥ τ, no false
+negatives, no n² scan.
+
+How it scales
+-------------
+The classic inverted-index prefix filter, expressed relationally:
+
+1. tokens are globally ordered by ascending document frequency (rarest
+   first, ties on the token string) — one aggregate + one dimension-sized
+   ranking, broadcast back onto the token stream;
+2. each document keeps only its **prefix**: the first
+   ``|d| - ceil(τ·|d|) + 1`` tokens in that global order.  Two sets with
+   Jaccard ≥ τ MUST share at least one prefix token (pigeonhole on the
+   required overlap), so the candidate pairs are an equi-join on prefix
+   tokens — and because prefixes are drawn from the RARE end of the
+   vocabulary, posting lists in the join are short by construction (the
+   skew profile is the inverse of the BM25 probe's);
+3. a length filter (``τ·|a| ≤ |b|``) prunes candidates before the
+   verify join recomputes the exact intersection.
+
+With τ = 9/10 all threshold comparisons reduce to exact integer
+arithmetic (``10·x ≥ 3·y``), so the pair set is engine-identical with no
+float boundary anywhere.  The definitional all-pairs oracle makes the
+driver verify COMPLETENESS of the candidate generator, not just the
+verify step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Jaccard threshold as an exact rational (numerator / denominator).
+TAU_NUM = 9
+TAU_DEN = 10
+
+#: shingle width.  Sets are 3-word shingles, not unigrams: the synthetic
+#: corpus is template-generated over a ~31-token vocabulary, so unigram
+#: sets make nearly ALL pairs similar (τ=0.3 matches 95% of all pairs)
+#: and give the prefix filter nothing rare to key on; shingling restores
+#: a 16k-term vocabulary where prefixes are genuinely selective — the
+#: same reason the MinHash tier shingles (operators/dedup.py).
+SHINGLE_W = 3
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) with per-document distinct ``SHINGLE_W``-word
+    shingles (space-joined).  Docs shorter than the window have no rows
+    — same convention as the MinHash shingler."""
+    w = SHINGLE_W
+    return (
+        docs.withColumn(
+            "_ws",
+            F.filter(F.split(F.trim("text"), " "), lambda x: x != ""),
+        )
+        .withColumn("_n", F.size("_ws"))
+        .where(F.col("_n") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - (w - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at("_ws", (i + j).cast("int"))
+                          for j in range(w)],
+                    ),
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
+    """All (a, b, jaccard) pairs with a < b and Jaccard ≥ TAU_NUM/TAU_DEN
+    over distinct shingle sets, via prefix filtering."""
+    toks = shingle_sets(docs)
+
+    # global rarity order: df ascending, token string as the total-order
+    # tie-break.  The df table is vocabulary-sized (a dimension at any
+    # corpus scale — it's the same table a tokenizer vocab is) and
+    # broadcasts onto the token stream; ordering positions are computed
+    # PER DOCUMENT (the (df, tok) pair is the order key directly), so no
+    # global rank window ever materializes.
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    sized = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    # prefix length p = sz - ceil(τ·sz) + 1, all-integer:
+    # ceil(n·sz/d) = (n·sz + d-1) div d.
+    ranked = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .join(sized, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.asc("df"), F.asc("tok")
+                )
+            ),
+        )
+        .withColumn(
+            "pfx_len",
+            F.col("sz")
+            - F.expr(f"({TAU_NUM} * sz + {TAU_DEN - 1}) div {TAU_DEN}")
+            + F.lit(1),
+        )
+    )
+    prefix = ranked.where(F.col("pos") <= F.col("pfx_len")).select(
+        "doc_id", "tok", "sz"
+    )
+
+    # candidates: share a prefix token, canonical a < b, and the length
+    # filter τ·|a| ≤ |b| (sets too small relative to a cannot reach τ).
+    a = prefix.select(
+        F.col("doc_id").alias("a"), "tok", F.col("sz").alias("sa")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("b"), "tok", F.col("sz").alias("sb")
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.col("sa") * TAU_NUM <= F.col("sb") * TAU_DEN)
+            & (F.col("sb") * TAU_NUM <= F.col("sa") * TAU_DEN)
+        )
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+
+    # verify: exact intersection size via one token equi-join restricted
+    # to candidate docs (semi-join pushes the candidate filter into the
+    # token stream before the shuffle).
+    ta = toks.select(F.col("doc_id").alias("a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b"), "tok")
+    inter = (
+        cand.select("a", "b")
+        .join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cand.join(inter, ["a", "b"])
+        .withColumn("uni", F.col("sa") + F.col("sb") - F.col("inter"))
+        .where(F.col("inter") * TAU_DEN >= F.col("uni") * TAU_NUM)
+        .select(
+            "a",
+            "b",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

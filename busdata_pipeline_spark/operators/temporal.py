@@ -374,3 +374,53 @@ def resample_linear(events: DataFrame, key: str = "user_id",
         j.select(key, "bucket_ts", value.alias(value_col))
         .orderBy(key, "bucket_ts")
     )
+
+
+def ewma_smooth(events: DataFrame, alpha: float = 0.3,
+                key: str = "user_id", order: tuple = ("ts", "event_id"),
+                value: str = "value") -> DataFrame:
+    """Per-key exponentially weighted moving average — the sequential
+    recurrence s_i = (1-α)·s_{i-1} + α·x_i (s_1 = x_1) that no
+    window-frame aggregate expresses (each output depends on ALL prior
+    inputs with geometric weights).
+
+    This is the canonical applyInPandas case: the recurrence is
+    inherently serial WITHIN a key but embarrassingly parallel ACROSS
+    keys, so the plan is one hash-partition on the key and an Arrow
+    batch per group — no global sort, no driver collect, state is one
+    double per key.  The Python loop multiplies/adds in exactly the
+    order the oracle's ``list_reduce`` lambda does, so results are
+    bit-identical across engines (both are IEEE double; see
+    plans/temporal.rel_ewma_value).
+
+    Returns (key, order..., ewma) with ewma UNROUNDED — callers round
+    JVM-side (F.round matches the oracle's half-up ROUND; Python/numpy
+    round is half-even and must not touch the output).
+    """
+    import pandas as pd
+
+    one_minus = 1.0 - alpha
+    cols = [key, *order, value]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*cols).schema.fields
+    ) + ", ewma double"
+
+    def _smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(list(order), kind="mergesort")
+        s = None
+        out = []
+        for x in pdf[value].to_numpy():
+            xv = float(x)
+            s = xv if s is None else one_minus * s + alpha * xv
+            out.append(s)
+        pdf = pdf.copy()
+        pdf["ewma"] = out
+        return pdf
+
+    return (
+        events.select(*cols)
+        .where(F.col(value).isNotNull())
+        .groupBy(key)
+        .applyInPandas(_smooth, out_schema)
+    )

@@ -1193,3 +1193,57 @@ def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_robust_z"),
         )
     )
+
+
+@query(
+    "rel_yoy_revenue_growth",
+    oracle="""
+WITH r AS (
+  SELECT n.n_name AS n_name,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, yr)
+SELECT n_name, yr, rev_cents,
+  ROUND((CAST(rev_cents AS DOUBLE)
+         / LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) - 1.0)
+        * 100.0, 6) AS yoy_pct
+FROM r
+""",
+)
+def rel_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation: the
+    window-over-aggregate composition (agg to (nation, year) grain, then
+    LAG across the year series).  Revenue sums in exact integer cents
+    (order-independent), so the only float op is the final ratio — both
+    engines divide the same two BIGINTs.  The window runs on the
+    AGGREGATED table (|nations|×|years| rows — dimension-sized at any
+    fact scale); dims broadcast into the fact aggregate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            ).cast("long").alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return r.select(
+        "n_name", "yr", "rev_cents",
+        F.round(
+            (F.col("rev_cents").cast("double") / F.lag("rev_cents").over(w)
+             - F.lit(1.0)) * F.lit(100.0),
+            6,
+        ).alias("yoy_pct"),
+    )

@@ -1,0 +1,180 @@
+"""Registered retrieval queries: BM25 lexical search + hybrid RRF fusion.
+
+Extends the engine beyond the reference's relational surface (the
+reference has no search tier — `/root/reference/analytic.sql` is pure
+warehouse SQL) with the ranked-retrieval workload an LLM-data platform
+runs next to its embedding ANN: query-by-document BM25 over an inverted
+index expressed as a token equi-join, and reciprocal-rank fusion of the
+lexical and vector top-k lists (the standard hybrid-search combiner).
+
+Oracle discipline: the DuckDB oracles replay the full pipeline — tf/dl/df
+statistics, idf, the quantized per-term contributions, the rank cut — so
+the driver hash-checks the scoring math, not just output shape.  All
+float expression trees are written with explicit CASTs so DuckDB's
+exact-DECIMAL literal arithmetic (e.g. ``tf * 2.2`` staying DECIMAL)
+cannot diverge from Spark's double path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators import retrieval, setsim, similarity
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+#: query-doc selector shared by the lexical and vector legs (same id
+#: sampling as td_cosine_topk so the hybrid legs cover the same queries).
+_QPRED_SQL = "doc_id % 100 = 0"
+
+
+def _bm25_ctes() -> str:
+    """The BM25 pipeline as DuckDB CTEs ending in ``ranked`` (unlimited
+    rank per query); callers append their own SELECT/cut.  Mirrors
+    operators/retrieval.bm25_topk expression-for-expression."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS tok
+  FROM documents),
+t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM t GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM t GROUP BY doc_id),
+dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM t GROUP BY tok),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       FROM dl),
+qi AS (
+  SELECT q.qid, q.tok,
+         ln(1.0 + (CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5)
+                  / (dfq.df + 0.5)) AS idf
+  FROM (SELECT DISTINCT doc_id AS qid, tok FROM t WHERE {_QPRED_SQL}) q
+  JOIN dfq USING (tok) CROSS JOIN st),
+cand AS (
+  SELECT qi.qid, tf.doc_id,
+    CAST(FLOOR((qi.idf * (CAST(tf.tf AS DOUBLE) * 2.2))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE))
+                                  / st.avgdl))
+               * 1000000000.0 + 0.5) AS BIGINT) AS cq
+  FROM tf JOIN qi ON tf.tok = qi.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+  WHERE tf.doc_id <> qi.qid),
+sc AS (SELECT qid, doc_id, CAST(SUM(cq) AS BIGINT) AS sq
+       FROM cand GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id,
+         ROUND(CAST(sq AS DOUBLE) / 1000000000.0, 6) AS bm25,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY sq DESC, doc_id) AS INT) AS rank
+  FROM sc)"""
+
+
+@query(
+    "td_bm25_search",
+    oracle=_bm25_ctes()
+    + """
+SELECT qid, doc_id, bm25, rank FROM ranked WHERE rank <= 10
+""",
+)
+def td_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10, query-by-document (every doc_id % 100 = 0 doc
+    queries the corpus with its distinct terms; self-match excluded).
+
+    The probe is the inverted index as an equi-join: corpus statistics
+    (tf/dl/df) aggregate once, the query-term × idf table is
+    dimension-sized and broadcast, and per-term contributions are
+    BIGINT-quantized so the score sum is order-independent — the rank cut
+    is exact on both engines.  (The optional df > N/2 stopword cut stays
+    OFF here: the synthetic corpus vocabulary is ~31 template tokens, all
+    above N/2 — see operators/retrieval.bm25_topk.)"""
+    docs = table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, F.col("doc_id") % 100 == 0, k=10)
+
+
+@query(
+    "td_rrf_hybrid_search",
+    oracle=_bm25_ctes()
+    + """,
+lex AS (SELECT qid, doc_id AS id, rank AS r_lex FROM ranked WHERE rank <= 20),
+eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT vec_id AS qid, v AS qvec FROM eb WHERE vec_id % 100 = 0),
+vec AS (
+  SELECT qv.qid, e.vec_id AS id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY qv.qid
+      ORDER BY list_cosine_similarity(e.v, qv.qvec) DESC,
+               e.vec_id) AS INT) AS r_vec
+  FROM eb e, qv WHERE e.vec_id <> qv.qid
+  QUALIFY r_vec <= 20),
+fused AS (
+  SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.id, v.id) AS id,
+    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.r_lex AS DOUBLE), 0.0)
+    + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + v.r_vec AS DOUBLE), 0.0)
+      AS rrf_raw
+  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id)
+SELECT qid, id AS doc_id, ROUND(rrf_raw, 6) AS rrf,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY rrf_raw DESC, id) AS INT) AS rank
+FROM fused QUALIFY rank <= 10
+""",
+)
+def td_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-20 (lexical leg) fused with exact cosine
+    top-20 (vector leg, the td_cosine_topk machinery) by reciprocal-rank
+    fusion, 1/(60+rank), Cormack et al. 2009.  The fusion joins two
+    already-top-k per-query lists — dimension-sized at any corpus scale —
+    and its two-term fixed-order double sum is bit-identical across
+    engines, so the fused ranking hash-checks end to end."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(docs, F.col("doc_id") % 100 == 0, k=20).select(
+        "qid", F.col("doc_id").alias("id"), "rank"
+    )
+    qvecs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vec = similarity.cosine_topk_vectorized(emb, qvecs, k=20).select(
+        "qid", F.col("vec_id").alias("id"), "rank"
+    )
+    return retrieval.rrf_fuse(lex, vec, k=10)
+
+
+@query(
+    "td_setsim_prefix_join",
+    # Definitional all-pairs oracle: the driver verifies COMPLETENESS of
+    # the prefix-filter candidate generator (any missed pair would show
+    # as a row-count/hash mismatch), not just the verify arithmetic.
+    # O(n²) in the oracle only — the Spark side is the prefix join.
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(TRIM(text), ' '), x -> x <> '') AS ws
+  FROM documents),
+tset AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS toks
+  FROM w WHERE len(ws) >= 3),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter,
+         CAST(len(x.toks) + len(y.toks)
+              - len(list_intersect(x.toks, y.toks)) AS BIGINT) AS uni
+  FROM tset x JOIN tset y ON x.doc_id < y.doc_id)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM p
+WHERE inter * 10 >= uni * 9
+""",
+)
+def td_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.9 self-join over distinct 3-shingle sets via prefix
+    filtering (AllPairs, Bayardo et al. 2007): rarity-ordered prefixes
+    make candidate generation an equi-join on RARE tokens, a length
+    filter prunes before the exact-intersection verify, and the 9/10
+    threshold keeps every comparison in exact integer arithmetic — no
+    float boundary, no n² scan, no false negatives."""
+    return setsim.jaccard_pairs_prefix(table(spark, sf_dir, "documents"))

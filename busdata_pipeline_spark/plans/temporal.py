@@ -253,3 +253,34 @@ def rel_resample_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from busdata_pipeline_spark.operators.temporal import resample_linear
 
     return resample_linear(table(spark, sf_dir, "events"))
+
+
+@query(
+    "rel_ewma_value",
+    # The oracle replays the recurrence itself: the running-prefix list
+    # per row is folded left-to-right by the same (1-α)·acc + α·x lambda
+    # the Spark-side Python loop runs — identical operand order on IEEE
+    # doubles, so the hash checks every intermediate state.  (The O(n)
+    # prefix list per row makes the ORACLE quadratic per key — fine at
+    # driver scale; the Spark side is linear.)
+    oracle="""
+SELECT event_id, user_id,
+  ROUND(list_reduce(
+          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          (acc, x) -> 0.7 * acc + 0.3 * x), 6) AS ewma
+FROM events
+WHERE value IS NOT NULL
+""",
+)
+def rel_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 0.3) over the event value series — the
+    sequential-recurrence smoother (serial within key, parallel across
+    keys) via operators/temporal.ewma_smooth's applyInPandas; output
+    rounded JVM-side so both engines cut half-up at 6 decimals."""
+    from busdata_pipeline_spark.operators.temporal import ewma_smooth
+
+    ev = table(spark, sf_dir, "events")
+    return ewma_smooth(ev, alpha=0.3).select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    )

@@ -45,6 +45,10 @@ CONSTRUCTION_RUNS_JOBS = {
     "etl_multi_table_txn",
     # co-supply graph checkpoint during construction
     "rel_bfs_cosuppliers",
+    # oriented edge list checkpointed during construction
+    "rel_triangle_count",
+    # vector leg collects the (bounded) query matrix during construction
+    "td_rrf_hybrid_search",
 }
 
 #: streaming queries build temp checkpoint dirs; lint batch surface only.
@@ -91,6 +95,9 @@ SCALAR_EXPANSION_BNLJ = {
     "etl_cusum_changepoint",          # 1-row grand-mean broadcast
     "etl_psi_drift",                  # 1-row bucket-totals broadcast
     "etl_benford_audit",              # 1-row digit-total broadcast
+    "td_bm25_search",                 # 1-row (N, avgdl) corpus stats broadcast
+    "td_rrf_hybrid_search",           # inherits the BM25 stats broadcast
+    "rel_triangle_count",             # 1-row tri/wedge/count aggregates joined
 }
 
 
