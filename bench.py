@@ -65,6 +65,8 @@ HEADLINERS = [
     "td_setsim_prefix_join",       # exact Jaccard prefix-filter self-join
     "rel_triangle_count",          # degree-ordered oriented triangle join
     "rel_ewma_value",              # per-key sequential recurrence (Arrow)
+    "etl_zorder_skipping",         # Morton layout + measured 2-D skipping
+    "etl_gdpr_erasure",            # partition-scoped subject delete
 ]
 
 

@@ -121,3 +121,85 @@ def write_zorder_clustered(df: DataFrame, path: str, x_col: str, y_col: str,
         .option("parquet.page.size", str(max(1024, block_bytes // 2)))
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-replayable Morton variant.  ``zorder_expr`` above is the
+# general-``bits`` unrolled interleave used by write_zorder_clustered
+# (layout-only: the curve key is dropped at write).  This section is the
+# fixed-8-bit mask-ladder form (log-depth tree: 6 bitwise ops/dimension
+# vs 2·bits OR terms) whose expression tree the DuckDB oracle of
+# plans/pruning.etl_zorder_skipping mirrors LITERALLY — the driver
+# hash-checks every Morton code, so the code column is kept, not dropped.
+
+#: bits per dimension (256 bins each → 16-bit interleaved code).
+Z_BITS = 8
+
+
+def _spread_bits(c):
+    """Spread an 8-bit int's bits to even positions (16-bit result) via
+    the classic mask-and-shift ladder — pure JVM bitwise expressions, so
+    the code stays inside whole-stage codegen and is replayable in any
+    engine with shifts/and/or (the oracle mirrors it literally)."""
+    from pyspark.sql import functions as F
+
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555))
+    return c
+
+
+def zorder_code(xbin, ybin):
+    """Interleave two Z_BITS-bit bin columns into a Morton code: x in
+    even bit positions, y in odd."""
+    from pyspark.sql import functions as F
+
+    return _spread_bits(xbin).bitwiseOR(F.shiftleft(_spread_bits(ybin), 1))
+
+
+def write_zordered(df: DataFrame, path: str, zcol: str = "z",
+                   files: int = 4,
+                   block_bytes: int = 64 * 1024 * 1024) -> None:
+    """Write range-clustered on a precomputed Morton-code column: row
+    groups become Z-curve segments, i.e. 2-D tiles, so BOTH dimensions'
+    min/max statistics are tight — a 2-D box predicate skips on either.
+    One-dimensional clustering can only serve one of the two columns;
+    this is the multi-dimension answer (the Z-order layout classic
+    OLAP stores apply before scan-heavy workloads)."""
+    (
+        df.repartitionByRange(files, zcol)
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(block_bytes))
+        .option("parquet.page.size", str(max(1024, block_bytes // 2)))
+        .parquet(path)
+    )
+
+
+def row_groups_intersecting_box(path: str, xcol: str, xlo, xhi,
+                                ycol: str, ylo, yhi) -> tuple[int, int]:
+    """(intersecting, total) row groups whose [min,max] stats overlap the
+    2-D box — exactly the set a statistics-pushdown reader must scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            stats = {}
+            for c in range(grp.num_columns):
+                col = grp.column(c)
+                if col.path_in_schema in (xcol, ycol) and col.statistics:
+                    stats[col.path_in_schema] = (
+                        col.statistics.min, col.statistics.max
+                    )
+            total += 1
+            (xmn, xmx) = stats[xcol]
+            (ymn, ymx) = stats[ycol]
+            if xmx >= xlo and xmn <= xhi and ymx >= ylo and ymn <= yhi:
+                hit += 1
+    return hit, total

@@ -428,3 +428,47 @@ def assign_surrogate_keys(df: DataFrame, order_col: str | list[str],
         .withColumn(key_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def erase_subject(spark: SparkSession, warehouse: str, subject_col: str,
+                  subject_value, date_col: str = "event_date") -> dict:
+    """Right-to-erasure (GDPR Art. 17) over the date-partitioned fact
+    layout: delete every row of one subject by rewriting ONLY the
+    partitions that contain them.
+
+    Parquet is immutable, so "delete" means rewrite — the scale lever is
+    to bound the rewrite to affected partitions, not the table:
+
+    1. one aggregate finds the subject's distinct partition days
+       (bounded driver collect — day count, the scalar-pruning
+       contract of the rollup/compaction ops);
+    2. those partitions are re-read with the subject anti-filter and
+       swapped in via writer-pinned dynamic partition overwrite — every
+       other partition's files are not touched, read, or listed.
+
+    Cost scales with the subject's footprint, not table size; at 100 TB
+    this is the difference between a full-table rewrite and touching a
+    handful of day directories.  Returns an audit dict
+    (days_rewritten, rows_removed) — the erasure log every compliance
+    workflow keeps.
+    """
+    fact = spark.read.parquet(_fact_path(warehouse))
+    subject_rows = fact.where(F.col(subject_col) == F.lit(subject_value))
+    days = [
+        r["d"] for r in
+        subject_rows.select(F.col(date_col).alias("d")).distinct().collect()
+    ]
+    if not days:
+        return {"days_rewritten": 0, "rows_removed": 0}
+    affected = fact.where(F.col(date_col).isin(days))
+    removed = affected.where(
+        F.col(subject_col) == F.lit(subject_value)
+    ).count()
+    (
+        affected.where(F.col(subject_col) != F.lit(subject_value))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(date_col)
+        .parquet(_fact_path(warehouse))
+    )
+    return {"days_rewritten": len(days), "rows_removed": removed}

@@ -881,3 +881,100 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp"))
                 / F.col("exp"), 6).alias("chi2_term"),
     )
+
+
+@query(
+    "etl_gdpr_erasure",
+    oracle="""
+WITH s AS (SELECT MIN(user_id) AS subj FROM events),
+d AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_rewritten,
+             CAST(COUNT(*) AS BIGINT) AS rows_removed
+      FROM events, s WHERE user_id = s.subj)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM events, s WHERE user_id <> s.subj)
+    AS n_rows_after,
+  d.days_rewritten,
+  d.rows_removed,
+  ROUND((SELECT SUM(value) FROM events, s WHERE user_id <> s.subj), 6)
+    AS total_value,
+  TRUE AS subject_gone,
+  TRUE AS untouched_partitions_stable
+FROM d
+""",
+)
+def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure, driver-visible end to end: events land in a
+    date-partitioned scratch warehouse, the lowest-id user is erased via
+    operators/warehouse.erase_subject (partition-scoped rewrite: only
+    the subject's day directories are re-read and swapped by dynamic
+    overwrite), and the result row hashes the audit (days rewritten,
+    rows removed), the survivor count + value checksum, and two
+    file-level booleans: the subject is gone, and every file of every
+    UNTOUCHED partition is byte-identical (path+size snapshot) — the
+    bounded-rewrite contract that makes erasure affordable at 100 TB."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.operators.warehouse import (
+        _fact_path,
+        erase_subject,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    fact = ev.withColumn("event_date", F.to_date("ts"))
+    warehouse = tempfile.mkdtemp(prefix="gdpr_q_")
+    shutil.rmtree(warehouse, ignore_errors=True)
+    try:
+        (
+            fact.repartition(8)
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(_fact_path(warehouse))
+        )
+        subj = ev.agg(F.min("user_id").alias("s")).collect()[0]["s"]
+        subj_days = {
+            f"event_date={r['d']}"
+            for r in fact.where(F.col("user_id") == subj)
+            .select(F.to_date("ts").alias("d")).distinct().collect()
+        }
+
+        def file_sizes(only_untouched: bool) -> dict:
+            out = {}
+            root = _fact_path(warehouse)
+            for f in glob.glob(f"{root}/event_date=*/*.parquet"):
+                rel = os.path.relpath(f, root)
+                if only_untouched and rel.split(os.sep)[0] in subj_days:
+                    continue
+                out[rel] = os.path.getsize(f)
+            return out
+
+        before = file_sizes(only_untouched=True)
+        audit = erase_subject(spark, warehouse, "user_id", subj)
+        after = file_sizes(only_untouched=True)
+
+        post = spark.read.parquet(_fact_path(warehouse))
+        subject_gone = (
+            post.where(F.col("user_id") == subj).count() == 0
+        )
+        return (
+            post.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+            .select(
+                "n_rows_after",
+                F.lit(audit["days_rewritten"]).cast("long")
+                .alias("days_rewritten"),
+                F.lit(audit["rows_removed"]).cast("long")
+                .alias("rows_removed"),
+                "total_value",
+                F.lit(subject_gone).alias("subject_gone"),
+                F.lit(before == after and len(before) > 0)
+                .alias("untouched_partitions_stable"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)

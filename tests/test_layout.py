@@ -120,3 +120,25 @@ def test_zorder_scan_beats_1d_on_2d_box(spark, tmp_path):
     # (measured: z≈2357 vs o≈4024 of 10000 at this granularity)
     assert z < o * 0.7, (z, o)
     assert z <= total * 0.28, (z, total)
+
+
+def test_mask_ladder_morton_matches_python_model(spark):
+    """The 8-bit mask-ladder interleave (zorder_code — the form the
+    etl_zorder_skipping oracle replays) must equal bit-level Python."""
+    from busdata_pipeline_spark.operators.layout import zorder_code
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 5, 127, 128, 200, 255)
+           for y in (0, 3, 64, 255)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.select("x", "y",
+                              zorder_code(F.col("x"), F.col("y")).alias("z")
+                              ).collect()}
+    assert got == {(x, y): morton(x, y) for x, y in pts}
