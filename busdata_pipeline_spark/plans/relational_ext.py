@@ -1247,3 +1247,102 @@ def rel_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_pct"),
     )
+
+
+@query(
+    "rel_ab_welch_ttest",
+    # Exact-moment discipline: per-group n, Σcents, Σcents² aggregate as
+    # BIGINTs (order-independent — value is exact cents, test-asserted),
+    # so the Welch statistic is derived from identical integers on both
+    # engines; the only float ops are the shared closed-form tail.
+    oracle="""
+WITH m AS (
+  SELECT
+    CAST(SUM(CASE WHEN wknd THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN wknd THEN c ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN wknd THEN c * c ELSE 0 END) AS BIGINT) AS q_a,
+    CAST(SUM(CASE WHEN NOT wknd THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN NOT wknd THEN c ELSE 0 END) AS BIGINT) AS s_b,
+    CAST(SUM(CASE WHEN NOT wknd THEN c * c ELSE 0 END) AS BIGINT) AS q_b
+  FROM (
+    SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+           EXTRACT(dow FROM CAST(ts AS DATE)) IN (0, 6) AS wknd
+    FROM events WHERE value IS NOT NULL)),
+d AS (
+  SELECT n_a, n_b,
+    CAST(s_a AS DOUBLE) / (100.0 * n_a) AS mean_a,
+    CAST(s_b AS DOUBLE) / (100.0 * n_b) AS mean_b,
+    (CAST(q_a AS DOUBLE) / 10000.0
+     - n_a * ((CAST(s_a AS DOUBLE) / (100.0 * n_a))
+              * (CAST(s_a AS DOUBLE) / (100.0 * n_a)))) / (n_a - 1) AS var_a,
+    (CAST(q_b AS DOUBLE) / 10000.0
+     - n_b * ((CAST(s_b AS DOUBLE) / (100.0 * n_b))
+              * (CAST(s_b AS DOUBLE) / (100.0 * n_b)))) / (n_b - 1) AS var_b
+  FROM m)
+SELECT n_a, n_b,
+  ROUND(mean_a, 6) AS mean_a,
+  ROUND(mean_b, 6) AS mean_b,
+  ROUND((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+  ROUND(((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
+        / (((var_a / n_a) * (var_a / n_a)) / (n_a - 1)
+           + ((var_b / n_b) * (var_b / n_b)) / (n_b - 1)), 6) AS welch_dof
+FROM d
+""",
+)
+def rel_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test, weekend vs weekday event values —
+    the A/B-analysis primitive.  ONE conditional-aggregation scan (no
+    join, no second pass) produces exact integer moments per arm
+    (n, Σcents, Σcents²); mean/variance/t/dof are closed-form floats over
+    those integers, so cross-engine parity is exact without quantizing
+    intermediate state.  Scales as a single map-side-combinable
+    aggregate — the cheapest possible shape for a 100 TB fact scan."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    wknd = F.dayofweek(F.to_date("ts")).isin(1, 7)
+    m = ev.select(c.alias("c"), wknd.alias("wknd")).agg(
+        F.sum(F.when(F.col("wknd"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("wknd"), F.col("c")).otherwise(0)).cast("long")
+        .alias("s_a"),
+        F.sum(F.when(F.col("wknd"), F.col("c") * F.col("c")).otherwise(0))
+        .cast("long").alias("q_a"),
+        F.sum(F.when(~F.col("wknd"), 1).otherwise(0)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(~F.col("wknd"), F.col("c")).otherwise(0)).cast("long")
+        .alias("s_b"),
+        F.sum(F.when(~F.col("wknd"), F.col("c") * F.col("c")).otherwise(0))
+        .cast("long").alias("q_b"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / (F.lit(100.0) * F.col(n))
+
+    def var(q, s, n):
+        return (
+            F.col(q).cast("double") / F.lit(10000.0)
+            - F.col(n) * (mean(s, n) * mean(s, n))
+        ) / (F.col(n) - 1)
+
+    d = m.select(
+        "n_a", "n_b",
+        mean("s_a", "n_a").alias("mean_a"),
+        mean("s_b", "n_b").alias("mean_b"),
+        var("q_a", "s_a", "n_a").alias("var_a"),
+        var("q_b", "s_b", "n_b").alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return d.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b), 6
+        ).alias("t_stat"),
+        F.round(
+            ((se_a + se_b) * (se_a + se_b))
+            / ((se_a * se_a) / (F.col("n_a") - 1)
+               + (se_b * se_b) / (F.col("n_b") - 1)),
+            6,
+        ).alias("welch_dof"),
+    )

@@ -284,3 +284,103 @@ def rel_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_smooth(ev, alpha=0.3).select(
         "event_id", "user_id", F.round("ewma", 6).alias("ewma")
     )
+
+
+@query(
+    "rel_seasonal_decompose",
+    # All state is quantized to 1e-9 integer units the moment it leaves
+    # exact arithmetic (daily means from exact cent sums, trend from a
+    # 7-bigint frame sum, seasonal from a bigint group mean), so every
+    # derived series is bit-identical across engines — the same
+    # discipline as PageRank's per-round quantization (plans/graph.py).
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY d),
+q AS (
+  SELECT d,
+         CAST(FLOOR(CAST(s AS DOUBLE) * 10000000.0 / n + 0.5) AS BIGINT)
+           AS mq
+  FROM daily),
+t AS (
+  SELECT d, mq,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(FLOOR(CAST(SUM(mq) OVER w AS DOUBLE) / 7.0 + 0.5)
+                        AS BIGINT) END AS tq
+  FROM q
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+det AS (SELECT d, mq, tq, mq - tq AS dq, EXTRACT(dow FROM d) AS dow FROM t),
+seas AS (
+  SELECT dow,
+         CAST(FLOOR(CAST(SUM(dq) AS DOUBLE) / COUNT(dq) + 0.5) AS BIGINT)
+           AS sq
+  FROM det WHERE dq IS NOT NULL GROUP BY dow)
+SELECT det.d AS d,
+  ROUND(CAST(mq AS DOUBLE) / 1000000000.0, 6) AS daily_mean,
+  ROUND(CAST(tq AS DOUBLE) / 1000000000.0, 6) AS trend,
+  ROUND(CAST(seas.sq AS DOUBLE) / 1000000000.0, 6) AS seasonal,
+  ROUND(CAST(mq - tq - seas.sq AS DOUBLE) / 1000000000.0, 6) AS residual
+FROM det LEFT JOIN seas USING (dow)
+""",
+)
+def rel_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily-mean value
+    series: trend = centered 7-day moving average (NULL at the edges
+    where the frame is short), seasonal = per-day-of-week mean of the
+    detrended series, residual = observed − trend − seasonal.  The
+    decomposition runs on the DAILY aggregate — dimension-sized at any
+    fact scale, so the ordered window is over thousands of rows even at
+    100 TB; the fact scan itself is one map-combinable grouped sum in
+    exact cents."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).cast("long").alias("s"),
+    )
+    q = daily.select(
+        "d",
+        F.floor(
+            F.col("s").cast("double") * F.lit(10000000.0) / F.col("n")
+            + F.lit(0.5)
+        ).cast("long").alias("mq"),
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    t = q.select(
+        "d", "mq",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.floor(
+                F.sum("mq").over(w).cast("double") / F.lit(7.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("tq"),
+    )
+    det = t.select(
+        "d", "mq", "tq",
+        (F.col("mq") - F.col("tq")).alias("dq"),
+        F.dayofweek("d").alias("dow"),
+    )
+    seas = (
+        det.where(F.col("dq").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.floor(
+                F.sum("dq").cast("double") / F.count("dq") + F.lit(0.5)
+            ).cast("long").alias("sq")
+        )
+    )
+    return det.join(F.broadcast(seas), "dow", "left").select(
+        "d",
+        F.round(F.col("mq").cast("double") / F.lit(1e9), 6)
+        .alias("daily_mean"),
+        F.round(F.col("tq").cast("double") / F.lit(1e9), 6).alias("trend"),
+        F.round(F.col("sq").cast("double") / F.lit(1e9), 6).alias("seasonal"),
+        F.round(
+            (F.col("mq") - F.col("tq") - F.col("sq")).cast("double")
+            / F.lit(1e9), 6
+        ).alias("residual"),
+    )

@@ -227,3 +227,60 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row["n_wedges"] == wedges
     assert row["n_triangles"] == tri
     assert row["transitivity"] == round(6 * tri / (2 * wedges), 6)
+
+
+# ---------------------------------------------------------------------------
+# statistical additions: Welch t-test + seasonal decomposition, checked
+# against independent pure-Python models over the sf0.001 events table
+
+def test_welch_ttest_matches_python_model(spark):
+    import math
+
+    import __spark_entry__ as E
+
+    row = E.queries()["rel_ab_welch_ttest"](spark, SF0001).collect()[0]
+
+    from busdata_pipeline_spark.sources import table
+    ev = table(spark, SF0001, "events").where(
+        F.col("value").isNotNull()).collect()
+    a, b = [], []
+    for r in ev:
+        # Sunday=6, Saturday=5 in weekday(); weekend split
+        (a if r["ts"].weekday() >= 5 else b).append(
+            math.floor(r["value"] * 100.0 + 0.5))
+    def moments(xs):
+        n = len(xs); s = sum(xs); q = sum(x * x for x in xs)
+        m = s / (100.0 * n)
+        v = (q / 10000.0 - n * (m * m)) / (n - 1)
+        return n, m, v
+    na, ma, va = moments(a)
+    nb, mb, vb = moments(b)
+    se = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se)
+    dof = (se * se) / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["mean_a"] == round(ma, 6) and row["mean_b"] == round(mb, 6)
+    assert abs(row["t_stat"] - t) < 1e-5
+    assert abs(row["welch_dof"] - dof) < 1e-3
+
+
+def test_seasonal_decompose_identity_and_nulls(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["rel_seasonal_decompose"](spark, SF0001).collect()
+    rows.sort(key=lambda r: r["d"])
+    # edges: first/last 3 days have no trend (7-row frame incomplete)
+    for r in rows[:3] + rows[-3:]:
+        assert r["trend"] is None and r["residual"] is None
+    for r in rows[3:-3]:
+        assert r["trend"] is not None
+        # additive identity up to the per-component 6-decimal output
+        # rounding (3 components x 0.5e-6) + 1e-9 quantization steps
+        assert abs(
+            r["daily_mean"] - (r["trend"] + r["seasonal"] + r["residual"])
+        ) < 2.5e-6
+    # seasonal is a pure day-of-week function
+    seas = {}
+    for r in rows:
+        seas.setdefault(r["d"].weekday(), set()).add(r["seasonal"])
+    assert all(len(v) == 1 for v in seas.values())
