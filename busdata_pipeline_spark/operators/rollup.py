@@ -102,3 +102,71 @@ def merge_join_view(view_prev: DataFrame,
         .unionByName(a_delta.join(b_delta, on))
     )
     return view_prev.unionByName(delta)
+
+
+def retract_partials(rows: DataFrame, m: int, key: str = "user_id",
+                     value: str = "value") -> DataFrame:
+    """Per-key signed partials for the retractable rollup: multiplicity
+    ``m`` (+1 insert / −1 retract) applied to COUNT and the exact-cents
+    SUM.  Values quantize to integer cents so the maintained sum is
+    order-independent and retraction is EXACT — subtracting floats back
+    out would drift."""
+    c = F.floor(F.col(value) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return rows.groupBy(key).agg(
+        F.sum(F.lit(m)).cast("long").alias("dn"),
+        F.sum(F.lit(m) * c).cast("long").alias("dc"),
+    )
+
+
+def merge_rollup_retract(spark: SparkSession, delta: DataFrame, path: str,
+                         key: str = "user_id", buckets: int = 8) -> None:
+    """Retraction-aware rollup maintenance: fold signed partials
+    (``retract_partials``) into the bucket-partitioned state at
+    ``path``; keys whose count reaches zero are REMOVED.  Same
+    bucket-scoped cost contract as ``merge_rollup`` (only the delta's
+    buckets are read/overwritten).
+
+    Maintains COUNT and SUM only: they are group-retractable (a delete
+    folds in as a signed partial).  MIN/MAX are NOT — a retraction of
+    the current extremum forces re-derivation from base data — which is
+    exactly why ``merge_rollup`` (insert-only) carries max_value and
+    this variant does not; the split mirrors the standard IVM
+    retractable/non-retractable aggregate distinction."""
+    delta_b = _with_bucket(delta, key, buckets)
+    if os.path.isdir(path):
+        touched = [r[BUCKET_COL] for r in
+                   delta_b.select(BUCKET_COL).distinct().collect()]
+        existing = spark.read.parquet(path).where(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        merged = (
+            existing.unionByName(delta_b)
+            .groupBy(key, BUCKET_COL)
+            .agg(
+                F.sum("dn").cast("long").alias("dn"),
+                F.sum("dc").cast("long").alias("dc"),
+            )
+            .where(F.col("dn") > 0)
+            # materialized BEFORE the bucket delete below (we are about
+            # to remove the files this plan reads)
+            .localCheckpoint(eager=True)
+        )
+        # Dynamic partition overwrite only rewrites partitions PRESENT
+        # in the output — a bucket whose every key retracted to zero
+        # yields no rows, so its stale files would silently survive.
+        # Delete every touched bucket explicitly, then append the merged
+        # state (exactly the set of touched-bucket rows that remain).
+        import shutil as _sh
+
+        for b in touched:
+            _sh.rmtree(os.path.join(path, f"{BUCKET_COL}={b}"),
+                       ignore_errors=True)
+        merged.write.mode("append").partitionBy(BUCKET_COL).parquet(path)
+    else:
+        (
+            delta_b.where(F.col("dn") > 0)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )

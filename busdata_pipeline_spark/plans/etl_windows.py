@@ -978,3 +978,78 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "etl_retract_rollup",
+    # Effective dataset after maintenance = base (days ≤ 15) minus the
+    # retracted slice (error events of days 10-15) plus the late delta
+    # (days 16-18); the oracle recomputes that closed form from scratch,
+    # so the driver hash-checks that incremental state == full rebuild.
+    oracle="""
+WITH eff AS (
+  SELECT user_id, value FROM events
+  WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+    AND NOT (event_type = 'error' AND CAST(ts AS DATE) >= DATE '2024-01-10')
+  UNION ALL
+  SELECT user_id, value FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-16' AND DATE '2024-01-18')
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 100.0, 6) AS total_value
+FROM eff GROUP BY user_id
+""",
+)
+def etl_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware incremental rollup (IVM with deletes): a
+    per-user COUNT/SUM state is built from days ≤ 15, then maintained by
+    ONE signed-delta merge that simultaneously retracts the error events
+    of days 10-15 (multiplicity −1) and applies the late-arriving days
+    16-18 (+1) — cost bounded by the delta's hash buckets, never a
+    history rescan (operators/rollup.merge_rollup_retract).  Sums are
+    maintained in exact integer cents so retraction subtracts out
+    bit-exactly; the oracle's from-scratch rebuild must hash-match the
+    incrementally maintained state."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.operators.rollup import (
+        merge_rollup_retract,
+        read_rollup,
+        retract_partials,
+    )
+
+    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    base = ev.where(F.col("d") <= F.lit("2024-01-15").cast("date"))
+    retract = base.where(
+        (F.col("event_type") == "error")
+        & (F.col("d") >= F.lit("2024-01-10").cast("date"))
+    )
+    late = ev.where(
+        F.col("d").between(
+            F.lit("2024-01-16").cast("date"), F.lit("2024-01-18").cast("date")
+        )
+    )
+    path = tempfile.mkdtemp(prefix="retract_rollup_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        merge_rollup_retract(spark, retract_partials(base, +1), path)
+        delta = retract_partials(retract, -1).unionByName(
+            retract_partials(late, +1)
+        ).groupBy("user_id").agg(
+            F.sum("dn").cast("long").alias("dn"),
+            F.sum("dc").cast("long").alias("dc"),
+        )
+        merge_rollup_retract(spark, delta, path)
+        return (
+            read_rollup(spark, path)
+            .select(
+                "user_id",
+                F.col("dn").alias("n_events"),
+                F.round(F.col("dc").cast("double") / F.lit(100.0), 6)
+                .alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -223,31 +223,39 @@ def rel_bfs_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle counting (degree-ordered orientation — the motif-counting
 # composition; all-integer, so parity is exact by construction)
 
-#: strong-tie edge cut: keep co-supply edges with ≥ this many shared
-#: orders.  The raw co-supply projection densifies toward a complete
-#: graph as facts grow (every supplier pair eventually shares SOME
-#: order), which makes triangle enumeration O(n³) noise; thresholding on
-#: tie strength is the standard sparsifier and keeps the graph's density
-#: roughly scale-free (sf0.1: 453k raw edges -> 18k strong edges).
-_TRI_MIN_W = 6
+#: strong-tie sparsifier: keep each node's TOP-K strongest co-supply
+#: edges (weight = shared orders, ties on neighbor id), union over both
+#: endpoints — the k-NN graph construction.  The raw projection
+#: densifies toward a complete graph as facts grow (every supplier pair
+#: eventually shares SOME order; an absolute weight cut re-densifies the
+#: moment weights inflate — measured 6× wall on the 10× ladder rung
+#: with a w≥6 cut), while top-K bounds edges at |V|·K REGARDLESS of
+#: fact volume: triangle cost then scales with the node set, not with
+#: how much history the warehouse has accumulated.
+_TRI_TOPK = 10
 
 _TRI_ORACLE = f"""
 WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-sym AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+pw AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(COUNT(*) AS BIGINT) AS w
   FROM e0 a JOIN e0 b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
-  GROUP BY u, v
-  HAVING COUNT(*) >= {_TRI_MIN_W}),
+  GROUP BY u, v),
+topk AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+    FROM pw) x
+  WHERE r <= {_TRI_TOPK}),
+und AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM topk),
+sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
 deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
 ok AS (SELECT u, ROW_NUMBER() OVER (ORDER BY d, u) AS okey FROM deg),
 eo AS (
-  SELECT CASE WHEN ou.okey < ov.okey THEN sym.u ELSE sym.v END AS s,
-         CASE WHEN ou.okey < ov.okey THEN sym.v ELSE sym.u END AS t
-  FROM sym
-  JOIN ok ou ON ou.u = sym.u
-  JOIN ok ov ON ov.u = sym.v
-  WHERE sym.u < sym.v),
+  SELECT CASE WHEN ou.okey < ov.okey THEN und.u ELSE und.v END AS s,
+         CASE WHEN ou.okey < ov.okey THEN und.v ELSE und.u END AS t
+  FROM und
+  JOIN ok ou ON ou.u = und.u
+  JOIN ok ov ON ov.u = und.v),
 tri AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
   FROM eo e1
@@ -286,7 +294,18 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     pairs, _nodes = _cosupply_graph(spark, sf_dir)
-    sym = pairs.where(F.col("w") >= _TRI_MIN_W).select("u", "v")
+    wtop = Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    topk = (
+        pairs.withColumn("_r", F.row_number().over(wtop))
+        .where(F.col("_r") <= _TRI_TOPK)
+        .select("u", "v")
+    )
+    und = topk.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # total-order key by (degree, id): dimension-sized global window
     # (node table), broadcast back onto edges.
@@ -297,7 +316,7 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oku = ok.select(F.col("u").alias("_u"), F.col("okey").alias("oku"))
     okv = ok.select(F.col("u").alias("_v"), F.col("okey").alias("okv"))
     eo = (
-        sym.where(F.col("u") < F.col("v"))
+        und
         .join(F.broadcast(oku), F.col("u") == F.col("_u"))
         .join(F.broadcast(okv), F.col("v") == F.col("_v"))
         .select(

@@ -1346,3 +1346,117 @@ def rel_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_dof"),
     )
+
+
+@query(
+    "rel_top_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_type, ts, event_id,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_idx
+  FROM flagged),
+paths AS (
+  SELECT user_id, session_idx,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_idx)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def rel_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey paths: sessionize (same gap>30min islands
+    as rel_sessionize_users, one user-keyed exchange), assemble each
+    session's ordered event-type string in-group (sorted struct
+    collect — no second window), count identical journeys, take the
+    head.  The path-frequency table behind every product-analytics
+    'top user flows' view; path cardinality is bounded by journey
+    diversity, not fact count, so the final aggregate is small."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = events.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "rel_max_drawdown",
+    # Running max over exact cents (integer, order-independent), one
+    # float division per row against that integer peak, MIN of the
+    # resulting deterministic doubles — no quantization needed anywhere.
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id, c,
+         CAST(MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rm
+  FROM c)
+SELECT user_id,
+  ROUND(MIN(CAST(c AS DOUBLE) / rm - 1.0), 6) AS max_drawdown,
+  ROUND(CAST(MAX(rm) AS DOUBLE) / 100.0, 6) AS peak_value
+FROM r GROUP BY user_id
+""",
+)
+def rel_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the value series (the running-peak
+    decline metric): running MAX over exact cents via one user-keyed
+    window exchange, per-row relative drop, grouped MIN reusing the same
+    partitioning — the two-pass-looking metric in a single shuffle."""
+    events = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = events.select(
+        "user_id", "ts", "event_id", c.alias("c")
+    ).withColumn("rm", F.max("c").over(w).cast("long"))
+    return r.groupBy("user_id").agg(
+        F.round(
+            F.min(F.col("c").cast("double") / F.col("rm") - F.lit(1.0)), 6
+        ).alias("max_drawdown"),
+        F.round(F.max("rm").cast("double") / F.lit(100.0), 6)
+        .alias("peak_value"),
+    )

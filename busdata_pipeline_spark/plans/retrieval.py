@@ -24,9 +24,13 @@ from busdata_pipeline_spark.operators import retrieval, setsim, similarity
 from busdata_pipeline_spark.plans.registry import query
 from busdata_pipeline_spark.sources import table
 
-#: query-doc selector shared by the lexical and vector legs (same id
-#: sampling as td_cosine_topk so the hybrid legs cover the same queries).
-_QPRED_SQL = "doc_id % 100 = 0"
+#: query-doc selector shared by the lexical and vector legs.  BOUNDED by
+#: construction (≤ 20 query docs at any corpus scale): a retrieval
+#: workload's query set is fixed while the corpus grows — a selector
+#: that scaled with the corpus (plain ``doc_id % 100``) made the probe
+#: join queries×corpus quadratic on this tiny-vocabulary corpus
+#: (measured 36× wall on the 10× ladder rung before the cap).
+_QPRED_SQL = "doc_id % 100 = 0 AND doc_id < 2000"
 
 
 def _bm25_ctes() -> str:
@@ -93,7 +97,9 @@ def td_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     OFF here: the synthetic corpus vocabulary is ~31 template tokens, all
     above N/2 — see operators/retrieval.bm25_topk.)"""
     docs = table(spark, sf_dir, "documents")
-    return retrieval.bm25_topk(docs, F.col("doc_id") % 100 == 0, k=10)
+    return retrieval.bm25_topk(
+        docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000), k=10
+    )
 
 
 @query(
@@ -102,7 +108,8 @@ def td_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """,
 lex AS (SELECT qid, doc_id AS id, rank AS r_lex FROM ranked WHERE rank <= 20),
 eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-qv AS (SELECT vec_id AS qid, v AS qvec FROM eb WHERE vec_id % 100 = 0),
+qv AS (SELECT vec_id AS qid, v AS qvec FROM eb
+       WHERE vec_id % 100 = 0 AND vec_id < 2000),
 vec AS (
   SELECT qv.qid, e.vec_id AS id,
     CAST(ROW_NUMBER() OVER (PARTITION BY qv.qid
@@ -131,10 +138,12 @@ def td_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the fused ranking hash-checks end to end."""
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-    lex = retrieval.bm25_topk(docs, F.col("doc_id") % 100 == 0, k=20).select(
-        "qid", F.col("doc_id").alias("id"), "rank"
-    )
-    qvecs = emb.where(F.col("vec_id") % 100 == 0).select(
+    lex = retrieval.bm25_topk(
+        docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000), k=20
+    ).select("qid", F.col("doc_id").alias("id"), "rank")
+    qvecs = emb.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     vec = similarity.cosine_topk_vectorized(emb, qvecs, k=20).select(

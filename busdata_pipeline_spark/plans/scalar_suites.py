@@ -574,3 +574,111 @@ def fn_geo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lat").between(-10, 10) & F.col("lon").between(-40, 40)
         ).alias("in_bbox"),
     )
+
+
+@query(
+    "bus_stop_detection",
+    # The dwell flag compares the ROUND(_,4) distance (shared-literal
+    # transcendental parity per fn_geo_suite's margin argument), so both
+    # engines quantize before the threshold compare; everything after the
+    # flag is integer islands arithmetic — exact by construction.
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         value / 10.0 - 25.0 AS lat,
+         CAST(user_id AS DOUBLE) - 75.0 AS lon
+  FROM events
+  WHERE value IS NOT NULL),
+seq AS (
+  SELECT event_id, user_id, ts, lat, lon,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN plat IS NULL THEN FALSE
+         ELSE ROUND(2 * {_EARTH_KM!r} * asin(sqrt(
+             sin((lat - plat) * {_PI!r} / 180 / 2)
+               * sin((lat - plat) * {_PI!r} / 180 / 2)
+             + cos(plat * {_PI!r} / 180) * cos(lat * {_PI!r} / 180)
+               * sin((lon - plon) * {_PI!r} / 180 / 2)
+               * sin((lon - plon) * {_PI!r} / 180 / 2))), 4) <= 300.0
+    END AS dwell
+  FROM seq),
+g AS (
+  SELECT event_id, user_id, ts, dwell,
+    CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+  FROM (
+    SELECT *, dwell <> COALESCE(LAG(dwell) OVER w, NOT dwell) AS chg
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x)
+SELECT user_id, MIN(ts) AS dwell_start, MAX(ts) AS dwell_end,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM g WHERE dwell
+GROUP BY user_id, grp
+HAVING COUNT(*) >= 3
+""",
+)
+def bus_stop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop/dwell detection over the GPS breadcrumb stream — the
+    bus-domain operator downstream of the reference's speed derivation
+    (`/root/reference/transform.py:219-230`): a point is 'dwelling' when
+    it moved ≤ 300 km (rounded haversine — the threshold is scaled to the
+    synthetic (value, user_id) coordinate plane, whose consecutive-point
+    steps are continent-sized; on real GPS it would be ~0.1 km) from its
+    predecessor; maximal
+    runs of ≥ 3 consecutive dwell points become stop episodes via
+    gaps-and-islands (change-flag running sum — no self-join).  All on
+    ONE user-keyed window exchange + a per-episode rollup reusing the
+    same partitioning."""
+    from busdata_pipeline_spark.sources import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    pts = ev.where(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "ts",
+        (F.col("value") / 10.0 - 25.0).alias("lat"),
+        (F.col("user_id").cast("double") - 75.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        "event_id", "user_id", "ts", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+
+    def rad(c):
+        return c * F.lit(_PI) / 180
+
+    dphi2 = rad(F.col("lat") - F.col("plat")) / 2
+    dlam2 = rad(F.col("lon") - F.col("plon")) / 2
+    hav = (
+        F.sin(dphi2) * F.sin(dphi2)
+        + F.cos(rad(F.col("plat"))) * F.cos(rad(F.col("lat")))
+        * F.sin(dlam2) * F.sin(dlam2)
+    )
+    dist = F.lit(2) * F.lit(_EARTH_KM) * F.asin(F.sqrt(hav))
+    d = seq.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("plat").isNull(), F.lit(False))
+        .otherwise(F.round(dist, 4) <= 300.0).alias("dwell"),
+    )
+    chg = F.col("dwell") != F.coalesce(
+        F.lag("dwell").over(w), ~F.col("dwell")
+    )
+    g = d.withColumn("chg", chg).withColumn(
+        "grp",
+        F.sum(F.when(F.col("chg"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return (
+        g.where("dwell")
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("ts").alias("dwell_start"),
+            F.max("ts").alias("dwell_end"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+        .where(F.col("n_points") >= 3)
+        .drop("grp")
+    )

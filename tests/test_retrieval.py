@@ -208,9 +208,18 @@ def test_triangle_count_matches_bruteforce(spark):
     for sups in by_order.values():
         for u, v in itertools.combinations(sorted(sups), 2):
             weights[(u, v)] = weights.get((u, v), 0) + 1
-    from busdata_pipeline_spark.plans.graph import _TRI_MIN_W
+            weights[(v, u)] = weights.get((v, u), 0) + 1
+    from busdata_pipeline_spark.plans.graph import _TRI_TOPK
 
-    edges = {e for e, w in weights.items() if w >= _TRI_MIN_W}
+    # top-K strongest directed edges per node (w desc, neighbor asc),
+    # union over both endpoints, canonicalized u < v
+    by_node = {}
+    for (u, v), w in weights.items():
+        by_node.setdefault(u, []).append((-w, v))
+    edges = set()
+    for u, nbrs in by_node.items():
+        for _, v in sorted(nbrs)[:_TRI_TOPK]:
+            edges.add((min(u, v), max(u, v)))
     adj = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)

@@ -87,3 +87,57 @@ def test_join_view_maintenance_equals_full_recompute(spark):
     got = sorted(map(tuple, v2.collect()))
     want = sorted(map(tuple, orders.join(li, "o_orderkey").collect()))
     assert got == want and len(got) > 0
+
+
+def test_retract_rollup_removes_zero_keys_and_is_exact(spark, tmp_path):
+    from busdata_pipeline_spark.operators.rollup import (
+        merge_rollup_retract,
+        retract_partials,
+    )
+
+    rows = [(1, 1.10), (1, 2.20), (2, 5.00), (2, None), (3, 7.77)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    path = str(tmp_path / "rr")
+    merge_rollup_retract(spark, retract_partials(df, +1), path)
+
+    # retract user 3 entirely + one of user 1's rows
+    retract = spark.createDataFrame(
+        [(3, 7.77), (1, 2.20)], "user_id long, value double"
+    )
+    merge_rollup_retract(spark, retract_partials(retract, -1), path)
+
+    got = {
+        r["user_id"]: (r["dn"], r["dc"])
+        for r in spark.read.parquet(path).collect()
+    }
+    # user 3 reached count 0 -> removed from state
+    assert set(got) == {1, 2}
+    assert got[1] == (1, 110)          # exact cents: 1.10 remains
+    assert got[2] == (2, 500)          # null value counted, sum unaffected
+
+
+def test_retract_rollup_float_exactness_vs_naive_subtract(spark, tmp_path):
+    # the reason sums are maintained in cents: 0.1+0.2-0.2 != 0.1 in
+    # floats, but 10+20-20 == 10 in cents
+    from busdata_pipeline_spark.operators.rollup import (
+        merge_rollup_retract,
+        retract_partials,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.10), (1, 0.20)], "user_id long, value double"
+    )
+    path = str(tmp_path / "rrf")
+    merge_rollup_retract(spark, retract_partials(df, +1), path)
+    merge_rollup_retract(
+        spark,
+        retract_partials(
+            spark.createDataFrame([(1, 0.20)], "user_id long, value double"),
+            -1,
+        ),
+        path,
+    )
+    [(dn, dc)] = [
+        (r["dn"], r["dc"]) for r in spark.read.parquet(path).collect()
+    ]
+    assert (dn, dc) == (1, 10)  # bit-exact, no float residue
