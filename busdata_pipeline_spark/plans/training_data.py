@@ -2094,3 +2094,78 @@ def td_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "td_temperature_mix",
+    # α-weights pass through a 1e-9 integer quantization immediately
+    # after the one transcendental (POWER), so quota arithmetic is exact
+    # integer/deterministic-double on both engines.
+    oracle="""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+q AS (SELECT lang, n,
+        CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.3) * 1000000000.0 + 0.5)
+             AS BIGINT) AS ql
+      FROM c),
+s AS (SELECT CAST(SUM(ql) AS BIGINT) AS qs,
+             CAST(FLOOR(CAST(SUM(n) AS DOUBLE) / 2.0) AS BIGINT) AS t
+      FROM q),
+kept AS (
+  SELECT lang,
+         LEAST(CAST(FLOOR(CAST(t * ql AS DOUBLE) / qs + 0.5) AS BIGINT), n)
+           AS quota
+  FROM q CROSS JOIN s),
+r AS (SELECT doc_id, lang,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents)
+SELECT r.doc_id, r.lang, r.rk, kept.quota
+FROM r JOIN kept USING (lang) WHERE rk <= quota
+""",
+)
+def td_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the mT5/XLM-R α-mix, Xue et
+    al. 2021: p_l ∝ n_l^α, α=0.3) at a budget of half the corpus: rare
+    languages are up-weighted relative to their natural share, head
+    languages down-weighted, quotas capped at availability, selection by
+    the stable md5 rank.  Completes the mixture tier next to the
+    fixed-spec `td_mixture_resample` (given targets) and
+    `td_stratified_sample` (fixed quota): here the targets are COMPUTED
+    from the distribution.  Same scale shape: dim-sized weight table,
+    1-row budget broadcast, per-language rank window."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = c.select(
+        "lang", "n",
+        F.floor(
+            F.pow(F.col("n").cast("double"), F.lit(0.3))
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("ql"),
+    )
+    s = q.agg(
+        F.sum("ql").cast("long").alias("qs"),
+        F.floor(F.sum("n").cast("double") / F.lit(2.0)).cast("long")
+        .alias("t"),
+    )
+    kept = q.crossJoin(F.broadcast(s)).select(
+        "lang",
+        F.least(
+            F.floor(
+                (F.col("t") * F.col("ql")).cast("double") / F.col("qs")
+                + F.lit(0.5)
+            ).cast("long"),
+            F.col("n"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(kept), "lang").where(
+        F.col("rk") <= F.col("quota")
+    ).select("doc_id", "lang", "rk", "quota")

@@ -98,6 +98,8 @@ SCALAR_EXPANSION_BNLJ = {
     "td_bm25_search",                 # 1-row (N, avgdl) corpus stats broadcast
     "td_rrf_hybrid_search",           # inherits the BM25 stats broadcast
     "rel_triangle_count",             # 1-row tri/wedge/count aggregates joined
+    "td_temperature_mix",             # 1-row (Σweights, budget) broadcast
+    "rel_spatial_hotspots",           # 1-row global cell moments broadcast
 }
 
 
