@@ -521,3 +521,41 @@ def st_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return rank_trending(type_counts_windowed(ev, "1 hour"), k=3)
+
+
+@query(
+    "st_stream_ewma",
+    # The oracle is the BATCH recurrence replay (identical to
+    # rel_ewma_value's): the streaming run over a time-boundary batch
+    # split must be bit-identical to the batch fold over the whole
+    # series, because per-user state (one double) carries the prefix.
+    oracle="""
+SELECT event_id, user_id,
+  ROUND(list_reduce(
+          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          (acc, x) -> 0.7 * acc + 0.3 * x), 6) AS ewma
+FROM events
+WHERE value IS NOT NULL
+""",
+)
+def st_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful EWMA: the events table is split at day
+    boundaries into three time-ordered micro-batches and replayed
+    through applyInPandasWithState (per-user state = one double); the
+    emitted per-event smoothed values must hash-match the batch
+    recurrence over the unsplit series — stream == batch for a custom
+    stateful operator, driver-checked strictly."""
+    from busdata_pipeline_spark.streaming.replay import ewma_stream_replay
+
+    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    cut1, cut2 = F.lit("2024-01-10").cast("date"), F.lit("2024-01-20").cast("date")
+    batches = [
+        ev.where(F.col("d") <= cut1),
+        ev.where((F.col("d") > cut1) & (F.col("d") <= cut2)),
+        ev.where(F.col("d") > cut2),
+    ]
+    out = ewma_stream_replay(spark, batches, alpha=0.3)
+    return out.select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    )

@@ -436,3 +436,101 @@ def stream_left_join_replay(spark: SparkSession,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def ewma_stream_replay(spark: SparkSession, batches: list[DataFrame],
+                       alpha: float = 0.3) -> DataFrame:
+    """Replay time-ordered batches of (event_id, ts, user_id, value)
+    through a stateful streaming EWMA (applyInPandasWithState): per-user
+    state is ONE double (the running smoothed value), each micro-batch
+    folds its rows in (ts, event_id) order on top of that state.
+
+    Because the recurrence is associative over a prefix split
+    (s carries), the streaming run over any time-boundary batch split is
+    bit-identical to the batch operator (operators/temporal.ewma_smooth)
+    over the concatenation — the strongest equivalence a stateful
+    streaming op can offer, and exactly what the strict oracle checks.
+    State per key is O(1); the stateful shuffle keys on user_id only.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    one_minus = 1.0 - alpha
+    scratch = tempfile.mkdtemp(prefix="ewma_replay_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_dir = os.path.join(scratch, "stream")
+        ckpt = os.path.join(scratch, "ckpt")
+        os.makedirs(stream_dir)
+        cols = ["event_id", "ts", "user_id", "value"]
+        for i, b in enumerate(batches):
+            _stage_single_file_cols(b.select(*cols), scratch, stream_dir, i)
+
+        src = (
+            spark.readStream
+            .schema("event_id long, ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+
+        def smooth(key, pdfs, state):
+            import pandas as pd
+
+            s = state.get[0] if state.exists else None
+            frames = [p for p in pdfs]
+            pdf = pd.concat(frames) if frames else pd.DataFrame(
+                columns=cols)
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            out = []
+            for x in pdf["value"].to_numpy():
+                xv = float(x)
+                s = xv if s is None else one_minus * s + alpha * xv
+                out.append(s)
+            if s is not None:
+                state.update((float(s),))
+            yield pd.DataFrame({
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "ewma": out,
+            })
+
+        res = (
+            src.where(F.col("value").isNotNull())
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                smooth,
+                "event_id long, user_id long, ewma double",
+                "s double",
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = "ewma_replay_" + uuid.uuid4().hex
+        q = (
+            res.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _stage_single_file_cols(df: DataFrame, scratch: str, stream_dir: str,
+                            seq: int) -> None:
+    """_stage_single_file without the (ts, value)-only projection —
+    keeps whatever columns ``df`` carries."""
+    stage = os.path.join(scratch, f"stage_{seq}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+    assert len(parts) == 1, "coalesce(1) must produce one file"
+    dest = os.path.join(stream_dir, f"batch_{seq}.parquet")
+    shutil.move(parts[0], dest)
+    t = 1_000_000 + seq * 1000
+    os.utime(dest, (t, t))

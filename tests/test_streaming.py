@@ -717,3 +717,27 @@ def test_trending_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, streamed.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_ewma_equals_batch_fold(spark):
+    """applyInPandasWithState EWMA over a 2-batch time split must be
+    bit-identical to the batch recurrence over the whole series."""
+    from busdata_pipeline_spark.operators.temporal import ewma_smooth
+    from busdata_pipeline_spark.streaming.replay import ewma_stream_replay
+    from tests.conftest import SF0001
+
+    from busdata_pipeline_spark.sources import table as _table
+
+    ev = _table(spark, SF0001, "events").withColumn("d", F.to_date("ts"))
+    cut = F.lit("2024-01-15").cast("date")
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_stream_replay(
+            spark,
+            [ev.where(F.col("d") <= cut), ev.where(F.col("d") > cut)],
+        ).collect()
+    }
+    want = {
+        r["event_id"]: r["ewma"] for r in ewma_smooth(ev).collect()
+    }
+    assert got == want and len(got) > 0
