@@ -104,17 +104,21 @@ def _cosupply_graph(spark: SparkSession, sf_dir: str):
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
 
-    e0 = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = e0.alias("a"), e0.alias("b")
+    # Per-order supplier sets via ONE hash aggregate (collect_set dedups
+    # in-flight), pairs by double explode of the ≤|items-per-order|
+    # array — semantically identical to the DISTINCT + orderkey
+    # self-join the oracle spells, but with no sort-merge join: two
+    # narrow shuffles, map-sized memory (the self-join's per-task SMJ
+    # sort of the 10x-replica fact flirted with OOM on a vanilla 1 GB
+    # session and cost the edge-derivation its 2.2x ladder growth).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("ss")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
+        per_order.select(F.explode("ss").alias("u"), "ss")
+        .select("u", F.explode("ss").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .localCheckpoint(eager=True)
     )
@@ -236,7 +240,7 @@ _TRI_TOPK = 10
 
 _TRI_ORACLE = f"""
 WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-pw AS (
+pw AS MATERIALIZED (
   SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(COUNT(*) AS BIGINT) AS w
   FROM e0 a JOIN e0 b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
@@ -246,11 +250,13 @@ topk AS (
     SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
     FROM pw) x
   WHERE r <= {_TRI_TOPK}),
-und AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM topk),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM topk),
 sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
 deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
-ok AS (SELECT u, ROW_NUMBER() OVER (ORDER BY d, u) AS okey FROM deg),
-eo AS (
+ok AS MATERIALIZED (
+  SELECT u, ROW_NUMBER() OVER (ORDER BY d, u) AS okey FROM deg),
+eo AS MATERIALIZED (
   SELECT CASE WHEN ou.okey < ov.okey THEN und.u ELSE und.v END AS s,
          CASE WHEN ou.okey < ov.okey THEN und.v ELSE und.u END AS t
   FROM und
