@@ -1460,3 +1460,71 @@ def rel_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rm").cast("double") / F.lit(100.0), 6)
         .alias("peak_value"),
     )
+
+
+@query(
+    "rel_funnel_lag_percentiles",
+    # Lags are exact integer microseconds (epoch_us difference), so the
+    # discrete percentiles are actual elements with no float anywhere
+    # until the final seconds conversion.
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id),
+l AS (
+  SELECT epoch_us(first_purchase) - epoch_us(first_view) AS lag_us
+  FROM f
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase > first_view)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+  ROUND(CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY lag_us)
+             AS DOUBLE) / 1000000.0, 6) AS p25_sec,
+  ROUND(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)
+             AS DOUBLE) / 1000000.0, 6) AS p50_sec,
+  ROUND(CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY lag_us)
+             AS DOUBLE) / 1000000.0, 6) AS p75_sec,
+  ROUND(CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)
+             AS DOUBLE) / 1000000.0, 6) AS p90_sec
+FROM l
+""",
+)
+def rel_funnel_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag distribution: time from each user's FIRST view to
+    their FIRST purchase, summarized as exact discrete percentiles — the
+    'how long does conversion take' companion to rel_funnel_conversion
+    (which answers 'how many convert').  One user-keyed conditional
+    aggregate produces the per-user lag table (dimension-sized), then a
+    single global percentile_disc over exact integer microseconds."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("first_purchase"),
+    )
+    lags = f.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+        .alias("lag_us")
+    )
+
+    def pd_sec(p, name):
+        return F.round(
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY lag_us)"
+            ).cast("double") / F.lit(1000000.0),
+            6,
+        ).alias(name)
+
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        pd_sec(0.25, "p25_sec"),
+        pd_sec(0.5, "p50_sec"),
+        pd_sec(0.75, "p75_sec"),
+        pd_sec(0.9, "p90_sec"),
+    )

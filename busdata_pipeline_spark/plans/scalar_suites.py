@@ -682,3 +682,48 @@ def bus_stop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_points") >= 3)
         .drop("grp")
     )
+
+
+@query(
+    "fn_url_suite",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/docs/' ||
+         CAST(doc_id AS VARCHAR) || '/view?lang=' || lang || '&ref=feed'
+           AS url
+  FROM documents)
+SELECT doc_id, url,
+  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+  regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+  regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+  regexp_extract(url, '\\.([a-z]+)/', 1) AS tld,
+  CAST(len(string_split(regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1),
+                        '/')) - 1 AS BIGINT) AS path_depth
+FROM u
+""",
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + parsing scalar surface: scheme / host / path /
+    query-param / TLD / path-depth extraction, all via the SAME regex
+    literals on both engines (Spark's parse_url is JVM-specific, so the
+    portable contract is the regex set — the one a crawl-data pipeline
+    normalizes domains with for per-domain quotas, td_domain_quota)."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"), F.lit("/view?lang="),
+        F.col("lang"), F.lit("&ref=feed"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    path = F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?]*)", 1)
+    return u.select(
+        "doc_id", "url",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        path.alias("path"),
+        F.regexp_extract("url", r"[?&]lang=([^&]*)", 1).alias("lang_param"),
+        F.regexp_extract("url", r"\.([a-z]+)/", 1).alias("tld"),
+        (F.size(F.split(path, "/")) - 1).cast("long").alias("path_depth"),
+    )
