@@ -727,3 +727,80 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"\.([a-z]+)/", 1).alias("tld"),
         (F.size(F.split(path, "/")) - 1).cast("long").alias("path_depth"),
     )
+
+
+@query(
+    "bus_daily_distance",
+    # Per-hop distances quantize to integer 1e-4-km units right after the
+    # shared-literal transcendental (fn_geo_suite's parity margin), so
+    # the per-day SUM is an exact BIGINT — order-independent.
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         value / 10.0 - 25.0 AS lat,
+         CAST(user_id AS DOUBLE) - 75.0 AS lon
+  FROM events WHERE value IS NOT NULL),
+seq AS (
+  SELECT event_id, user_id, ts, lat, lon,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+hops AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    CAST(FLOOR(ROUND(2 * {_EARTH_KM!r} * asin(sqrt(
+        sin((lat - plat) * {_PI!r} / 180 / 2)
+          * sin((lat - plat) * {_PI!r} / 180 / 2)
+        + cos(plat * {_PI!r} / 180) * cos(lat * {_PI!r} / 180)
+          * sin((lon - plon) * {_PI!r} / 180 / 2)
+          * sin((lon - plon) * {_PI!r} / 180 / 2))), 4)
+      * 10000.0 + 0.5) AS BIGINT) AS du
+  FROM seq WHERE plat IS NOT NULL)
+SELECT user_id, day,
+  CAST(COUNT(*) AS BIGINT) AS n_hops,
+  ROUND(CAST(SUM(du) AS DOUBLE) / 10000.0, 4) AS dist_km
+FROM hops GROUP BY user_id, day
+""",
+)
+def bus_daily_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily traveled distance: the rollup downstream of the
+    reference's consecutive-breadcrumb differencing (it differences the
+    METERS odometer, `/root/reference/transform.py:219-230`; here the
+    odometer is reconstructed as summed haversine hops on the synthetic
+    plane).  One user-keyed window supplies the lagged point; hop
+    distances quantize to exact 1e-4-km integer units before the per-day
+    SUM, so the rollup is order-independent and engine-identical."""
+    from busdata_pipeline_spark.sources import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    pts = ev.where(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "ts",
+        (F.col("value") / 10.0 - 25.0).alias("lat"),
+        (F.col("user_id").cast("double") - 75.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        "user_id", "ts", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).where(F.col("plat").isNotNull())
+
+    def rad(c):
+        return c * F.lit(_PI) / 180
+
+    dphi2 = rad(F.col("lat") - F.col("plat")) / 2
+    dlam2 = rad(F.col("lon") - F.col("plon")) / 2
+    hav = (
+        F.sin(dphi2) * F.sin(dphi2)
+        + F.cos(rad(F.col("plat"))) * F.cos(rad(F.col("lat")))
+        * F.sin(dlam2) * F.sin(dlam2)
+    )
+    dist = F.lit(2) * F.lit(_EARTH_KM) * F.asin(F.sqrt(hav))
+    hops = seq.select(
+        "user_id", F.to_date("ts").alias("day"),
+        F.floor(F.round(dist, 4) * F.lit(10000.0) + F.lit(0.5))
+        .cast("long").alias("du"),
+    )
+    return hops.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hops"),
+        F.round(F.sum("du").cast("double") / F.lit(10000.0), 4)
+        .alias("dist_km"),
+    )
