@@ -1528,3 +1528,49 @@ def rel_funnel_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd_sec(0.75, "p75_sec"),
         pd_sec(0.9, "p90_sec"),
     )
+
+
+@query(
+    "rel_equidepth_histogram",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         NTILE(10) OVER (ORDER BY FLOOR(o_totalprice * 100.0 + 0.5),
+                         o_orderkey) AS bucket
+  FROM orders)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(MIN(cents) AS DOUBLE) / 100.0, 2) AS lo,
+  ROUND(CAST(MAX(cents) AS DOUBLE) / 100.0, 2) AS hi,
+  ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS bucket_revenue
+FROM c GROUP BY bucket
+""",
+)
+def rel_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (10-quantile) histogram of order revenue: NTILE over
+    the exact-cents order with the key as tie-break (deterministic
+    bucket assignment), then per-bucket bounds and exact-cents totals —
+    the optimizer-statistics histogram shape, driver-checked.  The
+    global NTILE sort is the documented single-exchange cost (same
+    caveat as rel_ntile_acctbal); the production variant at 100 TB uses
+    approx quantile boundaries (td_sketches) instead of a total sort."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    w = Window.orderBy(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)),
+        F.col("o_orderkey"),
+    )
+    c = o.select(
+        "o_orderkey", cents.alias("cents"),
+        F.ntile(10).over(w).cast("long").alias("bucket"),
+    )
+    return c.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("cents").cast("double") / F.lit(100.0), 2).alias("lo"),
+        F.round(F.max("cents").cast("double") / F.lit(100.0), 2).alias("hi"),
+        F.round(F.sum("cents").cast("double") / F.lit(100.0), 2)
+        .alias("bucket_revenue"),
+    )
