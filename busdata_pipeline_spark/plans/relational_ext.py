@@ -1574,3 +1574,114 @@ def rel_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("cents").cast("double") / F.lit(100.0), 2)
         .alias("bucket_revenue"),
     )
+
+
+@query(
+    "rel_running_distinct_users",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+newu AS (SELECT d0 AS d, CAST(COUNT(*) AS BIGINT) AS new_users
+         FROM fs GROUP BY d0),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+SELECT days.d AS d,
+  CAST(COALESCE(newu.new_users, 0) AS BIGINT) AS new_users,
+  CAST(SUM(COALESCE(newu.new_users, 0)) OVER (
+    ORDER BY days.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS cumulative_users
+FROM days LEFT JOIN newu ON newu.d = days.d
+""",
+)
+def rel_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT a per-day COUNT(DISTINCT
+    expanding window) — the first-seen decomposition: a user contributes
+    to exactly the day they first appear (one user-keyed MIN aggregate),
+    so the running distinct count is a plain running SUM over the
+    dimension-sized daily series.  The naive expanding-window
+    COUNT(DISTINCT) is O(days × users) state; this is one fact aggregate
+    + one tiny window — the standard trick for 'total unique customers
+    to date' dashboards at any scale."""
+    ev = table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    newu = fs.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(newu, "d", "left")
+        .select("d", F.coalesce("new_users", F.lit(0)).cast("long")
+                .alias("new_users"))
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+    )
+
+
+@query(
+    "rel_cohort_ltv",
+    oracle="""
+WITH co AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+  FROM events GROUP BY user_id),
+cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+       FROM co GROUP BY cohort),
+rev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+g AS (
+  SELECT co.cohort, CAST((rev.d - co.cohort) // 7 AS BIGINT) AS age_week,
+         CAST(SUM(rev.c) AS BIGINT) AS cents
+  FROM rev JOIN co ON co.user_id = rev.user_id
+  GROUP BY co.cohort, age_week)
+SELECT g.cohort, g.age_week,
+  ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS week_revenue,
+  ROUND(CAST(SUM(cents) OVER (PARTITION BY g.cohort ORDER BY g.age_week
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / (100.0 * cs.cohort_users), 6) AS cum_ltv_per_user
+FROM g JOIN cs ON cs.cohort = g.cohort
+""",
+)
+def rel_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-activity day, purchase
+    revenue bucketed by cohort age in weeks, cumulative
+    revenue-per-cohort-user along the age axis — the lifetime-value
+    companion to rel_retention_cohorts.  Revenue stays exact integer
+    cents through the running sum (order-independent); the window runs
+    on the (cohort × age) grid — dimension-sized at any fact volume."""
+    ev = table(spark, sf_dir, "events")
+    co = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    cs = co.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = ev.where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).select(
+        "user_id", F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        .alias("c"),
+    )
+    g = (
+        rev.join(co, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(F.datediff("d", "cohort") / 7).cast("long")
+            .alias("age_week"),
+        )
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort").orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.join(F.broadcast(cs), "cohort").select(
+        "cohort", "age_week",
+        F.round(F.col("cents").cast("double") / F.lit(100.0), 2)
+        .alias("week_revenue"),
+        F.round(
+            F.sum("cents").over(w).cast("double")
+            / (F.lit(100.0) * F.col("cohort_users")),
+            6,
+        ).alias("cum_ltv_per_user"),
+    )
