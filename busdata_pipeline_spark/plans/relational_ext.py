@@ -1685,3 +1685,120 @@ def rel_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_ltv_per_user"),
     )
+
+
+@query(
+    "rel_abc_pareto",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM r),
+c AS (
+  SELECT o_custkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM r),
+cls AS (
+  SELECT o_custkey, cents,
+    CASE WHEN cum_cents * 10 <= t.total * 8 THEN 'A'
+         WHEN cum_cents * 100 <= t.total * 95 THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM c CROSS JOIN t)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS class_revenue
+FROM cls GROUP BY abc_class
+""",
+)
+def rel_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue: cumulative
+    exact-cents share along the descending revenue order, class cuts at
+    80% / 95% as INTEGER cross-multiplications (cum·10 ≤ total·8 — no
+    float boundary anywhere).  The running-share window runs over the
+    customer-grain aggregate; at 100 TB the global order would ride the
+    two-level distributed rank (assign_surrogate_keys), noted as with
+    NTILE."""
+    o = table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).cast("long").alias("cents")
+    )
+    t = r.agg(F.sum("cents").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = r.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+    cls = c.join(F.broadcast(t)).select(
+        "o_custkey", "cents",
+        F.when(F.col("cum_cents") * 10 <= F.col("total") * 8, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C").alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("cents").cast("double") / F.lit(100.0), 2)
+        .alias("class_revenue"),
+    )
+
+
+@query(
+    "rel_revenue_gini",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey),
+k AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+  FROM r),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(i * cents) AS BIGINT) AS si
+      FROM k)
+SELECT n,
+  ROUND(CAST(2 * si AS DOUBLE) / (CAST(n AS DOUBLE) * s)
+        - (CAST(n + 1 AS DOUBLE) / n), 6) AS gini
+FROM m
+""",
+)
+def rel_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration:
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over the ascending-sorted exact-cents
+    totals.  Ranks and both sums are exact BIGINTs (i·cents ≤ 1e14 —
+    overflow-safe), so the only float math is the final two divisions.
+    The inequality KPI behind revenue-concentration dashboards; the
+    global rank carries the NTILE scale caveat."""
+    o = table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).cast("long").alias("cents")
+    )
+    k = r.select(
+        "cents",
+        F.row_number().over(
+            Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
+        ).cast("long").alias("i"),
+    )
+    m = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("si"),
+    )
+    return m.select(
+        "n",
+        F.round(
+            (F.lit(2) * F.col("si")).cast("double")
+            / (F.col("n").cast("double") * F.col("s"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -2169,3 +2169,61 @@ def td_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(kept), "lang").where(
         F.col("rk") <= F.col("quota")
     ).select("doc_id", "lang", "rk", "quota")
+
+
+@query(
+    "td_zipf_slope",
+    # regr_slope aggregates doubles (order-dependent at ~1e-15); the
+    # inputs are logs of exact integer (rank, tf) pairs over a bounded
+    # vocabulary, and the slope rounds to 6 — the fn_math_bitwise_suite
+    # transcendental-margin argument applies.
+    oracle="""
+WITH tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+rk AS (
+  SELECT tf, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS BIGINT)
+           AS rank
+  FROM tf)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+  ROUND(regr_slope(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+    AS zipf_slope,
+  ROUND(corr(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+    AS loglog_corr
+FROM rk
+""",
+)
+def td_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic over the corpus vocabulary: the log-log
+    rank-frequency regression slope (natural text ≈ −1; template or
+    synthetic corpora deviate — a standard corpus-health check in
+    pretraining-data QA).  One token aggregate, a vocabulary-sized rank
+    window, and a closed-form regression aggregate; slope and
+    correlation come from Spark's regr_slope/corr vs DuckDB's, over
+    identical (ln rank, ln tf) pairs."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    rk = tf.select(
+        "tf",
+        F.row_number().over(
+            Window.orderBy(F.desc("tf"), F.asc("tok"))
+        ).cast("long").alias("rank"),
+    )
+    lt = F.log(F.col("tf").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return rk.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(lt, lr), 6).alias("zipf_slope"),
+        F.round(F.corr(lt, lr), 6).alias("loglog_corr"),
+    )

@@ -100,6 +100,7 @@ SCALAR_EXPANSION_BNLJ = {
     "rel_triangle_count",             # 1-row tri/wedge/count aggregates joined
     "td_temperature_mix",             # 1-row (Σweights, budget) broadcast
     "rel_spatial_hotspots",           # 1-row global cell moments broadcast
+    "rel_abc_pareto",                 # 1-row grand-total broadcast
 }
 
 
