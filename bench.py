@@ -70,6 +70,35 @@ HEADLINERS = [
 ]
 
 
+def time_queries(run, names, repeats) -> tuple[dict, dict]:
+    """Warm pass + min-of-N timed pass with per-query error isolation.
+
+    A single broken query must degrade the bench, not zero it (the
+    round-3 BENCH crashed outright on one AnalysisException and recorded
+    nothing for the other 31 queries) — and a query that passed warm-up
+    can still fail in the timed loop (flaky temp-dir, OOM), so BOTH
+    passes carry the guard.  Returns (timings, errors); the caller
+    always emits the JSON line.
+    """
+    errors: dict[str, str] = {}
+    for name in names:
+        try:
+            run(name)
+        except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        if name in errors:
+            continue
+        try:
+            timings[name] = round(min(run(name) for _ in range(repeats)), 3)
+        except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            timings.pop(name, None)
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -92,30 +121,13 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # A single broken query must degrade the bench, not zero it (the
-    # round-3 BENCH crashed outright on one AnalysisException and recorded
-    # nothing for the other 31 queries).  Errors are reported per-query in
-    # an "errors" map; the JSON line is always emitted.
-    errors: dict[str, str] = {}
-
-    # Warm pass: JVM JIT, whole-stage-codegen compilation, and parquet
-    # footer caches are one-time costs amortized away on any long-running
-    # cluster; the timed passes measure the steady-state plans.
-    for name in names:
-        try:
-            run(name)
-        except Exception as exc:  # noqa: BLE001 - recorded, not fatal
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-
-    # Min-of-N: this box has up to ~2x run-to-run variance (GC timing,
-    # shared-host jitter); the minimum is the best estimate of the plan's
-    # actual cost and is stable across rounds.
+    # Warm pass amortizes JVM JIT, whole-stage-codegen compilation, and
+    # parquet footer caches (one-time costs on any long-running cluster);
+    # min-of-N because this box has up to ~2x run-to-run variance (GC
+    # timing, shared-host jitter) — the minimum is the stable estimate of
+    # the plan's actual cost across rounds.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings = {}
-    for name in names:
-        if name in errors:
-            continue
-        timings[name] = round(min(run(name) for _ in range(repeats)), 3)
+    timings, errors = time_queries(run, names, repeats)
 
     total = round(sum(timings.values()), 3)
     out = {

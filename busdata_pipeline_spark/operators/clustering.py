@@ -56,8 +56,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    changed = 0
-    for _ in range(max_iter):
+    changed = 1
+    for rnd in range(max_iter):
         # Push each vertex's current label to its neighbors, then take the
         # min of (own label, incoming labels) — one shuffle keyed by id.
         # The vertex's own previous label rides along (min over the
@@ -75,11 +75,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("id")
             .agg(F.min("component").alias("component"),
                  F.min("prev").alias("prev"))
-            .localCheckpoint(eager=True)
         )
-        changed = new_labels.where(F.col("component") < F.col("prev")).count()
+        # Checkpoint + convergence-count every SECOND round only: each
+        # checkpoint and each count is a separate Spark job, and for the
+        # near-clique graphs this serves (diameter 2-3) the per-job
+        # fixed cost dominates the actual shuffle work.  On the
+        # uncounted round the next iteration consumes the one-round-deep
+        # lazy plan (its identical agg subtree is a ReusedExchange, not
+        # a recompute); lineage never exceeds two rounds.
+        counted = (rnd % 2 == 1) or (rnd == max_iter - 1)
+        if counted:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = new_labels.where(
+                F.col("component") < F.col("prev")
+            ).count()
         labels = new_labels.select("id", "component")
-        if changed == 0:
+        if counted and changed == 0:
             break
     if changed != 0:
         # A component with diameter > max_iter would otherwise pass off

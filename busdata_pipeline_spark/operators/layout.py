@@ -198,6 +198,12 @@ def row_groups_intersecting_box(path: str, xcol: str, xlo, xhi,
                         col.statistics.min, col.statistics.max
                     )
             total += 1
+            if xcol not in stats or ycol not in stats:
+                # Statistics are writer-optional per column chunk; a
+                # group without them can never be pruned, so a
+                # statistics-pushdown reader must scan it.
+                hit += 1
+                continue
             (xmn, xmx) = stats[xcol]
             (ymn, ymx) = stats[ycol]
             if xmx >= xlo and xmn <= xhi and ymx >= ylo and ymn <= yhi:

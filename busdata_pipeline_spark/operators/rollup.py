@@ -161,12 +161,44 @@ def merge_rollup_retract(spark: SparkSession, delta: DataFrame, path: str,
         for b in touched:
             _sh.rmtree(os.path.join(path, f"{BUCKET_COL}={b}"),
                        ignore_errors=True)
+        # Clear any empty-state marker left by a prior full retraction
+        # BEFORE appending bucket dirs (root files + partition dirs is a
+        # layout parquet partition discovery rejects).
+        for f in _root_parquet_files(path):
+            os.remove(f)
         merged.write.mode("append").partitionBy(BUCKET_COL).parquet(path)
+        _ensure_readable_when_empty(merged, path)
     else:
+        first = delta_b.where(F.col("dn") > 0)
         (
-            delta_b.where(F.col("dn") > 0)
+            first
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(path)
+        )
+        _ensure_readable_when_empty(first, path)
+
+
+def _root_parquet_files(path: str) -> list[str]:
+    import glob
+
+    return glob.glob(os.path.join(path, "*.parquet"))
+
+
+def _ensure_readable_when_empty(state: DataFrame, path: str) -> None:
+    """A fully-retracted rollup writes zero data files (partitioned
+    writers emit nothing for an empty plan), leaving a directory parquet
+    schema inference cannot read.  Drop in a zero-row UNPARTITIONED
+    marker file carrying the full schema so ``read_rollup`` and the next
+    merge still work; the next non-empty merge removes the marker before
+    appending partition dirs."""
+    import glob
+
+    has_data = glob.glob(os.path.join(path, "**", "*.parquet"),
+                         recursive=True)
+    if not has_data:
+        (
+            state.limit(0).repartition(1)
+            .write.mode("append").parquet(path)
         )

@@ -113,17 +113,33 @@ def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
         )
     )
     prefix = ranked.where(F.col("pos") <= F.col("pfx_len")).select(
-        "doc_id", "tok", "sz"
+        "doc_id", "tok", "sz", "pos"
     )
 
     # candidates: share a prefix token, canonical a < b, and the length
     # filter τ·|a| ≤ |b| (sets too small relative to a cannot reach τ).
     a = prefix.select(
-        F.col("doc_id").alias("a"), "tok", F.col("sz").alias("sa")
+        F.col("doc_id").alias("a"), "tok",
+        F.col("sz").alias("sa"), F.col("pos").alias("ia"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("b"), "tok", F.col("sz").alias("sb")
+        F.col("doc_id").alias("b"), "tok",
+        F.col("sz").alias("sb"), F.col("pos").alias("jb"),
     )
+    # PPJoin positional filter (Xiao et al., WWW 2008 §3.2): both docs'
+    # token sequences follow the SAME global (df, tok) order, so for the
+    # minimal-order matched prefix token — positions i in a, j in b —
+    # every other shared token sits after i in a AND after j in b
+    # (case-split on prefix membership; consistent ordering makes each
+    # case land beyond one of the two positions, hence beyond the min).
+    # Thus |A∩B| ≤ 1 + min(sa−i, sb−j), which must reach the overlap
+    # bound α = ceil(τ·(sa+sb)/(1+τ)) — all-integer with rational τ.
+    # Among matched tokens min(ia) and min(jb) are attained by the same
+    # (minimal-order) token, so the per-pair reduction is two MINs; the
+    # groupBy replaces the old DISTINCT (same shuffle) and the filter
+    # prunes the candidate set BEFORE the expensive verify join — the
+    # candidate-density² growth flagged in SCALE.md.
+    tau_sum = TAU_NUM + TAU_DEN
     cand = (
         a.join(b, "tok")
         .where(
@@ -131,8 +147,17 @@ def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
             & (F.col("sa") * TAU_NUM <= F.col("sb") * TAU_DEN)
             & (F.col("sb") * TAU_NUM <= F.col("sa") * TAU_DEN)
         )
+        .groupBy("a", "b", "sa", "sb")
+        .agg(F.min("ia").alias("ia"), F.min("jb").alias("jb"))
+        .where(
+            F.lit(1) + F.least(
+                F.col("sa") - F.col("ia"), F.col("sb") - F.col("jb")
+            )
+            >= F.expr(
+                f"({TAU_NUM} * (sa + sb) + {tau_sum - 1}) div {tau_sum}"
+            )
+        )
         .select("a", "b", "sa", "sb")
-        .distinct()
     )
 
     # verify: exact intersection size via one token equi-join restricted

@@ -464,11 +464,41 @@ def erase_subject(spark: SparkSession, warehouse: str, subject_col: str,
     removed = affected.where(
         F.col(subject_col) == F.lit(subject_value)
     ).count()
+    survivors = (
+        # ~eqNullSafe, not !=: a NULL subject compares UNKNOWN under
+        # `!=` and would be silently dropped from the rewritten
+        # partitions — erasure must delete exactly one subject's rows.
+        affected.where(
+            ~F.col(subject_col).eqNullSafe(F.lit(subject_value))
+        )
+        # Materialize before overwriting the directory being read:
+        # reading and dynamic-overwriting the same path in one job is
+        # a self-overwrite data-loss hazard on direct-write committers
+        # (same discipline as rollup.merge_rollup).
+        .localCheckpoint(eager=True)
+    )
     (
-        affected.where(F.col(subject_col) != F.lit(subject_value))
+        survivors
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(date_col)
         .parquet(_fact_path(warehouse))
     )
+    # Dynamic overwrite only rewrites partitions PRESENT in the output:
+    # a day whose every row belonged to the subject yields no survivors,
+    # so its stale files (still holding the subject!) would silently
+    # survive.  Delete those partitions explicitly (same stale-bucket
+    # discipline as rollup.merge_rollup_retract).
+    import shutil
+
+    survivor_days = {
+        r["d"] for r in
+        survivors.select(F.col(date_col).alias("d")).distinct().collect()
+    }
+    for day in days:
+        if day not in survivor_days:
+            shutil.rmtree(
+                os.path.join(_fact_path(warehouse), f"{date_col}={day}"),
+                ignore_errors=True,
+            )
     return {"days_rewritten": len(days), "rows_removed": removed}

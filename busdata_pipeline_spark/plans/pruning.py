@@ -208,8 +208,14 @@ def etl_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 16 KiB row groups at driver scale -> ~20 groups over the 10k
         # rows, so skipping is measurable (sf0.01: Z-layout box scan hits
         # 4/20 groups, arrival-order baseline hits 20/20).  In production
-        # the same ratio comes from default 128 MiB groups over TBs.
-        blk = 16 * 1024
+        # the same ratio comes from default 128 MiB groups over TBs —
+        # the scale ladder pins that regime via SPARK_GRAFT_ZORDER_BLOCK
+        # (the 16 KiB default at 10M rows meant thousands of groups and a
+        # metadata-dominated 17x wall; at 128 MiB the group count is
+        # bytes/128 MiB and the clustering shuffle is the whole cost).
+        import os as _os
+
+        blk = int(_os.environ.get("SPARK_GRAFT_ZORDER_BLOCK", 16 * 1024))
         layout.write_zordered(coded, f"{scratch}/z", zcol="zc", files=2,
                               block_bytes=blk)
         # arrival-order baseline: same data, same block size, no

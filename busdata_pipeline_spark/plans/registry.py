@@ -59,6 +59,8 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
+        wrapped.__wrapped__ = fn
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

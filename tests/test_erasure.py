@@ -86,3 +86,44 @@ def test_erase_subject_absent_is_noop(spark, tmp_path):
         for f in glob.glob(f"{root}/event_date=*/*.parquet")
     }
     assert before == after
+
+
+def test_erase_subject_null_subjects_survive(spark, tmp_path):
+    """Rows whose subject column is NULL must NOT be deleted: `!=` is
+    UNKNOWN against NULL, so the survivor filter has to be
+    ~eqNullSafe (the round-5 audit's data-loss finding #2)."""
+    wh, df = _mk_warehouse(spark, tmp_path)
+    root = _fact_path(wh)
+    # add NULL-subject rows on a day that WILL be rewritten (day 1)
+    extra = spark.createDataFrame(
+        [(9001, datetime.datetime(2024, 1, 1, 6, 0, 0), None, 1.0),
+         (9002, datetime.datetime(2024, 1, 1, 7, 0, 0), None, 2.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    ).withColumn("event_date", F.to_date("ts"))
+    extra.write.mode("append").partitionBy("event_date").parquet(root)
+
+    audit = erase_subject(spark, wh, "user_id", 10)
+    assert audit == {"days_rewritten": 2, "rows_removed": 10}
+    post = spark.read.parquet(root)
+    assert post.where(F.col("user_id").isNull()).count() == 2
+    assert post.where(F.col("user_id") == 10).count() == 0
+
+
+def test_erase_subject_repeated_self_overwrite(spark, tmp_path):
+    """Back-to-back erasures read and dynamic-overwrite the SAME fact
+    path; the survivors must be materialized before each overwrite or a
+    direct-write committer can consume its own half-written output
+    (round-5 audit finding #1).  Pin the end state after two passes."""
+    wh, df = _mk_warehouse(spark, tmp_path)
+    root = _fact_path(wh)
+    a1 = erase_subject(spark, wh, "user_id", 10)
+    a2 = erase_subject(spark, wh, "user_id", 20)
+    assert a1 == {"days_rewritten": 2, "rows_removed": 10}
+    assert a2 == {"days_rewritten": 4, "rows_removed": 20}
+    post = spark.read.parquet(root)
+    assert post.where(F.col("user_id").isin(10, 20)).count() == 0
+    assert post.count() == df.where(F.col("user_id") == 30).count()
+    # third pass on the last remaining subject leaves rewritten
+    # partitions empty but the table still readable
+    a3 = erase_subject(spark, wh, "user_id", 30)
+    assert a3["rows_removed"] == 20

@@ -142,3 +142,28 @@ def test_mask_ladder_morton_matches_python_model(spark):
                               zorder_code(F.col("x"), F.col("y")).alias("z")
                               ).collect()}
     assert got == {(x, y): morton(x, y) for x, y in pts}
+
+
+def test_row_groups_without_stats_count_as_unskippable(tmp_path):
+    """Column statistics are writer-optional; a row group lacking them
+    must be counted as scanned (unskippable), not KeyError (round-5
+    audit finding #4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from busdata_pipeline_spark.operators.layout import (
+        row_groups_intersecting_box,
+    )
+
+    t = pa.table({"x": [1, 2, 3], "y": [10, 20, 30]})
+    d = tmp_path / "nostats"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-0.parquet"), write_statistics=False)
+    # a second file WITH stats, fully outside the probe box -> skippable
+    pq.write_table(pa.table({"x": [100, 101], "y": [100, 101]}),
+                   str(d / "part-1.parquet"))
+
+    hit, total = row_groups_intersecting_box(
+        str(d), "x", 0, 5, "y", 0, 50)
+    assert total == 2
+    assert hit == 1  # the stats-less group scanned, the out-of-box one skipped

@@ -141,3 +141,31 @@ def test_retract_rollup_float_exactness_vs_naive_subtract(spark, tmp_path):
         (r["dn"], r["dc"]) for r in spark.read.parquet(path).collect()
     ]
     assert (dn, dc) == (1, 10)  # bit-exact, no float residue
+
+
+def test_retract_rollup_full_retraction_stays_readable(spark, tmp_path):
+    """Retract EVERY key to zero: the state dir must remain readable
+    (zero-row, right schema) and must accept a subsequent merge
+    (round-5 audit finding #5 — an all-empty append used to leave a
+    directory parquet schema inference rejects)."""
+    from busdata_pipeline_spark.operators.rollup import (
+        merge_rollup_retract,
+        retract_partials,
+    )
+
+    rows = [(1, 1.00), (2, 2.00)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    path = str(tmp_path / "rr_empty")
+    merge_rollup_retract(spark, retract_partials(df, +1), path)
+    # full retraction: both keys to zero
+    merge_rollup_retract(spark, retract_partials(df, -1), path)
+
+    empty = spark.read.parquet(path)
+    assert empty.count() == 0
+    assert {"user_id", "dn", "dc"} <= set(empty.columns)
+
+    # state must still be mergeable: re-insert and read back
+    merge_rollup_retract(spark, retract_partials(df, +1), path)
+    got = {r["user_id"]: (r["dn"], r["dc"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: (1, 100), 2: (1, 200)}
