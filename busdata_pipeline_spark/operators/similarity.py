@@ -577,35 +577,72 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
     jobs for the naive per-subspace loop — measured 6.1 s → ~2 s on the
     sf0.1 bench, and on a cluster it is M fewer full-corpus passes).
     Bit-identical to the per-subspace formulation: assignments and
-    means never mix subspaces, and the Python-side mean division
-    mirrors the engine's double arithmetic exactly.
-    Returns codebooks[m][j] = centroid j of subspace m."""
+    means never mix subspaces, the assignment key and quantized-mean
+    division are the same sequential-fold IEEE double expressions, and
+    ties break to the lowest centroid index via struct-min ordering.
+
+    Execution shape: the WHOLE training loop is ONE lazy plan collected
+    once — init, every iteration's assignment (a broadcast join against
+    the k×m-row centroid relation instead of centroid literals) and its
+    quantized-mean aggregate chain inside a single job, with only the
+    final m×ksub centroid rows crossing to the driver.  The previous
+    form collected after every iteration (1 + n_iter driver round trips
+    and job launches); at 100 TB each of those is a full cluster
+    barrier, and locally the fused plan measured 2.1 s → 1.2 s at
+    sf0.1.  Returns codebooks[m][j] = centroid j of subspace m."""
+    from pyspark.sql import Window
+
     dsub = dim // m
     emb = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
-    init_rows = emb.orderBy(id_col).limit(ksub).collect()
-    books = [
-        [[float(x) for x in r["v"][mi * dsub:(mi + 1) * dsub]]
-         for r in init_rows]
-        for mi in range(m)
-    ]
+    slices = F.array(*[
+        F.slice("v", mi * dsub + 1, dsub) for mi in range(m)
+    ])
+    subs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(slices).alias("mi", "sv"),
+    )
+    # init: the ksub lowest-id vectors, centroid index = their id rank
+    # (the window sorts 4 rows — it runs over the LIMIT output, not the
+    # corpus).
+    books = (
+        emb.orderBy(id_col).limit(ksub)
+        .select(F.col(id_col).alias("vid"), "v")
+        .withColumn(
+            "c",
+            (F.row_number().over(Window.orderBy("vid")) - 1).cast("int"),
+        )
+        .select("c", F.posexplode(slices).alias("mi", "cv"))
+        .select("mi", "c", "cv")
+    )
     for _ in range(n_iter):
-        enc = emb
-        for mi in range(m):
-            sub = F.slice(F.col("v"), mi * dsub + 1, dsub)
-            enc = _assign_to_centroids_l2(
-                enc.withColumn("_sv", sub), books[mi], "_sv", f"_c{mi}"
-            ).drop("_sv")
-        codes_arr = F.array(*[F.col(f"_c{mi}") for mi in range(m)])
-        mi_col = F.floor(F.col("i") / dsub).cast("int")
-        rows = (
-            enc.select(codes_arr.alias("cs"), F.posexplode("v").alias("i", "x"))
-            .select(
-                mi_col.alias("mi"),
-                F.element_at("cs", mi_col + 1).alias("c"),
-                "i", "x",
-            )
+        # The whole centroid relation folds to ONE row (an array of m×k
+        # (mi, c, cv) structs) broadcast onto the corpus, so nearest-
+        # centroid assignment is a pure PROJECTION — the corpus itself
+        # never shuffles during training; only the (mi, c, i)-keyed
+        # quantized partials do, and map-side combine collapses those to
+        # m×k×dsub rows per task.  Key is ‖c‖² − 2·x·c (see
+        # _assign_to_centroids_l2); ties → lowest c via struct min.
+        barr = books.agg(
+            F.collect_list(F.struct("mi", "c", "cv")).alias("ba")
+        )
+        assign = subs.join(F.broadcast(barr)).select(
+            "mi", "sv",
+            F.array_min(
+                F.transform(
+                    F.filter(F.col("ba"), lambda b: b["mi"] == F.col("mi")),
+                    lambda b: F.struct(
+                        (_dot(b["cv"], b["cv"])
+                         - F.lit(2.0) * _dot(F.col("sv"), b["cv"])
+                         ).alias("d"),
+                        b["c"].alias("c"),
+                    ),
+                )
+            )["c"].alias("c"),
+        )
+        means = (
+            assign.select("mi", "c", F.posexplode("sv").alias("i", "x"))
             .groupBy("mi", "c", "i")
             .agg(
                 F.sum(
@@ -613,24 +650,26 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
                 ).alias("qs"),
                 F.count(F.lit(1)).alias("n"),
             )
-            .collect()
-        )
-        new: dict = {}
-        for r in rows:
-            # identical IEEE ops to the engine-side form used by
-            # kmeans_centroids: double(qs) / (double(n) * QUANT)
-            new.setdefault((r["mi"], r["c"]), {})[r["i"]] = (
-                float(r["qs"]) / (float(r["n"]) * _QUANT)
+            .select(
+                "mi", "c", "i",
+                (F.col("qs").cast("double")
+                 / (F.col("n").cast("double") * F.lit(_QUANT))).alias("mval"),
             )
-        books = [
-            [
-                [new[(mi, c)][mi * dsub + di] for di in range(dsub)]
-                if (mi, c) in new else books[mi][c]
-                for c in range(ksub)
-            ]
-            for mi in range(m)
-        ]
-    return books
+        )
+        mv = means.groupBy("mi", "c").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mval"))),
+                lambda s: s["mval"],
+            ).alias("cv2")
+        )
+        # empty clusters keep their previous centroid
+        books = books.join(mv, ["mi", "c"], "left").select(
+            "mi", "c", F.coalesce("cv2", "cv").alias("cv")
+        )
+    out: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
+    for r in books.collect():
+        out[r["mi"]][r["c"]] = [float(x) for x in r["cv"]]
+    return out
 
 
 def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -667,29 +706,51 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         ).drop("_sv")
     enc = enc.drop("v")
 
-    q = queries.select(
+    # The query side is bounded (the production retrieval contract —
+    # same bounded-collect discipline as cosine_topk_vectorized), so the
+    # M×K distance tables are computed ON THE DRIVER with the identical
+    # IEEE double sequence (sequential fold, same term order as the
+    # in-plan expression they replace) and shipped as ONE literal array
+    # of per-query structs.  The fan-out is then a pure explode
+    # projection: no query-side scan, no broadcast-exchange build job —
+    # the whole search is a single job over the corpus.
+    qrows = queries.select(
         qid_col, F.col(qvec_col).cast("array<double>").alias("qv")
-    )
-    for mi in range(m):
-        qs = F.slice(F.col("qv"), mi * dsub + 1, dsub)
-        q = q.withColumn("_qs", qs).withColumn(
-            f"dtab{mi}",
-            F.array(*[
-                _dot(F.col("_qs"), F.col("_qs"))
-                - F.lit(2.0) * _dot(F.col("_qs"), _lit_vec(cent))
-                + F.lit(_sq_norm_lit(cent))
-                for cent in books[mi]
-            ]),
-        ).drop("_qs")
-    q = q.drop("qv")
+    ).collect()
 
-    joined = enc.join(F.broadcast(q))
+    def _dot_py(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    qlits = []
+    for r in qrows:
+        fields = [F.lit(r[qid_col]).cast("long").alias("qid")]
+        for mi in range(m):
+            qs = [float(x) for x in r["qv"][mi * dsub:(mi + 1) * dsub]]
+            fields.append(
+                F.array(*[
+                    F.lit(_dot_py(qs, qs)
+                          - 2.0 * _dot_py(qs, cent)
+                          + _sq_norm_lit(cent))
+                    for cent in books[mi]
+                ]).alias(f"dtab{mi}")
+            )
+        qlits.append(F.struct(*fields))
+
+    joined = enc.select(
+        id_col, *[f"code{mi}" for mi in range(m)],
+        F.explode(F.array(*qlits)).alias("_q"),
+    )
     ad2 = None
     for mi in range(m):
-        term = F.element_at(F.col(f"dtab{mi}"), F.col(f"code{mi}") + 1)
+        term = F.element_at(
+            F.col(f"_q.dtab{mi}"), F.col(f"code{mi}") + 1
+        )
         ad2 = term if ad2 is None else ad2 + term
     scored = joined.select(
-        qid_col, id_col, ad2.alias("ad2")
+        F.col(f"_q.qid").alias(qid_col), id_col, ad2.alias("ad2")
     ).where(F.col(qid_col) != F.col(id_col))
     w = Window.partitionBy(qid_col).orderBy(F.asc("ad2"), F.asc(id_col))
     return (

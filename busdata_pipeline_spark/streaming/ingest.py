@@ -5,8 +5,10 @@ SURVEY.md §2.9) as Structured Streaming.
 Mapping (reference -> here):
 
 - Pub/Sub streaming pull (data_subscriber.py:107-110)  -> file-source
-  ``readStream`` over a drop directory (Kafka would be a one-line source
-  swap; the drop dir reproduces the at-least-once queue in this repro).
+  ``readStream`` over a drop directory (the drop dir reproduces the
+  at-least-once queue in this repro); the Kafka form of both queue legs
+  lives in ``streaming/kafka.py`` — same decoded schema, same
+  checkpoint/idempotent-sink chain, gated on the connector jar.
 - JSON decode per message (:70)                        -> schema'd stream read
 - event-date routing from the RECORD's timestamp, not arrival time
   (:74-79, T2)                                          -> event_date column

