@@ -4,14 +4,17 @@ The reference's storage surface is JSONL + CSV + PostgreSQL tables; the
 engine's warehouse is parquet.  ORC is the other columnar format Spark
 ships built-in (vectorized reader, predicate pushdown, column pruning),
 and a complete engine must round-trip it — e.g. when ingesting an
-ORC-resident lake produced elsewhere.  Avro is NOT bundled in this
-runtime (external spark-avro module; `spark.read.format("avro")` raises
-AnalysisException here), so it stays gated rather than stubbed.
+ORC-resident lake produced elsewhere.  Avro — the row format the
+streaming world hands off — round-trips through ``sources/avro.py``:
+the short-name DataSource registration is missing in this runtime, but
+the connector classes resolve by full name, and a spec-conforming pure-
+Python container codec (JVM-Avro-conformance-tested) covers the
+no-jar case.
 
-The registered query proves the full loop: events → ORC write →
-predicate-pushdown ORC scan → aggregate, hash-checked against the same
-aggregate computed by DuckDB from the original parquet — if the format
-conversion dropped or mangled anything, the hashes diverge.
+The registered queries prove the full loop: events → ORC/Avro write →
+scan back → aggregate, hash-checked against the same aggregate computed
+by DuckDB from the original parquet — if the format conversion dropped
+or mangled anything, the hashes diverge.
 """
 
 from __future__ import annotations
@@ -70,6 +73,56 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_events_orc(spark, sf_dir, path)
         return orc_day_profile(spark, path, "2024-01-01").localCheckpoint(
             eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "etl_avro_roundtrip",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS total_value,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro format parity end-to-end (the mirror of etl_orc_roundtrip):
+    events are serialized to Avro object-container files by the
+    pure-Python codec (sources/avro.py — executor-side via mapInPandas,
+    JVM-Avro-conformance-tested), read back through the JVM Avro
+    DataSource when resolvable (binaryFile+decode otherwise), and the
+    day-2 profile from that scan is hash-checked against DuckDB on the
+    original parquet.  NULL count is part of the profile because
+    null→union-index-0 encoding is exactly where a lossy codec slips."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.sources.avro import read_avro, write_avro
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="avro_q_")
+    try:
+        write_avro(ev, path)
+        back = read_avro(spark, path, ev.schema)
+        return (
+            back.where(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_null_value"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
