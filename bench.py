@@ -67,6 +67,9 @@ HEADLINERS = [
     "rel_ewma_value",              # per-key sequential recurrence (Arrow)
     "etl_zorder_skipping",         # Morton layout + measured 2-D skipping
     "etl_gdpr_erasure",            # partition-scoped subject delete
+    # round-8 additions (earlier keys unchanged for cross-round deltas)
+    "etl_avro_roundtrip",          # Avro container write + DataSource read-back
+    "td_dsir_weights",             # DSIR importance weights + resample quota
 ]
 
 

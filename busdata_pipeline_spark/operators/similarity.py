@@ -291,19 +291,60 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
       this is what lets a SQL oracle replay the training verbatim.
     - Empty clusters keep their previous centroid.
 
-    Driver traffic is bounded by design: n_clusters × dim scalars per
-    iteration (the same bounded-collect contract as the rollup's bucket
-    ids) — vectors themselves never leave the executors.  At 100 TB one
+    Driver traffic is bounded by design: the ONE driver round trip is
+    the final n_clusters × dim centroid collect — the whole training
+    loop is a single lazy plan (same fused execution as
+    pq_train_codebooks: the centroid relation folds to one broadcast
+    row, assignment stays a pure projection, so the corpus never
+    shuffles during Lloyd and only the quantized (cluster, i) partials
+    do).  Engine-side ``F.sqrt`` over the same sequential fold is the
+    identical IEEE double as the Python ``math.sqrt`` literal it
+    replaces, so trained centroids are bit-equal to the per-iteration-
+    collect form (the SQL-replay oracles hash them).  At 100 TB one
     trains on a sample; the assignment projection is what runs over the
     full corpus.
     """
-    emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
-    init = emb.orderBy(id_col).limit(n_clusters).collect()
-    cents = [[float(x) for x in r[vec_col]] for r in init]
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v")
+    )
+    books = (
+        emb.orderBy(id_col).limit(n_clusters)
+        .select(F.col(id_col).alias("vid"), "v")
+        .withColumn(
+            "c",
+            (F.row_number().over(Window.orderBy("vid")) - 1).cast("int"),
+        )
+        .select("c", F.col("v").alias("cv"))
+    )
+    vnorm = F.sqrt(_dot(F.col("v"), F.col("v")))
     for _ in range(n_iter):
-        assigned = _assign_to_centroids(emb, cents, vec_col)
-        rows = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("i", "x"))
+        barr = books.agg(
+            F.collect_list(F.struct("c", "cv")).alias("ba")
+        )
+        assigned = (
+            emb.withColumn("_vnorm", vnorm)
+            .join(F.broadcast(barr))
+            .select(
+                "v",
+                F.array_max(
+                    F.transform(
+                        F.col("ba"),
+                        lambda b: F.struct(
+                            (_dot(F.col("v"), b["cv"])
+                             / (F.col("_vnorm")
+                                * F.sqrt(_dot(b["cv"], b["cv"]))))
+                            .alias("s"),
+                            (-b["c"]).alias("negc"),
+                        ),
+                    )
+                )["negc"].alias("negc"),
+            )
+            .select("v", (-F.col("negc")).cast("int").alias("cluster"))
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
             .groupBy("cluster", "i")
             .agg(
                 F.sum(
@@ -316,15 +357,21 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
                 (F.col("qs").cast("double")
                  / (F.col("n").cast("double") * F.lit(_QUANT))).alias("m"),
             )
-            .collect()
         )
-        new = {}
-        for r in rows:
-            new.setdefault(r["cluster"], {})[r["i"]] = r["m"]
-        cents = [
-            [new[c][i] for i in range(len(cents[c]))] if c in new else cents[c]
-            for c in range(n_clusters)
-        ]
+        mv = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("cv2")
+        )
+        # empty clusters keep their previous centroid
+        books = (
+            books.join(mv, books.c == mv.cluster, "left")
+            .select("c", F.coalesce("cv2", "cv").alias("cv"))
+        )
+    cents: list[list[float]] = [None] * n_clusters
+    for r in books.collect():
+        cents[r["c"]] = [float(x) for x in r["cv"]]
     return cents
 
 

@@ -454,16 +454,20 @@ def erase_subject(spark: SparkSession, warehouse: str, subject_col: str,
     """
     fact = spark.read.parquet(_fact_path(warehouse))
     subject_rows = fact.where(F.col(subject_col) == F.lit(subject_value))
-    days = [
-        r["d"] for r in
-        subject_rows.select(F.col(date_col).alias("d")).distinct().collect()
-    ]
+    # One aggregate finds the affected days AND the removal count (every
+    # subject row is by definition inside an affected day, so the rows
+    # removed are exactly the subject's row count) — one driver round
+    # trip, day-cardinality-bounded.
+    per_day = (
+        subject_rows.groupBy(F.col(date_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    days = [r["d"] for r in per_day]
+    removed = sum(r["n"] for r in per_day)
     if not days:
         return {"days_rewritten": 0, "rows_removed": 0}
     affected = fact.where(F.col(date_col).isin(days))
-    removed = affected.where(
-        F.col(subject_col) == F.lit(subject_value)
-    ).count()
     survivors = (
         # ~eqNullSafe, not !=: a NULL subject compares UNKNOWN under
         # `!=` and would be silently dropped from the rewritten

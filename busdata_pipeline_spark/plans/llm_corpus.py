@@ -392,6 +392,125 @@ def naive_bayes_frame(
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al., NeurIPS 2023 — "Data Selection
+# for Language Models via Importance Resampling")
+
+#: documents selected by the deterministic resampling step.
+_DSIR_QUOTA = 100
+
+
+@query(
+    "td_dsir_weights",
+    # Float discipline: add-1 smoothing keeps every log argument a
+    # positive INTEGER; the per-doc sum is ROUND(_, 6) with the margin
+    # measured in tests; the selection rank orders by the ROUNDED weight
+    # with doc_id tie-break, so both engines rank identical values.
+    oracle=f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         source IN {str(tuple(_CURATED_SOURCES))} AS tgt
+  FROM documents),
+toks AS (
+  SELECT doc_id, tgt, unnest(string_split(trim(text), ' ')) AS tok
+  FROM lab),
+tk AS (SELECT * FROM toks WHERE tok <> ''),
+dt AS (SELECT doc_id, tok, COUNT(*) AS c_dt FROM tk GROUP BY doc_id, tok),
+ct AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(COUNT(*) AS BIGINT) AS c_r
+  FROM tk GROUP BY tok),
+sc AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+         CAST(SUM(c_r) AS BIGINT) AS n_r,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM ct),
+w AS (
+  SELECT doc_id,
+    CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+    ROUND(SUM(c_dt * (ln(CAST(c_t + 1 AS DOUBLE))
+                      - ln(CAST(c_r + 1 AS DOUBLE)))) / SUM(c_dt)
+          + ln(CAST(MIN(n_r + v) AS DOUBLE))
+          - ln(CAST(MIN(n_t + v) AS DOUBLE)), 6) AS logw
+  FROM dt JOIN ct USING (tok) CROSS JOIN sc
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens, logw,
+  CAST(ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS INT)
+    <= {_DSIR_QUOTA} AS selected
+FROM w
+""",
+)
+def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw document
+    by the log importance ratio between a TARGET unigram LM (trained on
+    the curated sources — the same reference corpus the NB quality
+    classifier uses) and the RAW-pool unigram LM, then keep the
+    top-quota by weight — importance resampling toward the target
+    distribution, the closed-form alternative to classifier-based
+    filtering (td_naive_bayes_quality) that DSIR shows matches it:
+
+        logw(d) = (1/n_d)·Σ_t c_dt·[ln(c_t^tgt+1) − ln(c_t^raw+1)]
+                  + ln(N_raw+V) − ln(N_tgt+V)
+
+    (per-token normalization so long documents aren't favored; add-1
+    smoothing over the SHARED vocabulary, so both LMs are defined on
+    every token).  The paper hashes n-grams into a fixed feature space
+    before counting; with the oracle needing exact token identity this
+    uses the unhashed unigram bag — the hashed variant is the same plan
+    with ``xxhash64(tok) % B`` as the grouping key.
+
+    Scale shape: identical to the NB scorer — one exploded token pass
+    feeds per-doc and per-corpus counts, a fact-fact token equi-join,
+    1-row broadcast scalars, and the final quota is one
+    TakeOrderedAndProject-sized window over doc-cardinality rows.  The
+    selection rank uses the ROUNDED weight (+ doc_id) so the
+    engine-order float residue cannot flip it (margin pinned in
+    tests/test_llm_corpus.py)."""
+    docs = table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id", "text",
+        F.col("source").isin(*_CURATED_SOURCES).alias("tgt"),
+    )
+    toks = lab.select(
+        "doc_id", "tgt",
+        F.explode(F.split(F.trim("text"), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_dt"))
+    ct = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    sc = ct.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = (
+        dt.join(ct, "tok")
+        .join(F.broadcast(sc))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("c_dt")
+                    * (F.log((F.col("c_t") + 1).cast("double"))
+                       - F.log((F.col("c_r") + 1).cast("double")))
+                ) / F.sum("c_dt")
+                + F.log(F.min(F.col("n_r") + F.col("v")).cast("double"))
+                - F.log(F.min(F.col("n_t") + F.col("v")).cast("double")),
+                6,
+            ).alias("logw"),
+        )
+    )
+    sel = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
+    return w.select(
+        "doc_id", "n_tokens", "logw",
+        (F.row_number().over(sel) <= _DSIR_QUOTA).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training (Sennrich et al. 2016)
 
 #: number of merges to learn.  Six keeps the unrolled SQL replay oracle

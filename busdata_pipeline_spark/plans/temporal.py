@@ -276,7 +276,7 @@ WHERE value IS NOT NULL
 def rel_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (α = 0.3) over the event value series — the
     sequential-recurrence smoother (serial within key, parallel across
-    keys) via operators/temporal.ewma_smooth's applyInPandas; output
+    keys) via operators/temporal.ewma_smooth's partition-level mapInPandas; output
     rounded JVM-side so both engines cut half-up at 6 decimals."""
     from busdata_pipeline_spark.operators.temporal import ewma_smooth
 

@@ -454,3 +454,60 @@ def test_geo_suite_matches_pure_python_haversine(spark):
             assert abs(got - want) < 1e-3, (cur["event_id"], got, want)
             checked += 1
     assert checked > 100
+
+
+def test_dsir_round_margin_and_selection(spark):
+    """td_dsir_weights: (a) the ROUND(_,6) canonicalization has a real
+    boundary margin at sf0.01 (a testdata change eroding it should fail
+    here, not in the driver's hash diff); (b) the deterministic
+    resampling keeps exactly the quota; (c) direction sanity — curated-
+    source docs score higher on average than raw (the target LM must
+    recognize its own training corpus)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from busdata_pipeline_spark.plans.llm_corpus import (
+        _CURATED_SOURCES,
+        _DSIR_QUOTA,
+    )
+    from busdata_pipeline_spark.sources import table
+    from tests.conftest import SF001
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF001}/documents.parquet')")
+    margin = con.sql(f"""
+WITH lab AS (SELECT doc_id, text,
+                    source IN {str(tuple(_CURATED_SOURCES))} AS tgt
+             FROM documents),
+toks AS (SELECT doc_id, tgt, unnest(string_split(trim(text),' ')) AS tok
+         FROM lab),
+tk AS (SELECT * FROM toks WHERE tok <> ''),
+dt AS (SELECT doc_id, tok, COUNT(*) c_dt FROM tk GROUP BY 1,2),
+ct AS (SELECT tok,
+              CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) c_t,
+              CAST(COUNT(*) AS BIGINT) c_r
+       FROM tk GROUP BY tok),
+sc AS (SELECT CAST(SUM(c_t) AS BIGINT) n_t, CAST(SUM(c_r) AS BIGINT) n_r,
+              CAST(COUNT(*) AS BIGINT) v FROM ct),
+x AS (SELECT doc_id,
+             SUM(c_dt*(ln(CAST(c_t+1 AS DOUBLE))-ln(CAST(c_r+1 AS DOUBLE))))
+               / SUM(c_dt)
+             + ln(CAST(MIN(n_r+v) AS DOUBLE)) - ln(CAST(MIN(n_t+v) AS DOUBLE))
+               AS w
+      FROM dt JOIN ct USING (tok) CROSS JOIN sc GROUP BY doc_id)
+SELECT MIN(ABS(ABS(w*1e6 - FLOOR(w*1e6)) - 0.5)) FROM x
+""").fetchone()[0]
+    assert margin > 1e-5, f"round-6 boundary margin eroded: {margin}"
+
+    out = E.queries()["td_dsir_weights"](spark, SF001)
+    assert out.where("selected").count() == _DSIR_QUOTA
+
+    docs = table(spark, SF001, "documents").select("doc_id", "source")
+    j = out.join(docs, "doc_id").withColumn(
+        "curated", F.col("source").isin(*_CURATED_SOURCES)
+    )
+    means = {r["curated"]: r["m"] for r in
+             j.groupBy("curated").agg(F.avg("logw").alias("m")).collect()}
+    assert means[True] > means[False], means
