@@ -431,7 +431,7 @@ w AS (
     ROUND(SUM(c_dt * (ln(CAST(c_t + 1 AS DOUBLE))
                       - ln(CAST(c_r + 1 AS DOUBLE)))) / SUM(c_dt)
           + ln(CAST(MIN(n_r + v) AS DOUBLE))
-          - ln(CAST(MIN(n_t + v) AS DOUBLE)), 6) AS logw
+          - ln(CAST(MIN(n_t + v) AS DOUBLE)), 6) + 0.0 AS logw
   FROM dt JOIN ct USING (tok) CROSS JOIN sc
   GROUP BY doc_id)
 SELECT doc_id, n_tokens, logw,
