@@ -89,6 +89,7 @@ SCALAR_EXPANSION_BNLJ = {
     "td_mixture_resample",            # 1-row feasible-total (T) broadcast
     "td_sketches",                    # 1-row sketch/anchor aggregates recombined
     "td_naive_bayes_quality",         # 1-row class totals + prior broadcast
+    "td_dsir_weights",                # 1-row (N_t, N_r, V) LM totals broadcast
     "td_pq_ann",                      # bounded query-dtab set × corpus codes
                                       # (ADC is a broadcast map by design)
     "td_heavy_hitters",               # 1-row corpus-total broadcast threshold
