@@ -780,7 +780,7 @@ qd{mi} AS (
          list_dot_product(q.sv, q.sv) - 2 * list_dot_product(q.sv, cb.cv)
          + list_dot_product(cb.cv, cb.cv) AS d2
   FROM (SELECT vec_id AS qid, list_slice(v, {lo}, {hi}) AS sv
-        FROM vecs WHERE vec_id % 100 = 0) q, c2_{mi} cb)""")
+        FROM vecs WHERE vec_id % 100 = 0 AND vec_id < 2000) q, c2_{mi} cb)""")
     code_joins = " ".join(
         f"JOIN enc_{mi} e{mi} USING (vec_id)" for mi in range(1, m)
     )

@@ -1135,8 +1135,17 @@ def td_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED query set for the ANN ladder: ``vec_id % 100 == 0 AND
+    vec_id < 2000`` — ≤20 queries at ANY corpus scale.  The modulo alone
+    scaled the query set WITH the corpus (2 000 queries at the sf~10
+    replica → a 400M-row scored relation, 27× wall for 100× data — the
+    identical defect class the round-7 ladder caught in td_bm25_search).
+    Production retrieval contract: the query set is fixed, the corpus
+    grows."""
     emb = table(spark, sf_dir, "embeddings")
-    return emb.where(F.col("vec_id") % 100 == 0).select(
+    return emb.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
 
@@ -1145,7 +1154,7 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "td_cosine_topk",
     oracle="""
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
-           FROM embeddings WHERE vec_id % 100 = 0)
+           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000)
 SELECT qid, vec_id,
   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 6) AS cosine,
   CAST(ROW_NUMBER() OVER (
@@ -1190,7 +1199,7 @@ WITH eb AS (
          {bucket_terms} AS bucket
   FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qvec, bucket AS qbucket
-      FROM eb WHERE vec_id % 100 = 0),
+      FROM eb WHERE vec_id % 100 = 0 AND vec_id < 2000),
 probes AS (SELECT qid, qvec, unnest([{probe_list}]) AS probe FROM q),
 cands AS (
   SELECT p.qid, e.vec_id,
@@ -1266,7 +1275,7 @@ af AS (
     FROM vecs, c2) WHERE rn = 1),
 q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id % 100 = 0),
+  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
 routed AS (
   SELECT qid, qv, c FROM (
     SELECT q.qid, q.qv, c2.c,
