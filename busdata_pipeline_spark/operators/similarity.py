@@ -277,6 +277,48 @@ def _assign_to_centroids(df: DataFrame, centroids: list[list[float]],
     return tmp.withColumn(out_col, (-best["negc"]).cast("int")).drop("_vnorm")
 
 
+#: above this cluster count, nearest-centroid assignment routes through
+#: the Arrow/BLAS GEMM path instead of per-row fold expressions.
+_GEMM_K = 16
+
+
+def _assign_gemm(df: DataFrame, centroids: list[list[float]],
+                 vec_col: str, out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid (argmax cosine) via one dense matmul per Arrow
+    batch; ties → lowest index (np.argmax returns the first maximum —
+    the same rule as the fold path's struct ordering)."""
+    import pandas as pd
+
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} int"
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmax(Vn @ Cn.T, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(go, schema)
+
+
+def assign_to_centroids_auto(df: DataFrame, centroids: list[list[float]],
+                             vec_col: str,
+                             out_col: str = "cluster") -> DataFrame:
+    """Fold-expression assignment (bit-reproducible, SQL-replayable) up
+    to ``_GEMM_K`` centroids; Arrow GEMM beyond (the scale path — see
+    kmeans_centroids docstring)."""
+    if len(centroids) <= _GEMM_K:
+        return _assign_to_centroids(df, centroids, vec_col, out_col)
+    return _assign_gemm(df, centroids, vec_col, out_col)
+
+
 def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
                      n_iter: int = 2, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> list[list[float]]:
@@ -303,12 +345,55 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
     collect form (the SQL-replay oracles hash them).  At 100 TB one
     trains on a sample; the assignment projection is what runs over the
     full corpus.
+
+    Above ``_GEMM_K`` clusters, assignment switches to the Arrow/BLAS
+    matmul path (``_assign_gemm``): per-row HOF cosine folds are
+    interpreted expressions whose cost is k × dim per row — at the
+    SemDeDup-contract cluster counts (k grows with the corpus so
+    per-cluster m stays bounded) that is the dominant term, and one
+    dense GEMM per Arrow batch replaces it.  The GEMM path trades
+    bit-level fold-order parity for throughput, which is why the
+    SQL-replay gate configurations (k ≤ 16) keep the fold path — same
+    split as cosine_topk vs cosine_topk_vectorized.
     """
     from pyspark.sql import Window
 
     emb = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
+    if n_clusters > _GEMM_K:
+        # Scale path: one bounded (k × dim) driver round trip per
+        # iteration, GEMM assignment per Arrow batch, the same
+        # quantized-integer means (order-independent, so the GEMM path
+        # changes ASSIGNMENT float order only, never the mean of a
+        # given assignment).
+        init = emb.orderBy(id_col).limit(n_clusters).collect()
+        cents = [[float(x) for x in r["v"]] for r in init]
+        for _ in range(n_iter):
+            assigned = _assign_gemm(emb, cents, "v")
+            rows = (
+                assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+                .groupBy("cluster", "i")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("x") * _QUANT + F.lit(0.5))
+                        .cast("long")
+                    ).alias("qs"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            new: dict = {}
+            for r in rows:
+                new.setdefault(r["cluster"], {})[r["i"]] = (
+                    float(r["qs"]) / (float(r["n"]) * _QUANT)
+                )
+            cents = [
+                [new[c][i] for i in range(len(cents[c]))]
+                if c in new else cents[c]
+                for c in range(n_clusters)
+            ]
+        return cents
     books = (
         emb.orderBy(id_col).limit(n_clusters)
         .select(F.col(id_col).alias("vid"), "v")
@@ -389,7 +474,7 @@ def ivf_kmeans_ann_topk(embeddings: DataFrame, queries: DataFrame,
     emb = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    assigned = _assign_to_centroids(emb, cents, vec_col)
+    assigned = assign_to_centroids_auto(emb, cents, vec_col)
     q = queries.select(
         qid_col, F.col(qvec_col).cast("array<double>").alias(qvec_col)
     )
@@ -450,7 +535,7 @@ def semdedup_flags(corpus: DataFrame, threshold: float = 0.98,
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     cents = kmeans_centroids(emb, n_clusters, n_iter, id_col, vec_col)
-    assigned = _assign_to_centroids(emb, cents, vec_col)
+    assigned = assign_to_centroids_auto(emb, cents, vec_col)
 
     def cluster_removed(pdf: "pd.DataFrame") -> "pd.DataFrame":
         # One cluster = one dense GEMM (the paper's formulation): ids

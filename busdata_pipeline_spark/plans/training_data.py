@@ -13,6 +13,8 @@ in tests/test_training_data.py on top.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1307,6 +1309,16 @@ def td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup's scale contract is that n_clusters GROWS with the corpus so
+# per-cluster population m stays bounded (the paper uses 50k clusters
+# for LAION); a fixed k=8 re-quadratices the within-cluster pair scan at
+# the replica rungs (measured 120 s / 42x wall at 100x data).  The
+# cluster count is therefore an import-time knob mirrored into the
+# oracle (the zorder-block precedent), defaulting to the original 8 for
+# the sf0.01 correctness gate; ladder runs set it so m stays ~constant.
+_SEMDEDUP_K = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_CLUSTERS", "8"))
+
+
 @query(
     "td_semdedup",
     # Replays the ENTIRE SemDeDup pipeline in SQL: the augmented corpus
@@ -1315,7 +1327,7 @@ def td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # td_ivf_ann oracle), final assignment, within-cluster pair scan,
     # lowest-id survivor — so clustering AND dedup decisions are
     # hash-checked, not just row counts.
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 planted AS (
@@ -1325,7 +1337,7 @@ planted AS (
 vecs AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
 c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
-  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8)),
+  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {_SEMDEDUP_K})),
 a1 AS (
   SELECT vec_id, v, c FROM (
     SELECT vecs.vec_id, vecs.v, c0.c,
@@ -1387,7 +1399,9 @@ def td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
     corpus = base.unionByName(planted)
-    return similarity.semdedup_flags(corpus, threshold=0.98)
+    return similarity.semdedup_flags(
+        corpus, threshold=0.98, n_clusters=_SEMDEDUP_K
+    )
 
 
 # ---------------------------------------------------------------------------

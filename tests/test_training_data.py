@@ -173,6 +173,31 @@ def test_semdedup_drops_exactly_the_planted_copies(spark):
     assert all(kept[b] for b in base_ids), "original was dropped"
 
 
+def test_semdedup_gemm_path_drops_exactly_the_planted_copies(spark):
+    """Same planted-corpus invariant through the LARGE-k configuration
+    (> _GEMM_K), which routes training and final assignment through the
+    Arrow/BLAS matmul path — the SemDeDup scale contract (cluster count
+    grows with the corpus; the 100x rung measured 120s -> 4.6s after
+    this path landed)."""
+    base = table(spark, SF0001, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    assert 32 > similarity._GEMM_K
+    kept = {r.vec_id: r.kept for r in
+            similarity.semdedup_flags(
+                corpus, threshold=0.98, n_clusters=32
+            ).collect()}
+    base_ids = {r.vec_id for r in base.select("vec_id").collect()}
+    planted_ids = {i + 1000000 for i in base_ids if i % 50 == 0}
+    assert all(not kept[p] for p in planted_ids), "planted copy survived"
+    assert all(kept[b] for b in base_ids), "original was dropped"
+
+
 def test_vectorized_cosine_identical_to_fold(spark):
     """The matmul scorer must be bit-identical to the fold-expression
     formulation (same float64 arithmetic, different engine path)."""
