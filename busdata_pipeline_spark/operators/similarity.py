@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window
 
 
@@ -449,10 +450,16 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
                 lambda s: s["m"],
             ).alias("cv2")
         )
-        # empty clusters keep their previous centroid
+        # empty clusters keep their previous centroid.  localCheckpoint
+        # the k-row relation each iteration: the self-referential
+        # books.join(mv(assigned(books))) fold otherwise doubles the
+        # unresolved plan per iteration (O(2^n_iter) subtrees) — the
+        # relation is tiny (k rows), so this keeps the plan linear in
+        # n_iter with bounded driver traffic.
         books = (
             books.join(mv, books.c == mv.cluster, "left")
             .select("c", F.coalesce("cv2", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
         )
     cents: list[list[float]] = [None] * n_clusters
     for r in books.collect():
@@ -794,10 +801,12 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
                 lambda s: s["mval"],
             ).alias("cv2")
         )
-        # empty clusters keep their previous centroid
+        # empty clusters keep their previous centroid; localCheckpoint
+        # the m·ksub-row relation per iteration so the self-referential
+        # fold stays linear in n_iter (see kmeans_centroids above).
         books = books.join(mv, ["mi", "c"], "left").select(
             "mi", "c", F.coalesce("cv2", "cv").alias("cv")
-        )
+        ).localCheckpoint(eager=True)
     out: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
     for r in books.collect():
         out[r["mi"]][r["c"]] = [float(x) for x in r["cv"]]
@@ -846,9 +855,24 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     # of per-query structs.  The fan-out is then a pure explode
     # projection: no query-side scan, no broadcast-exchange build job —
     # the whole search is a single job over the corpus.
-    qrows = queries.select(
+    qsel = queries.select(
         qid_col, F.col(qvec_col).cast("array<double>").alias("qv")
-    ).collect()
+    )
+    qid_type = qsel.schema[qid_col].dataType
+    qrows = qsel.collect()
+    if not qrows:
+        # F.array() of zero structs has no element type, so the lit
+        # fan-out below would fail analysis — return a typed empty
+        # result (same schema as the non-empty path) instead.
+        spark = embeddings.sparkSession
+        id_type = embeddings.schema[id_col].dataType
+        schema = T.StructType([
+            T.StructField(qid_col, qid_type),
+            T.StructField(id_col, id_type),
+            T.StructField("approx_d2", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ])
+        return spark.createDataFrame([], schema)
 
     def _dot_py(a, b):
         acc = 0.0
@@ -858,7 +882,9 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     qlits = []
     for r in qrows:
-        fields = [F.lit(r[qid_col]).cast("long").alias("qid")]
+        # cast qid literals to the queries-side column type (a forced
+        # long cast would silently corrupt string/decimal id columns)
+        fields = [F.lit(r[qid_col]).cast(qid_type).alias("qid")]
         for mi in range(m):
             qs = [float(x) for x in r["qv"][mi * dsub:(mi + 1) * dsub]]
             fields.append(
@@ -883,7 +909,11 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         ad2 = term if ad2 is None else ad2 + term
     scored = joined.select(
         F.col(f"_q.qid").alias(qid_col), id_col, ad2.alias("ad2")
-    ).where(F.col(qid_col) != F.col(id_col))
+    )
+    # self-exclusion only makes sense (and only type-checks) when the
+    # query ids are drawn from the corpus id domain
+    if qid_type == embeddings.schema[id_col].dataType:
+        scored = scored.where(F.col(qid_col) != F.col(id_col))
     w = Window.partitionBy(qid_col).orderBy(F.asc("ad2"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

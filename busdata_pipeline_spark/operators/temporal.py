@@ -406,6 +406,7 @@ def ewma_smooth(events: DataFrame, alpha: float = 0.3,
     round is half-even and must not touch the output).
     """
     import numpy as np
+    import pandas as pd
 
     one_minus = 1.0 - alpha
     cols = [key, *order, value]
@@ -414,8 +415,23 @@ def ewma_smooth(events: DataFrame, alpha: float = 0.3,
         for f in events.select(*cols).schema.fields
     ) + ", ewma double"
 
+    # Unique "no key yet" sentinel: ``None`` would collide with a
+    # genuinely NULL key (first null-key row must START a run, later
+    # null-key rows must CONTINUE it), and NaN != NaN would restart the
+    # fold on every null-key row — compare NaN-aware instead.
+    _NOKEY = object()
+
+    def _same_key(k, last):
+        if last is _NOKEY:
+            return False
+        k_na = pd.isna(k)
+        last_na = pd.isna(last)
+        if k_na or last_na:
+            return bool(k_na and last_na)
+        return bool(k == last)
+
     def _smooth(batches):
-        last_key = None
+        last_key = _NOKEY
         s = 0.0
         for pdf in batches:
             if not len(pdf):
@@ -426,7 +442,7 @@ def ewma_smooth(events: DataFrame, alpha: float = 0.3,
             for i in range(len(pdf)):
                 k = keys[i]
                 xv = float(xs[i])
-                if k != last_key:
+                if not _same_key(k, last_key):
                     last_key = k
                     s = xv
                 else:

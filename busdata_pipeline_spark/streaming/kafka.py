@@ -57,17 +57,24 @@ def decode_kafka_breadcrumbs(raw: DataFrame) -> DataFrame:
     ``from_json`` yields NULL for undecodable payloads; dropping those
     rows is the DROPMALFORMED behavior of the file-source leg (S9's
     bad-line skip).  A message whose value is valid JSON but misses
-    every schema field decodes to an all-null struct — also dropped, by
-    requiring the fields the timestamp decode (F1) needs.
+    every schema field decodes to an all-null struct — also dropped
+    (nothing to route).  Rows with SOME decoded fields but missing
+    timestamp fields are KEPT, exactly like the file leg: downstream
+    ``with_event_date`` falls back to the processing date for routing
+    (T2), so the two legs stay drop-in interchangeable for every
+    decodable message.
     """
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), RAW_STREAM_SCHEMA)
         .alias("r")
     )
+    any_field = None
+    for f in RAW_STREAM_SCHEMA.fields:
+        c = F.col(f"r.{f.name}").isNotNull()
+        any_field = c if any_field is None else (any_field | c)
     return (
-        parsed.where(F.col("r").isNotNull())
+        parsed.where(F.col("r").isNotNull() & any_field)
         .select("r.*")
-        .where(F.col("OPD_DATE").isNotNull() & F.col("ACT_TIME").isNotNull())
     )
 
 

@@ -57,6 +57,25 @@ def test_decode_drops_malformed_and_offschema(spark):
     assert out.count() == 3
 
 
+def test_decode_keeps_missing_timestamp_rows_like_file_leg(spark, tmp_path):
+    """A decodable message missing OPD_DATE/ACT_TIME is KEPT (downstream
+    with_event_date falls back to the processing date, T2) — same as the
+    file-source leg, so the two legs stay drop-in interchangeable."""
+    from busdata_pipeline_spark.sources.jsonl import read_breadcrumb_jsonl
+
+    partial = json.dumps({"VEHICLE_ID": 2900, "EVENT_NO_TRIP": 777})
+    lines = fixture_lines()[:2] + [partial]
+
+    p = tmp_path / "day.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    via_file = read_breadcrumb_jsonl(spark, str(p))
+    via_kafka = decode_kafka_breadcrumbs(_wire(spark, lines))
+
+    assert via_kafka.count() == via_file.count() == 3
+    kept = via_kafka.where(F.col("OPD_DATE").isNull()).collect()
+    assert len(kept) == 1 and kept[0]["EVENT_NO_TRIP"] == 777
+
+
 def test_payload_roundtrip_is_lossless(spark, tmp_path):
     """publish payload -> decode = identity on the breadcrumb columns,
     and the key is the vehicle id (per-vehicle partition ordering)."""

@@ -142,3 +142,29 @@ def test_pq_ranks_bounded_and_deterministic(spark):
         per_q.setdefault(r.qid, []).append(r.rank)
     for qid, ranks in per_q.items():
         assert len(ranks) <= 10 and sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pq_empty_query_set_returns_typed_empty(spark):
+    """Zero queries must yield an empty result with the output schema
+    (F.array() of no structs has no element type, so the literal
+    fan-out path can't run) — not an analysis error."""
+    emb, q = _clustered_corpus(spark, seed=3)
+    out = similarity.pq_adc_topk(
+        emb, q.where(F.lit(False)), k=5, m=4, ksub=4, dim=16
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "qid", "vec_id", "approx_d2", "rank"
+    ]
+
+
+def test_pq_string_qid_preserved(spark):
+    """Non-integer query ids survive: qid literals are cast to the
+    queries-side column type, not force-cast to long."""
+    emb, q = _clustered_corpus(spark, seed=5)
+    qs = q.limit(2).select(
+        F.concat(F.lit("q-"), F.col("qid").cast("string")).alias("qid"),
+        "qvec",
+    )
+    out = similarity.pq_adc_topk(emb, qs, k=3, m=4, ksub=4, dim=16).collect()
+    assert out and all(r.qid.startswith("q-") for r in out)

@@ -179,6 +179,27 @@ def test_ewma_matches_sequential_model(spark):
     assert got[6] == 0.7 * 5.0 + 0.3 * 7.0
 
 
+def test_ewma_null_key_is_one_group(spark):
+    """All null-key rows fold as ONE group (groupBy semantics): the
+    first null-key row starts the run with s = x_1, later null-key rows
+    continue it — NaN/None key comparisons must not restart the fold,
+    and the 'no key yet' sentinel must not collide with a NULL key."""
+    import datetime
+
+    rows = [(1, None, 10.0), (2, None, 20.0), (3, 1, 4.0), (4, None, 30.0)]
+    ev = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1, 0, 0, i), u, v)
+         for i, u, v in rows],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {r["event_id"]: r["ewma"]
+           for r in ewma_smooth(ev, alpha=0.3).collect()}
+    assert got[1] == 10.0                       # starts the null-key run
+    assert got[2] == 0.7 * 10.0 + 0.3 * 20.0    # continues it
+    assert got[4] == 0.7 * got[2] + 0.3 * 30.0  # still the same group
+    assert got[3] == 4.0                        # real key unaffected
+
+
 def test_ewma_partitioning_invariant(spark):
     from busdata_pipeline_spark.sources import table
 
