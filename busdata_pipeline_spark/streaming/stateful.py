@@ -100,6 +100,74 @@ from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
 )
 
 
+def ensure_protobuf_runtime(spark=None) -> str:
+    """Make ``google.protobuf`` importable for transformWithState's
+    state-server protocol, on the driver AND in Spark's Python workers.
+
+    Preference order: the real protobuf distribution if installed;
+    otherwise the repo's pure-Python shim
+    (``vendor/protoshim/google/protobuf`` — a from-the-public-spec
+    proto3 wire implementation, cross-validated against protobuf-java
+    on Spark's JVM classpath by tests/test_protoshim.py).  The shim is
+    path-inserted for this process and shipped to workers via
+    ``addPyFile`` (a zip, so executor Python processes resolve
+    ``google.protobuf`` with no filesystem coupling to the driver).
+
+    Returns "protobuf" or "shim" so callers/tests can see which runtime
+    is live.
+    """
+    import importlib
+    import os
+    import sys
+    import tempfile
+    import zipfile
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return "protobuf"
+    except ImportError:
+        pass
+
+    shim = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vendor", "protoshim",
+    )
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+    importlib.invalidate_caches()
+    import google.protobuf.descriptor  # noqa: F401  (the shim now)
+
+    if spark is not None:
+        sc = spark.sparkContext
+        # The TWS *driver-side* pre-init worker
+        # (transform_with_state_driver_worker.py) is spawned by the JVM
+        # WITHOUT addPyFile includes — its sys.path comes from the
+        # worker env's PYTHONPATH, which PythonWorkerFactory merges
+        # from the PythonFunction's envVars (== sc.environment).  Set
+        # it before the UDF is wrapped so that process can import the
+        # shim too.
+        existing = sc.environment.get("PYTHONPATH", "")
+        if shim not in existing.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                shim + (os.pathsep + existing if existing else "")
+            )
+        if not getattr(sc, "_protoshim_shipped", False):
+            zpath = os.path.join(
+                tempfile.gettempdir(),
+                f"protoshim-google-{os.getpid()}.zip",
+            )
+            with zipfile.ZipFile(zpath, "w") as zf:
+                for root, _dirs, files in os.walk(os.path.join(shim,
+                                                               "google")):
+                    for f in sorted(files):
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            zf.write(full, os.path.relpath(full, shim))
+            sc.addPyFile(zpath)
+            sc._protoshim_shipped = True
+    return "shim"
+
+
 class TripProgressProcessor(StatefulProcessor):
     """``StatefulProcessor`` twin of ``track_trip_progress``: ValueState
     holds the same four-scalar trip summary, but the new API adds
@@ -145,21 +213,16 @@ def track_trip_progress_tws(stream: DataFrame,
                             trip_col: str = "EVENT_NO_TRIP") -> DataFrame:
     """transformWithStateInPandas version of the tracker.  Requires the
     RocksDB state store provider (the TWS backend) — callers/tests set
-    spark.sql.streaming.stateStore.providerClass accordingly — and the
-    protobuf package for the state-server protocol, which this container
-    lacks: the operator is import-clean and its test skips here, running
-    wherever protobuf exists.
-
-    Why the gate stays a gate: pyspark's generated StateMessage_pb2
-    needs the real google.protobuf runtime (descriptor pools, the
-    C/upb-or-pure-python wire machinery) INSIDE the separate Python
-    worker process the JVM spawns — a stub runtime would produce wrong
-    wire bytes and hang the state server, and vendoring the full
-    protobuf distribution (~50k LoC of third-party code) into this repo
-    to un-skip one test is worse than the documented skip.  The same
-    tracker semantics are fully exercised without protobuf by the
-    applyInPandasWithState form above (same state tuple, same outputs,
-    pytest-covered), so the gap is one API binding, not behavior."""
+    spark.sql.streaming.stateStore.providerClass accordingly — and a
+    ``google.protobuf`` runtime for the state-server protocol
+    (StateMessage_pb2 wire messages between the Python worker and the
+    JVM state server).  ``ensure_protobuf_runtime`` provides one: the
+    installed protobuf distribution when present, else the repo's
+    pure-Python proto3 shim (vendor/protoshim), written from the public
+    wire-format spec and cross-validated bytes-for-bytes against
+    protobuf-java on Spark's classpath (tests/test_protoshim.py), then
+    shipped to workers via addPyFile."""
+    ensure_protobuf_runtime(stream.sparkSession)
     return stream.groupBy(trip_col).transformWithStateInPandas(
         statefulProcessor=TripProgressProcessor(),
         outputStructType=TRIP_PROGRESS,

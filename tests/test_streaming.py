@@ -411,15 +411,14 @@ def test_tws_trip_progress_across_batches(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 StatefulProcessor) — same
     cumulative-across-batches semantics as the applyInPandasWithState
     tracker, on the RocksDB state backend the new API requires."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState's state-server protocol needs protobuf, "
-               "absent in this container (operator is import-clean; this "
-               "test exercises it wherever protobuf exists)",
-    )
     from busdata_pipeline_spark.streaming.stateful import (
+        ensure_protobuf_runtime,
         track_trip_progress_tws,
     )
+
+    # real protobuf when installed, else the repo's wire-validated shim
+    # (vendor/protoshim, cross-checked in tests/test_protoshim.py)
+    assert ensure_protobuf_runtime(spark) in ("protobuf", "shim")
 
     src = str(tmp_path / "tws_src")
     os.makedirs(src)
