@@ -180,6 +180,66 @@ def merge_rollup_retract(spark: SparkSession, delta: DataFrame, path: str,
         _ensure_readable_when_empty(first, path)
 
 
+def merge_rollup_retract_versioned(spark: SparkSession, delta: DataFrame,
+                                   path: str, key: str = "user_id",
+                                   buckets: int = 8) -> int:
+    """``merge_rollup_retract`` on the manifest-last versioned-table
+    layer (operators/versioned.py) instead of in-place mutation: the
+    merged touched-bucket state lands as a ``replace`` commit whose
+    manifest rename is the only commit point.
+
+    What this buys over the in-place variant:
+    - atomic on object stores — no rmtree window where a reader can
+      observe deleted-but-not-yet-rewritten buckets;
+    - no eager localCheckpoint needed — the merge plan reads prior
+      commit directories that are never touched (new data goes to a
+      NEW directory), so the self-overwrite hazard doesn't exist;
+    - the pre-retraction state stays time-travelable
+      (``read_version(path, v)``), and an all-keys-retracted bucket
+      needs no empty-marker file games — the replace commit's manifest
+      masks it everywhere.
+
+    Same bounded-cost contract: only the delta's buckets are read from
+    the snapshot and only their rows are written.  Returns the commit
+    version."""
+    from busdata_pipeline_spark.operators.versioned import (
+        read_version,
+        table_history,
+        write_replace_partitions,
+        write_version,
+    )
+
+    delta_b = _with_bucket(delta, key, buckets)
+    if not table_history(path):
+        return write_version(
+            delta_b.where(F.col("dn") > 0), path, "overwrite",
+            partition_col=BUCKET_COL,
+        )
+    touched = [r[BUCKET_COL] for r in
+               delta_b.select(BUCKET_COL).distinct().collect()]
+    existing = read_version(spark, path).where(
+        F.col(BUCKET_COL).isin(touched)
+    )
+    merged = (
+        existing.unionByName(delta_b)
+        .groupBy(key, BUCKET_COL)
+        .agg(
+            F.sum("dn").cast("long").alias("dn"),
+            F.sum("dc").cast("long").alias("dc"),
+        )
+        .where(F.col("dn") > 0)
+    )
+    return write_replace_partitions(merged, path, BUCKET_COL, touched)
+
+
+def read_rollup_versioned(spark: SparkSession, path: str,
+                          version: int | None = None) -> DataFrame:
+    """Snapshot of a versioned rollup (default latest)."""
+    from busdata_pipeline_spark.operators.versioned import read_version
+
+    return read_version(spark, path, version).drop(BUCKET_COL)
+
+
 def _root_parquet_files(path: str) -> list[str]:
     import glob
 

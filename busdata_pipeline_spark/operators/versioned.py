@@ -43,10 +43,12 @@ def _commits(path: str) -> list[dict]:
     return out
 
 
-def _commit(path: str, mode: str) -> int:
+def _commit(path: str, mode: str, extra: dict | None = None) -> int:
     os.makedirs(_log_dir(path), exist_ok=True)
     version = len(_commits(path)) + 1
     entry = {"version": version, "mode": mode, "dir": f"_v{version}"}
+    if extra:
+        entry.update(extra)
     fd, tmp = tempfile.mkstemp(dir=_log_dir(path))
     with os.fdopen(fd, "w") as fh:
         json.dump(entry, fh)
@@ -54,18 +56,86 @@ def _commit(path: str, mode: str) -> int:
     return version
 
 
-def write_version(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_version(df: DataFrame, path: str, mode: str = "append",
+                  partition_col: str | None = None) -> int:
     """Commit ``df`` as the next version (mode: append | overwrite).
-    Data first, manifest last — the rename IS the commit."""
+    Data first, manifest last — the rename IS the commit.
+
+    With ``partition_col`` the commit directory is laid out as
+    ``<pcol>=<value>`` subdirectories (recorded in the manifest with
+    the column's type) — required for later ``replace`` commits to be
+    maskable by directory pruning and for ``vacuum_replaced`` to purge
+    by subdirectory delete instead of rewriting the commit."""
     assert mode in ("append", "overwrite")
     version = len(_commits(path)) + 1
-    df.write.mode("overwrite").parquet(os.path.join(path, f"_v{version}"))
-    return _commit(path, mode)
+    target = os.path.join(path, f"_v{version}")
+    extra = None
+    if partition_col is not None:
+        ptype = df.schema[partition_col].dataType.simpleString()
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+        extra = {"partition_col": partition_col, "pcol_type": ptype}
+    else:
+        df.write.mode("overwrite").parquet(target)
+    return _commit(path, mode, extra)
+
+
+def write_replace_partitions(df: DataFrame, path: str, partition_col: str,
+                             values: list) -> int:
+    """Partition-scoped atomic commit (the Delta ``replaceWhere``
+    shape): the new data directory carries the FULL new content of the
+    listed ``partition_col`` values — possibly zero rows, when every
+    row of those partitions was retracted/erased — and the manifest
+    records the replaced values.  Snapshot readers drop those values
+    from every EARLIER commit, so the replace is all-or-nothing at the
+    manifest rename: no in-place deletes, no rmtree, no torn state on
+    object stores, and the pre-replace snapshot stays time-travelable.
+
+    Cost contract: the commit writes only the replaced partitions'
+    rows (delta-bounded), laid out as ``<pcol>=<value>`` directories so
+    (a) snapshot masks prune earlier commits by DIRECTORY, and (b)
+    ``vacuum_replaced`` purges history by subdirectory delete with no
+    data rewrite.  A periodic full-overwrite compaction bounds the
+    commit chain length."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    version = len(_commits(path)) + 1
+    ptype = df.schema[partition_col].dataType.simpleString()
+    out = df.where(F.col(partition_col).isin(list(values)))
+    target = os.path.join(path, f"_v{version}")
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+    # an all-retracted replace still needs a schema-carrying file so
+    # snapshot reads (a union over commit dirs) keep working; the
+    # marker is UNpartitioned (carries pcol in-file) — partition dirs
+    # plus root files is a layout parquet discovery rejects
+    if not glob.glob(os.path.join(target, "**", "*.parquet"),
+                     recursive=True):
+        df.limit(0).repartition(1).write.mode("overwrite").parquet(target)
+    return _commit(path, "replace",
+                   {"partition_col": partition_col,
+                    "pcol_type": ptype,
+                    "values": [str(v) for v in values]})
+
+
+def _replaced_after(commits: list[dict], i: int) -> tuple[str | None, set]:
+    """Partition values replaced by commits AFTER index ``i`` (and the
+    partition column they key on — one per table by construction)."""
+    col = None
+    vals: set = set()
+    for c in commits[i + 1:]:
+        if c["mode"] == "replace":
+            col = c["partition_col"]
+            vals.update(c["values"])
+    return col, vals
 
 
 def read_version(spark: SparkSession, path: str,
                  version: int | None = None) -> DataFrame:
-    """Snapshot as of ``version`` (default: latest)."""
+    """Snapshot as of ``version`` (default: latest).  ``replace``
+    commits mask their partition values in every earlier commit."""
+    from pyspark.sql import functions as F
+
     commits = _commits(path)
     if version is not None:
         commits = [c for c in commits if c["version"] <= version]
@@ -75,8 +145,40 @@ def read_version(spark: SparkSession, path: str,
     for i, c in enumerate(commits):
         if c["mode"] == "overwrite":
             start = i
-    dirs = [os.path.join(path, c["dir"]) for c in commits[start:]]
-    return spark.read.parquet(*dirs)
+    live = commits[start:]
+    frames = []
+    for i, c in enumerate(live):
+        d = os.path.join(path, c["dir"])
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"version {c['version']} was vacuumed; snapshot "
+                f"unavailable")
+        df = spark.read.parquet(d)
+        # partitioned commit dirs re-infer the partition column's type
+        # from directory names (e.g. long buckets come back int) — pin
+        # it back to the manifest-recorded type so commit frames union
+        # losslessly with unpartitioned markers / non-replace commits
+        if c.get("pcol_type") and c["partition_col"] in df.columns:
+            df = df.withColumn(
+                c["partition_col"],
+                F.col(c["partition_col"]).cast(c["pcol_type"]),
+            )
+        col, masked = _replaced_after(live, i)
+        if masked:
+            # compare in string space (manifest values are JSON
+            # strings; Spark's date/long->string casts match str());
+            # NULL partition values are never replace targets, so a
+            # null row must survive the mask, not vanish under the
+            # three-valued ~isin
+            df = df.where(
+                F.col(col).isNull()
+                | ~F.col(col).cast("string").isin(sorted(masked))
+            )
+        frames.append(df)
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def table_history(path: str) -> list[dict]:
@@ -103,6 +205,85 @@ def vacuum_versions(path: str) -> list[int]:
             shutil.rmtree(d)
             gone.append(c["version"])
     return gone
+
+
+def vacuum_replaced(spark: SparkSession, path: str) -> dict:
+    """Physically purge masked rows from history — the retention pass
+    that completes an erasure.  For every commit directory holding
+    partition values a later ``replace`` commit superseded:
+
+    - partition-laid-out commits (the normal case — commits written
+      with ``partition_col``): DELETE the masked ``<pcol>=<value>``
+      subdirectories.  Masking is whole-partition by construction, so
+      the delete is exact and touches no other bytes — cost scales
+      with the masked partitions, never the commit;
+    - unpartitioned commits (legacy/marker dirs): rewrite the
+      directory without the masked rows (write-aside then swap).
+
+    Correctness posture: the manifest mask already hides these rows
+    from every snapshot ≥ the replace commit, so this pass changes no
+    current query result — it only removes bytes.  Time travel to a
+    pre-replace version afterwards reflects the purge (the GDPR
+    contract: history must not resurrect the subject).  Deletes/swaps
+    here are maintenance, not commit points; run like Delta VACUUM.
+    Returns {dirs_rewritten, rows_purged}."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    commits = _commits(path)
+    dirs_rewritten = 0
+    rows_purged = 0
+    for i, c in enumerate(commits):
+        d = os.path.join(path, c["dir"])
+        if not os.path.isdir(d):
+            continue
+        col, masked = _replaced_after(commits, i)
+        if not masked:
+            continue
+        subdirs = [v for v in sorted(masked)
+                   if os.path.isdir(os.path.join(d, f"{col}={v}"))]
+        if subdirs:
+            doomed = spark.read.parquet(
+                *[os.path.join(d, f"{col}={v}") for v in subdirs]
+            ).count()
+            for v in subdirs:
+                shutil.rmtree(os.path.join(d, f"{col}={v}"))
+            # a commit dir purged of its every partition still needs a
+            # schema-carrying file for snapshot reads
+            if not glob.glob(os.path.join(d, "**", "*.parquet"),
+                             recursive=True):
+                schema_src = read_version(spark, path).limit(0)
+                schema_src.repartition(1).write.mode("overwrite").parquet(d)
+            dirs_rewritten += 1
+            rows_purged += doomed
+            continue
+        # unpartitioned layout: write-aside rewrite
+        df = spark.read.parquet(d)
+        if col not in df.columns:
+            continue
+        doomed = df.where(
+            F.col(col).isNotNull()
+            & F.col(col).cast("string").isin(sorted(masked))
+        ).count()
+        if not doomed:
+            continue
+        keep = df.where(
+            F.col(col).isNull()
+            | ~F.col(col).cast("string").isin(sorted(masked))
+        )
+        tmp = d + ".rewrite"
+        keep.write.mode("overwrite").parquet(tmp)
+        if not glob.glob(os.path.join(tmp, "*.parquet")):
+            df.limit(0).repartition(1).write.mode("overwrite").parquet(tmp)
+        old = d + ".purged"
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+        dirs_rewritten += 1
+        rows_purged += doomed
+    return {"dirs_rewritten": dirs_rewritten, "rows_purged": rows_purged}
 
 
 # ---------------------------------------------------------------------------

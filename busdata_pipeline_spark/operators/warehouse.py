@@ -506,3 +506,53 @@ def erase_subject(spark: SparkSession, warehouse: str, subject_col: str,
                 ignore_errors=True,
             )
     return {"days_rewritten": len(days), "rows_removed": removed}
+
+
+def erase_subject_versioned(spark: SparkSession, path: str,
+                            subject_col: str, subject_value,
+                            date_col: str = "event_date",
+                            purge_history: bool = True) -> dict:
+    """``erase_subject`` on the manifest-last versioned-table layer
+    (operators/versioned.py): the affected days' survivors land as one
+    ``replace`` commit — the manifest rename is the only commit point,
+    so on any store a reader sees either the full pre-erasure snapshot
+    or the full post-erasure one, never a torn mix (the dynamic-
+    overwrite + rmtree window of the in-place variant cannot occur).
+
+    The commit makes the subject INVISIBLE atomically; with
+    ``purge_history`` (the GDPR default) the masked rows are then
+    physically removed from earlier commits' files too
+    (``vacuum_replaced``), so time travel cannot resurrect the subject
+    — the legal erasure completes when the purge pass does, exactly
+    Delta's delete-then-VACUUM contract.  Cost stays bounded by the
+    subject's partition footprint in both phases.
+
+    Returns the in-place variant's audit dict plus the commit version
+    and purge counters.
+    """
+    from busdata_pipeline_spark.operators.versioned import (
+        read_version,
+        vacuum_replaced,
+        write_replace_partitions,
+    )
+
+    snap = read_version(spark, path)
+    per_day = (
+        snap.where(F.col(subject_col).eqNullSafe(F.lit(subject_value)))
+        .groupBy(F.col(date_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    days = [r["d"] for r in per_day]
+    removed = sum(r["n"] for r in per_day)
+    if not days:
+        return {"days_rewritten": 0, "rows_removed": 0, "version": None,
+                "rows_purged": 0}
+    survivors = snap.where(F.col(date_col).isin(days)).where(
+        ~F.col(subject_col).eqNullSafe(F.lit(subject_value))
+    )
+    version = write_replace_partitions(survivors, path, date_col, days)
+    purged = (vacuum_replaced(spark, path) if purge_history
+              else {"rows_purged": 0})
+    return {"days_rewritten": len(days), "rows_removed": removed,
+            "version": version, "rows_purged": purged["rows_purged"]}

@@ -903,23 +903,29 @@ FROM d
 """,
 )
 def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-erasure, driver-visible end to end: events land in a
-    date-partitioned scratch warehouse, the lowest-id user is erased via
-    operators/warehouse.erase_subject (partition-scoped rewrite: only
-    the subject's day directories are re-read and swapped by dynamic
-    overwrite), and the result row hashes the audit (days rewritten,
-    rows removed), the survivor count + value checksum, and two
-    file-level booleans: the subject is gone, and every file of every
-    UNTOUCHED partition is byte-identical (path+size snapshot) — the
-    bounded-rewrite contract that makes erasure affordable at 100 TB."""
+    """Right-to-erasure, driver-visible end to end, on the VERSIONED
+    table layer: events land as a date-partition-laid-out versioned
+    commit, the lowest-id user is erased via
+    operators/warehouse.erase_subject_versioned — one manifest-last
+    ``replace`` commit (atomic: readers see pre- or post-erasure, never
+    a torn mix) followed by a history purge that deletes only the
+    masked day subdirectories — and the result row hashes the audit,
+    the survivor count + value checksum, and two file-level booleans:
+    the subject is gone FROM EVERY VERSION (current snapshot and purged
+    history), and every file of every untouched day is byte-identical
+    (path+size snapshot) — the bounded-rewrite contract that makes
+    erasure affordable at 100 TB."""
     import glob
     import os
     import shutil
     import tempfile
 
+    from busdata_pipeline_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
     from busdata_pipeline_spark.operators.warehouse import (
-        _fact_path,
-        erase_subject,
+        erase_subject_versioned,
     )
 
     ev = table(spark, sf_dir, "events")
@@ -927,12 +933,8 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = tempfile.mkdtemp(prefix="gdpr_q_")
     shutil.rmtree(warehouse, ignore_errors=True)
     try:
-        (
-            fact.repartition(8)
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(_fact_path(warehouse))
-        )
+        write_version(fact.repartition(8), warehouse, "overwrite",
+                      partition_col="event_date")
         subj = ev.agg(F.min("user_id").alias("s")).collect()[0]["s"]
         subj_days = {
             f"event_date={r['d']}"
@@ -942,7 +944,7 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def file_sizes(only_untouched: bool) -> dict:
             out = {}
-            root = _fact_path(warehouse)
+            root = os.path.join(warehouse, "_v1")
             for f in glob.glob(f"{root}/event_date=*/*.parquet"):
                 rel = os.path.relpath(f, root)
                 if only_untouched and rel.split(os.sep)[0] in subj_days:
@@ -951,12 +953,16 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out
 
         before = file_sizes(only_untouched=True)
-        audit = erase_subject(spark, warehouse, "user_id", subj)
+        audit = erase_subject_versioned(spark, warehouse, "user_id", subj)
         after = file_sizes(only_untouched=True)
 
-        post = spark.read.parquet(_fact_path(warehouse))
+        post = read_version(spark, warehouse)
         subject_gone = (
             post.where(F.col("user_id") == subj).count() == 0
+            # ...and purged from history: time travel to v1 cannot
+            # resurrect the subject either
+            and read_version(spark, warehouse, 1)
+            .where(F.col("user_id") == subj).count() == 0
         )
         return (
             post.agg(
@@ -1006,16 +1012,19 @@ def etl_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE signed-delta merge that simultaneously retracts the error events
     of days 10-15 (multiplicity −1) and applies the late-arriving days
     16-18 (+1) — cost bounded by the delta's hash buckets, never a
-    history rescan (operators/rollup.merge_rollup_retract).  Sums are
-    maintained in exact integer cents so retraction subtracts out
-    bit-exactly; the oracle's from-scratch rebuild must hash-match the
-    incrementally maintained state."""
+    history rescan.  The merge runs on the VERSIONED table layer
+    (operators/rollup.merge_rollup_retract_versioned → manifest-last
+    ``replace`` commits, operators/versioned.py): atomic on object
+    stores, pre-retraction state time-travelable, no in-place deletes.
+    Sums are maintained in exact integer cents so retraction subtracts
+    out bit-exactly; the oracle's from-scratch rebuild must hash-match
+    the incrementally maintained state."""
     import shutil
     import tempfile
 
     from busdata_pipeline_spark.operators.rollup import (
-        merge_rollup_retract,
-        read_rollup,
+        merge_rollup_retract_versioned,
+        read_rollup_versioned,
         retract_partials,
     )
 
@@ -1033,16 +1042,17 @@ def etl_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="retract_rollup_q_")
     shutil.rmtree(path, ignore_errors=True)
     try:
-        merge_rollup_retract(spark, retract_partials(base, +1), path)
+        merge_rollup_retract_versioned(
+            spark, retract_partials(base, +1), path)
         delta = retract_partials(retract, -1).unionByName(
             retract_partials(late, +1)
         ).groupBy("user_id").agg(
             F.sum("dn").cast("long").alias("dn"),
             F.sum("dc").cast("long").alias("dc"),
         )
-        merge_rollup_retract(spark, delta, path)
+        merge_rollup_retract_versioned(spark, delta, path)
         return (
-            read_rollup(spark, path)
+            read_rollup_versioned(spark, path)
             .select(
                 "user_id",
                 F.col("dn").alias("n_events"),

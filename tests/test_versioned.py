@@ -121,3 +121,173 @@ def test_txn_as_of_reads(spark, tmp_path):
     new = txn_read(spark, root, {"a": a, "b": b})
     assert old["a"].count() == 3 and new["a"].count() == 6
     assert old["b"].count() == 4 and new["b"].count() == 4
+
+
+# ---------------------------------------------------------------------------
+# replace (partition-scoped) commits: atomic retraction/erasure
+
+
+@pytest.fixture()
+def ptbl(spark, tmp_path):
+    """user/day/value table committed as v1, then day-2 replaced (one
+    row retracted, one updated) as v2."""
+    from busdata_pipeline_spark.operators.versioned import (
+        write_replace_partitions,
+    )
+
+    path = str(tmp_path / "ptbl")
+    rows = [(1, "d1", 10.0), (2, "d1", 20.0), (1, "d2", 30.0),
+            (3, "d2", 40.0), (3, "d3", 50.0)]
+    df = spark.createDataFrame(rows, "user_id long, day string, value double")
+    write_version(df, path, "overwrite")                       # v1
+    new_d2 = spark.createDataFrame([(3, "d2", 41.0)],
+                                   "user_id long, day string, value double")
+    write_replace_partitions(new_d2, path, "day", ["d2"])      # v2
+    return path
+
+
+def _rows(spark, path, v=None):
+    return sorted(map(tuple, read_version(spark, path, v)
+                      .select("user_id", "day", "value").collect()))
+
+
+def test_replace_commit_masks_earlier_partitions(spark, ptbl):
+    assert _rows(spark, ptbl) == [
+        (1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 41.0), (3, "d3", 50.0),
+    ]
+
+
+def test_time_travel_across_replace(spark, ptbl):
+    # pre-replace snapshot intact: the replace never mutated v1's files
+    assert _rows(spark, ptbl, v=1) == [
+        (1, "d1", 10.0), (1, "d2", 30.0), (2, "d1", 20.0),
+        (3, "d2", 40.0), (3, "d3", 50.0),
+    ]
+
+
+def test_replace_to_zero_rows_deletes_partition(spark, ptbl):
+    from busdata_pipeline_spark.operators.versioned import (
+        write_replace_partitions,
+    )
+
+    empty = read_version(spark, ptbl).limit(0)
+    write_replace_partitions(empty, ptbl, "day", ["d1"])       # v3
+    assert _rows(spark, ptbl) == [(3, "d2", 41.0), (3, "d3", 50.0)]
+    # and the table remains readable/time-travelable
+    assert len(_rows(spark, ptbl, v=2)) == 4
+
+
+def test_unmanifested_replace_is_invisible(spark, ptbl):
+    """Crash between data write and manifest rename: the data dir
+    exists but no snapshot includes it (manifest-last atomicity)."""
+    import shutil
+
+    before = _rows(spark, ptbl)
+    # simulate the torn state: copy v2's dir layout as an orphan _v9
+    shutil.copytree(os.path.join(ptbl, "_v2"), os.path.join(ptbl, "_v9"))
+    assert _rows(spark, ptbl) == before
+
+
+def test_vacuum_replaced_purges_history_bytes(spark, ptbl):
+    from busdata_pipeline_spark.operators.versioned import vacuum_replaced
+
+    got = vacuum_replaced(spark, ptbl)
+    assert got == {"dirs_rewritten": 1, "rows_purged": 2}
+    # current snapshot unchanged
+    assert _rows(spark, ptbl) == [
+        (1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 41.0), (3, "d3", 50.0),
+    ]
+    # history no longer resurrects the purged (d2) rows; v1's other
+    # partitions are untouched
+    assert _rows(spark, ptbl, v=1) == [
+        (1, "d1", 10.0), (2, "d1", 20.0), (3, "d3", 50.0),
+    ]
+    # idempotent
+    assert vacuum_replaced(spark, ptbl)["rows_purged"] == 0
+
+
+def test_merge_rollup_retract_versioned_matches_inplace(spark, tmp_path):
+    """The versioned retraction merge must produce exactly the in-place
+    variant's state, with the pre-retraction snapshot time-travelable."""
+    from busdata_pipeline_spark.operators.rollup import (
+        merge_rollup_retract,
+        merge_rollup_retract_versioned,
+        read_rollup,
+        read_rollup_versioned,
+    )
+
+    def partials(rows):
+        return spark.createDataFrame(rows, "user_id long, dn long, dc long")
+
+    base = partials([(1, 3, 300), (2, 2, 200), (3, 1, 50)])
+    delta = partials([(1, -3, -300), (2, 1, 999), (4, 2, 20)])
+
+    p_old = str(tmp_path / "inplace")
+    merge_rollup_retract(spark, base, p_old)
+    merge_rollup_retract(spark, delta, p_old)
+    want = sorted(map(tuple, read_rollup(spark, p_old)
+                      .select("user_id", "dn", "dc").collect()))
+
+    p_new = str(tmp_path / "versioned")
+    merge_rollup_retract_versioned(spark, base, p_new)
+    v = merge_rollup_retract_versioned(spark, delta, p_new)
+    got = sorted(map(tuple, read_rollup_versioned(spark, p_new)
+                     .select("user_id", "dn", "dc").collect()))
+    assert got == want
+    assert (1, 3, 300) not in got  # user 1 fully retracted
+    # pre-retraction state still readable at v-1
+    pre = sorted(map(tuple, read_rollup_versioned(spark, p_new, v - 1)
+                     .select("user_id", "dn", "dc").collect()))
+    assert pre == sorted([(1, 3, 300), (2, 2, 200), (3, 1, 50)])
+
+
+def test_erase_subject_versioned_atomic_and_purged(spark, tmp_path):
+    import datetime
+
+    from busdata_pipeline_spark.operators.versioned import write_version
+    from busdata_pipeline_spark.operators.warehouse import (
+        erase_subject_versioned,
+    )
+
+    d = datetime.date
+    rows = [
+        (7, d(2024, 1, 1), 1.0), (8, d(2024, 1, 1), 2.0),
+        (7, d(2024, 1, 2), 3.0),                     # day 2 is 7-only
+        (9, d(2024, 1, 3), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_date date, value double")
+    path = str(tmp_path / "vfact")
+    # partition-laid-out initial load -> the purge pass deletes masked
+    # day subdirectories instead of rewriting the commit
+    write_version(df, path, "overwrite", partition_col="event_date")
+
+    import glob
+
+    def day3_files():
+        return {
+            f: os.path.getsize(f)
+            for f in glob.glob(os.path.join(
+                path, "_v1", "event_date=2024-01-03", "*.parquet"))
+        }
+
+    before = day3_files()
+    audit = erase_subject_versioned(spark, path, "user_id", 7)
+    # untouched day's files byte-identical: commit + purge never read
+    # or rewrote them (the bounded-erasure contract)
+    assert day3_files() == before and before
+    assert audit["days_rewritten"] == 2
+    assert audit["rows_removed"] == 2
+    # purge drops every v1 row of the two replaced days (subject rows
+    # AND the survivor copies that now live in the replace commit)
+    assert audit["rows_purged"] == 3
+
+    got = sorted(map(tuple, read_version(spark, path)
+                     .select("user_id", "event_date", "value").collect()))
+    assert got == [(8, d(2024, 1, 1), 2.0), (9, d(2024, 1, 3), 4.0)]
+    # history physically purged: v1 read shows no subject rows either
+    v1 = read_version(spark, path, 1)
+    assert v1.where(v1.user_id == 7).count() == 0
+    # erasing an absent subject is a no-op
+    again = erase_subject_versioned(spark, path, "user_id", 7)
+    assert again["days_rewritten"] == 0 and again["rows_removed"] == 0
