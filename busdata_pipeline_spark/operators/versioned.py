@@ -66,6 +66,8 @@ def write_version(df: DataFrame, path: str, mode: str = "append",
     the column's type) — required for later ``replace`` commits to be
     maskable by directory pruning and for ``vacuum_replaced`` to purge
     by subdirectory delete instead of rewriting the commit."""
+    import glob
+
     assert mode in ("append", "overwrite")
     version = len(_commits(path)) + 1
     target = os.path.join(path, f"_v{version}")
@@ -73,10 +75,45 @@ def write_version(df: DataFrame, path: str, mode: str = "append",
     if partition_col is not None:
         ptype = df.schema[partition_col].dataType.simpleString()
         df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+        # a zero-row partitioned write emits only _SUCCESS (no parquet
+        # file at all), which would make every later snapshot read fail
+        # with UNABLE_TO_INFER_SCHEMA — land the same unpartitioned
+        # schema marker write_replace_partitions uses (reachable e.g.
+        # via merge_rollup_retract_versioned's first-commit delta,
+        # which can legitimately be empty)
+        if not glob.glob(os.path.join(target, "**", "*.parquet"),
+                         recursive=True):
+            df.limit(0).repartition(1).write.mode("overwrite").parquet(target)
         extra = {"partition_col": partition_col, "pcol_type": ptype}
     else:
         df.write.mode("overwrite").parquet(target)
     return _commit(path, mode, extra)
+
+
+def _mask_value_strings(df: DataFrame, partition_col: str,
+                        values: list) -> list[str]:
+    """Render mask values through Spark's OWN cast-to-string for the
+    partition column's type, so manifest strings always equal what
+    ``F.col(pcol).cast('string')`` produces at snapshot-mask time.
+    Python ``str()`` diverges for several types (bool: 'True' vs
+    Spark's 'true'; some float/decimal/timestamp renderings) — a
+    diverged manifest string would silently fail to mask, resurrecting
+    supposedly replaced/erased rows.  One 1-row driver job over the
+    bounded value list."""
+    from pyspark.sql import functions as F
+
+    if not values:
+        return []
+    ptype = df.schema[partition_col].dataType
+    row = (
+        df.sparkSession.range(1)
+        .select(*[
+            F.lit(v).cast(ptype).cast("string").alias(f"c{i}")
+            for i, v in enumerate(values)
+        ])
+        .first()
+    )
+    return [row[i] for i in range(len(values))]
 
 
 def write_replace_partitions(df: DataFrame, path: str, partition_col: str,
@@ -115,7 +152,8 @@ def write_replace_partitions(df: DataFrame, path: str, partition_col: str,
     return _commit(path, "replace",
                    {"partition_col": partition_col,
                     "pcol_type": ptype,
-                    "values": [str(v) for v in values]})
+                    "values": _mask_value_strings(df, partition_col,
+                                                  list(values))})
 
 
 def _replaced_after(commits: list[dict], i: int) -> tuple[str | None, set]:
@@ -245,17 +283,37 @@ def vacuum_replaced(spark: SparkSession, path: str) -> dict:
         subdirs = [v for v in sorted(masked)
                    if os.path.isdir(os.path.join(d, f"{col}={v}"))]
         if subdirs:
-            doomed = spark.read.parquet(
-                *[os.path.join(d, f"{col}={v}") for v in subdirs]
-            ).count()
-            for v in subdirs:
-                shutil.rmtree(os.path.join(d, f"{col}={v}"))
-            # a commit dir purged of its every partition still needs a
-            # schema-carrying file for snapshot reads
-            if not glob.glob(os.path.join(d, "**", "*.parquet"),
-                             recursive=True):
-                schema_src = read_version(spark, path).limit(0)
-                schema_src.repartition(1).write.mode("overwrite").parquet(d)
+            sub_paths = [os.path.join(d, f"{col}={v}") for v in subdirs]
+            doomed = spark.read.parquet(*sub_paths).count()
+            # will the delete leave the commit dir without any parquet
+            # file?  Capture the schema marker BEFORE deleting — after
+            # the rmtree there is nothing left to infer it from (the
+            # old read_version fallback crashed with
+            # UNABLE_TO_INFER_SCHEMA on the emptied dir, taking the
+            # whole table down), and write it aside + swap like the
+            # unpartitioned branch so a crash mid-pass never leaves a
+            # half-empty commit dir
+            masked_prefixes = tuple(f"{col}={v}" + os.sep for v in subdirs)
+            survivors = [
+                p for p in glob.glob(os.path.join(d, "**", "*.parquet"),
+                                     recursive=True)
+                if not os.path.relpath(p, d).startswith(masked_prefixes)
+            ]
+            marker_tmp = None
+            if not survivors:
+                snap = spark.read.parquet(d).limit(0)
+                if c.get("pcol_type") and col in snap.columns:
+                    snap = snap.withColumn(
+                        col, F.col(col).cast(c["pcol_type"]))
+                marker_tmp = d + ".marker"
+                snap.repartition(1).write.mode("overwrite").parquet(marker_tmp)
+            for p in sub_paths:
+                shutil.rmtree(p)
+            if marker_tmp is not None:
+                old = d + ".purged"
+                os.rename(d, old)
+                os.rename(marker_tmp, d)
+                shutil.rmtree(old)
             dirs_rewritten += 1
             rows_purged += doomed
             continue

@@ -666,11 +666,11 @@ def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_decimal_money_sums",
     oracle="""
 SELECT l_returnflag,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
-    AS gross,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+    AS VARCHAR) AS gross,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
          * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))
-    AS discount_amt
+    AS VARCHAR) AS discount_amt
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -680,13 +680,17 @@ def rel_decimal_money_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding, no ROUND() canonicalization needed: both engines produce
     bit-identical scaled integers.  Sums and products follow SQL-standard
     precision propagation; the outputs are cast to a common (38,s) width
-    because Spark's sum widens to 28 digits and DuckDB's to 38."""
+    because Spark's sum widens to 28 digits and DuckDB's to 38, then
+    rendered as the fixed-scale decimal STRING ('….8300') — the driver's
+    pandas canonicalizer keeps Spark Decimals as objects but collapses
+    DuckDB decimals to float64, so only the string form hashes equal."""
     li = table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).cast("decimal(38,4)").alias("gross"),
-        F.sum(price * disc).cast("decimal(38,8)").alias("discount_amt"),
+        F.sum(price).cast("decimal(38,4)").cast("string").alias("gross"),
+        F.sum(price * disc).cast("decimal(38,8)").cast("string")
+         .alias("discount_amt"),
     )
 
 

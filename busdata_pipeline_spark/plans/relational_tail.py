@@ -127,12 +127,12 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name AS nation,
        EXTRACT(YEAR FROM l.l_shipdate)::BIGINT AS o_year,
-       CAST(SUM(
+       CAST(CAST(SUM(
          CAST(l.l_extendedprice AS DECIMAL(18,4))
            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
          - CAST(p.p_retailprice AS DECIMAL(18,4))
            * CAST(l.l_quantity AS DECIMAL(18,4)) * CAST(0.5 AS DECIMAL(2,1))
-       ) AS DECIMAL(38,8)) AS sum_profit
+       ) AS DECIMAL(38,8)) AS VARCHAR) AS sum_profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -173,7 +173,8 @@ def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("decimal(38,8)").alias("sum_profit"))
+        .agg(F.sum(profit).cast("decimal(38,8)").cast("string")
+              .alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -193,11 +194,12 @@ WITH scoped AS (
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   WHERE n.n_name = 'NATION_7'
 )
-SELECT l_partkey AS p_partkey, CAST(SUM(v) AS DECIMAL(38,8)) AS part_value
+SELECT l_partkey AS p_partkey,
+       CAST(CAST(SUM(v) AS DECIMAL(38,8)) AS VARCHAR) AS part_value
 FROM scoped
 GROUP BY l_partkey
 HAVING SUM(v) > (SELECT SUM(v) * CAST(0.002 AS DECIMAL(4,3)) FROM scoped)
-ORDER BY part_value DESC, p_partkey
+ORDER BY SUM(v) DESC, p_partkey
 """,
 )
 def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,8 +235,10 @@ def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("pv") > F.col("threshold"))
-        .select("p_partkey", F.col("pv").cast("decimal(38,8)").alias("part_value"))
-        .orderBy(F.desc("part_value"), "p_partkey")
+        .orderBy(F.desc("pv"), "p_partkey")
+        .select("p_partkey",
+                F.col("pv").cast("decimal(38,8)").cast("string")
+                 .alias("part_value"))
     )
 
 

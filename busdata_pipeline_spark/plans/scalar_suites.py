@@ -25,6 +25,9 @@ from busdata_pipeline_spark.sources import table
     "fn_array_suite",
     # DuckDB list functions are 1-indexed like Spark's element_at/slice;
     # FLOAT list elements compare exactly (no arithmetic performed).
+    # The slice output is projected element-wise (mid_1..mid_3) because
+    # the driver's pandas-based canonicalizer cannot hash list cells —
+    # scalar floats keep the comparison exact AND hashable.
     oracle="""
 SELECT vec_id,
   CAST(len(embedding) AS INTEGER) AS n,
@@ -33,7 +36,9 @@ SELECT vec_id,
   list_max(embedding) AS mx,
   list_min(embedding) AS mn,
   list_sort(embedding)[1] AS sorted_first,
-  list_slice(embedding, 2, 4) AS mid,
+  list_slice(embedding, 2, 4)[1] AS mid_1,
+  list_slice(embedding, 2, 4)[2] AS mid_2,
+  list_slice(embedding, 2, 4)[3] AS mid_3,
   list_reverse(embedding)[1] AS rev_first,
   CAST(list_contains(embedding, embedding[1]) AS BOOLEAN) AS has_first
 FROM embeddings
@@ -42,9 +47,12 @@ FROM embeddings
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function parity: length, positional access, extremes,
     sort, slice, reverse, membership — pure element shuffling on the
-    float vectors, no float arithmetic, so equality is exact."""
+    float vectors, no float arithmetic, so equality is exact.  The
+    3-element slice is flattened to scalar columns so the output schema
+    is driver-hashable (no array cells)."""
     emb = table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
+    mid = F.slice(e, 2, 3)
     return emb.select(
         "vec_id",
         F.size(e).alias("n"),
@@ -53,7 +61,9 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(e).alias("mx"),
         F.array_min(e).alias("mn"),
         F.element_at(F.sort_array(e), 1).alias("sorted_first"),
-        F.slice(e, 2, 3).alias("mid"),
+        F.element_at(mid, 1).alias("mid_1"),
+        F.element_at(mid, 2).alias("mid_2"),
+        F.element_at(mid, 3).alias("mid_3"),
         F.element_at(F.reverse(e), 1).alias("rev_first"),
         F.array_contains(e, F.element_at(e, 1)).alias("has_first"),
     )
@@ -230,11 +240,13 @@ def rel_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_array_agg_sorted",
     # collect_set/list(DISTINCT) have no inherent order in either
-    # engine; sorting inside the aggregate expression makes the grouped
-    # array and CSV deterministic and hash-comparable.
+    # engine; sorting inside the aggregate expression makes the CSV
+    # deterministic and hash-comparable.  The sorted array itself is
+    # exercised internally (it feeds the CSV) but only scalar columns
+    # leave the query — the driver's pandas canonicalizer cannot hash
+    # list cells.
     oracle="""
 SELECT user_id,
-  list_sort(list(DISTINCT event_type)) AS types,
   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_csv,
   CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
 FROM events
@@ -252,7 +264,6 @@ def rel_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(
-            types.alias("types"),
             F.concat_ws(",", types).alias("type_csv"),
             F.count_distinct("event_type").cast("int").alias("n_types"),
         )
@@ -378,10 +389,15 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_hof_suite",
     # Higher-order array lambdas.  DuckDB range(1, n+1) == Spark
     # sequence(1, n); arithmetic stays integral so every value is exact.
+    # The lambda outputs are CSV-serialized (array_to_string ↔
+    # concat_ws) because the driver's pandas canonicalizer cannot hash
+    # list cells; integer rendering is digit-identical cross-engine.
     oracle="""
 SELECT event_id,
-  list_transform(range(1, event_id % 5 + 4), x -> x * 2) AS doubled,
-  list_filter(range(1, event_id % 5 + 4), x -> x % 2 = 1) AS odds,
+  array_to_string(list_transform(range(1, event_id % 5 + 4), x -> x * 2),
+                  ',') AS doubled_csv,
+  array_to_string(list_filter(range(1, event_id % 5 + 4), x -> x % 2 = 1),
+                  ',') AS odds_csv,
   CAST(list_sum(range(1, event_id % 5 + 4)) AS BIGINT) AS total,
   CAST(len(list_filter(range(1, event_id % 5 + 4), x -> x > 4)) > 0
        AS BOOLEAN) AS any_gt4
@@ -391,14 +407,21 @@ FROM events
 def fn_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order function parity: transform / filter / aggregate /
     exists lambdas over a per-row generated sequence.  Lambdas compile
-    to codegen'd loops inside the project — no UDF, no shuffle."""
+    to codegen'd loops inside the project — no UDF, no shuffle.  Array
+    results leave the query as comma-joined strings so every output
+    cell is a driver-hashable scalar."""
     ev = table(spark, sf_dir, "events")
     n = F.col("event_id") % 5 + 3
     arr = F.sequence(F.lit(1).cast("long"), n)
     return ev.select(
         "event_id",
-        F.transform(arr, lambda x: x * 2).alias("doubled"),
-        F.filter(arr, lambda x: x % 2 == 1).alias("odds"),
+        F.concat_ws(",", F.transform(arr, lambda x: (x * 2).cast("string")))
+         .alias("doubled_csv"),
+        F.concat_ws(
+            ",",
+            F.transform(F.filter(arr, lambda x: x % 2 == 1),
+                        lambda x: x.cast("string")),
+        ).alias("odds_csv"),
         F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
          .alias("total"),
         F.exists(arr, lambda x: x > 4).alias("any_gt4"),
@@ -409,11 +432,15 @@ def fn_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_suite",
     # Both engines preserve literal entry order in map_keys/map_values;
     # DuckDB's m[k] yields a 1-element list, so the oracle indexes [1].
+    # keys/values arrays are CSV-serialized (array_to_string ↔
+    # concat_ws) so every output cell is a driver-hashable scalar.
     oracle="""
 SELECT event_id,
   (MAP {'evt': event_type, 'uid': CAST(user_id AS VARCHAR)})['evt'][1] AS evt,
-  map_keys(MAP {'evt': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS ks,
-  map_values(MAP {'evt': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS vs,
+  array_to_string(map_keys(MAP {'evt': event_type,
+      'uid': CAST(user_id AS VARCHAR)}), ',') AS ks_csv,
+  array_to_string(map_values(MAP {'evt': event_type,
+      'uid': CAST(user_id AS VARCHAR)}), ',') AS vs_csv,
   CAST(cardinality(MAP {'evt': event_type,
                         'uid': CAST(user_id AS VARCHAR)}) AS INTEGER) AS n,
   CAST(list_contains(map_keys(MAP {'evt': event_type,
@@ -424,8 +451,8 @@ FROM events
 def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type parity: construction, key lookup, keys/values extraction
     in entry order, cardinality, key membership — all codegen'd; the map
-    never leaves the projection (outputs are scalars/arrays, which both
-    engines hash identically)."""
+    never leaves the projection, and the keys/values arrays leave it as
+    comma-joined strings (both engines preserve literal entry order)."""
     ev = table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("evt"), F.col("event_type"),
@@ -434,8 +461,8 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.element_at(m, "evt").alias("evt"),
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.concat_ws(",", F.map_keys(m)).alias("ks_csv"),
+        F.concat_ws(",", F.map_values(m)).alias("vs_csv"),
         F.size(m).alias("n"),
         F.array_contains(F.map_keys(m), "uid").alias("has_uid"),
     )

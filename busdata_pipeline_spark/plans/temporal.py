@@ -203,19 +203,21 @@ def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_resample_linear_interp",
     # Same grid/bucket construction as the ffill oracle; interior gaps
     # take the straight line between rounded neighbor means, edges stay
-    # NULL (limit_area='inside' semantics).
+    # NULL (limit_area='inside' semantics).  Buckets come from
+    # date_trunc (plain TIMESTAMP) — to_timestamp(epoch…) would yield
+    # DuckDB TIMESTAMPTZ and fail the driver's schema compare.
     oracle="""
 WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
 b AS (
-  SELECT to_timestamp(FLOOR(epoch(MIN(ts)) / 3600) * 3600) AS h0,
-         to_timestamp(FLOOR(epoch(MAX(ts)) / 3600) * 3600) AS h1
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
   FROM ev),
 g AS (
   SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
            AS bucket_ts
   FROM (SELECT DISTINCT user_id FROM ev), b),
 o AS (
-  SELECT user_id, to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS bucket_ts,
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
          CAST(SUM(CAST(FLOOR(value * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
            / (COUNT(*) * 1048576.0) AS obs
   FROM ev GROUP BY 1, 2),

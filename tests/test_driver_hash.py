@@ -96,3 +96,85 @@ def test_r1_failures_now_pass_strict(spark, con, name):
     df = QUERIES[name](spark, SF001)
     ok, msg = strict_compare(df, con, ORACLES[name])
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# Round-7 regression: the output-type gate.
+#
+# Round 7's 8 driver reds were all one class — output schemas whose
+# types survive this module's collect()/fetchall() canonicalization but
+# not the driver's pandas-based one (ndarray cells crash its row sort,
+# Decimal-vs-float64 hash-diverges, TIMESTAMPTZ breaks schema compare).
+# strict_compare must now fail LOUDLY on any such schema, naming the
+# column, before values are compared.
+
+
+def _gate_msg(spark, con, df, sql):
+    ok, msg = strict_compare(df, con, sql)
+    assert not ok, f"gate missed a driver-unhashable schema: {msg}"
+    assert "output-type gate" in msg, msg
+    return msg
+
+
+def test_gate_rejects_array_output(spark, con):
+    """The round-7 fn_array_suite shape: an array<float> output column
+    (driver: TypeError unhashable numpy.ndarray)."""
+    df = spark.sql("SELECT array(1.0, 2.0) AS mid, 1 AS vec_id")
+    msg = _gate_msg(spark, con, df, "SELECT [1.0, 2.0] AS mid, 1 AS vec_id")
+    assert "mid" in msg
+
+
+def test_gate_rejects_map_output(spark, con):
+    df = spark.sql("SELECT map('k', 1) AS m, 1 AS i")
+    msg = _gate_msg(spark, con, df, "SELECT MAP {'k': 1} AS m, 1 AS i")
+    assert ".m:" in msg
+
+
+def test_gate_rejects_decimal_output(spark, con):
+    """The round-7 rel_decimal_money_sums shape: a DECIMAL output
+    (Spark→pandas keeps Decimal objects, DuckDB→pandas makes float64)."""
+    df = spark.sql("SELECT CAST(1.5 AS DECIMAL(18,4)) AS gross")
+    msg = _gate_msg(
+        spark, con, df, "SELECT CAST(1.5 AS DECIMAL(18,4)) AS gross"
+    )
+    assert "gross" in msg
+
+
+def test_gate_rejects_tz_aware_oracle_timestamp(spark, con):
+    """The round-7 rel_resample_linear_interp shape: a DuckDB
+    TIMESTAMPTZ projection (to_timestamp(epoch)) vs Spark's tz-naive."""
+    df = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS bucket_ts")
+    msg = _gate_msg(
+        spark, con, df, "SELECT to_timestamp(1704067200) AS bucket_ts"
+    )
+    assert "bucket_ts" in msg and "tstz" in msg
+
+
+def test_gate_rejects_binary_output(spark, con):
+    df = spark.sql("SELECT CAST('ab' AS BINARY) AS payload")
+    msg = _gate_msg(
+        spark, con, df, "SELECT encode('ab') AS payload"
+    )
+    assert "payload" in msg
+
+
+_R7_FIXED = [
+    "fn_array_suite",
+    "fn_hof_suite",
+    "fn_map_suite",
+    "rel_array_agg_sorted",
+    "rel_decimal_money_sums",
+    "rel_q9_product_profit",
+    "rel_q11_important_parts",
+    "rel_resample_linear_interp",
+]
+
+
+@pytest.mark.parametrize("name", _R7_FIXED)
+def test_r7_failures_now_pass_strict(spark, con, name):
+    """All 8 round-7 driver reds must be green under the (now stricter)
+    comparator — scalar-only schemas, decimals rendered as strings,
+    no TIMESTAMPTZ anywhere."""
+    df = QUERIES[name](spark, SF001)
+    ok, msg = strict_compare(df, con, ORACLES[name])
+    assert ok, msg

@@ -230,3 +230,67 @@ def test_implicit_key_and_defaults_skipped_on_wire(spark, sm):
 
     empty = sm.StateResponse()
     assert empty.SerializeToString() == b""
+
+
+# ---------------------------------------------------------------------------
+# round-8 ADVICE regression: submessage auto-vivification.
+#
+# pyspark's stateful_processor_api_client writes TTL config with the
+# real-protobuf vivify pattern ``state_call_command.ttl.durationMs = n``.
+# The shim's old __getattr__ returned a fresh UNattached instance for
+# unset submessage fields, so the TTL silently vanished from the wire
+# and TTL'd state never expired.  Vivified children must now attach on
+# first mutation (and only then — read-only access stays absent).
+
+
+def test_auto_vivified_submessage_reaches_wire(spark, sm):
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "s"
+    cmd.ttl.durationMs = 9000          # the pyspark client pattern
+    assert cmd.HasField("ttl")
+    jmsg = _roundtrip(spark, "StateCallCommand", cmd)
+    assert jmsg.hasTtl()
+    assert jmsg.getTtl().getDurationMs() == 9000
+
+
+def test_read_only_submessage_access_stays_absent(spark, sm):
+    cmd = sm.StateCallCommand()
+    assert cmd.ttl.durationMs == 0     # default read, no mutation
+    assert not cmd.HasField("ttl")
+    assert cmd.SerializeToString() == b""
+
+
+def test_vivified_chain_with_repeated_append(spark, sm):
+    """Multi-level vivify ending in a repeated-field append must mark
+    presence all the way up and serialize the chain."""
+    req = sm.StateRequest()
+    put = req.stateVariableRequest.listStateCall.listStatePut
+    put.value.append(b"row-bytes")
+    put.fetchWithArrow = False
+    req.stateVariableRequest.listStateCall.stateName = "lst"
+    assert req.HasField("stateVariableRequest")
+    jmsg = _roundtrip(spark, "StateRequest", req)
+    jcall = jmsg.getStateVariableRequest().getListStateCall()
+    assert jcall.getStateName() == "lst"
+    assert jcall.hasListStatePut()
+    assert bytes(jcall.getListStatePut().getValue(0).toByteArray()) \
+        == b"row-bytes"
+
+
+def test_vivified_instance_is_cached_and_stable(spark, sm):
+    cmd = sm.StateCallCommand()
+    a = cmd.ttl
+    b = cmd.ttl
+    assert a is b                       # same attached instance
+    a.durationMs = 7
+    assert cmd.ttl.durationMs == 7
+
+
+def test_stale_child_after_clear_does_not_resurrect(spark, sm):
+    cmd = sm.StateCallCommand()
+    ttl = cmd.ttl
+    ttl.durationMs = 5
+    cmd.Clear()
+    ttl.durationMs = 11                 # mutating the detached child
+    assert not cmd.HasField("ttl")
+    assert cmd.SerializeToString() == b""

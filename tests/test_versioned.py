@@ -291,3 +291,87 @@ def test_erase_subject_versioned_atomic_and_purged(spark, tmp_path):
     # erasing an absent subject is a no-op
     again = erase_subject_versioned(spark, path, "user_id", 7)
     assert again["days_rewritten"] == 0 and again["rows_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-8 ADVICE regressions: vacuum on a fully-masked commit, empty
+# partitioned first commits, and Spark-canonical mask value rendering.
+
+
+def test_vacuum_replaced_survives_fully_masked_commit(spark, tmp_path):
+    """When a later replace supersedes EVERY partition of a commit,
+    vacuum must leave a schema marker captured BEFORE the delete — the
+    old read_version fallback read the just-emptied dir and crashed
+    with UNABLE_TO_INFER_SCHEMA, leaving the whole table unreadable."""
+    from busdata_pipeline_spark.operators.versioned import (
+        vacuum_replaced,
+        write_replace_partitions,
+    )
+
+    path = str(tmp_path / "full_mask")
+    df = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d2", 2.0)],
+        "user_id long, day string, value double",
+    )
+    write_version(df, path, "overwrite", partition_col="day")   # v1
+    repl = spark.createDataFrame(
+        [(9, "d1", 9.0), (9, "d2", 9.9)],
+        "user_id long, day string, value double",
+    )
+    write_replace_partitions(repl, path, "day", ["d1", "d2"])   # v2
+
+    got = vacuum_replaced(spark, path)
+    assert got["rows_purged"] == 2
+    # the table is still fully readable, at latest AND at v1 (whose
+    # rows are all purged — snapshot is empty, not broken)
+    assert _rows(spark, path) == [(9, "d1", 9.0), (9, "d2", 9.9)]
+    assert _rows(spark, path, v=1) == []
+    # idempotent
+    assert vacuum_replaced(spark, path)["rows_purged"] == 0
+    assert _rows(spark, path) == [(9, "d1", 9.0), (9, "d2", 9.9)]
+
+
+def test_write_version_partitioned_empty_df_stays_readable(spark, tmp_path):
+    """A zero-row partitioned commit emits no parquet file; the schema
+    marker must make later snapshot reads work instead of failing with
+    UNABLE_TO_INFER_SCHEMA (merge_rollup_retract_versioned's
+    first-commit delta can be exactly this shape)."""
+    path = str(tmp_path / "empty_part")
+    df = spark.createDataFrame([], "user_id long, day string, value double")
+    write_version(df, path, "overwrite", partition_col="day")
+    assert read_version(spark, path).count() == 0
+    # and a follow-up append still unions cleanly with the marker
+    more = spark.createDataFrame([(1, "d1", 1.0)],
+                                 "user_id long, day string, value double")
+    write_version(more, path, "append", partition_col="day")
+    assert _rows(spark, path) == [(1, "d1", 1.0)]
+
+
+def test_replace_mask_values_use_spark_string_rendering(spark, tmp_path):
+    """Mask values render via Spark's cast-to-string, not Python str():
+    a boolean partition written by Python True must still be masked
+    (str(True)='True' vs Spark 'true' silently resurrected rows)."""
+    from busdata_pipeline_spark.operators.versioned import (
+        write_replace_partitions,
+    )
+
+    path = str(tmp_path / "booltbl")
+    df = spark.createDataFrame(
+        [(1, True, 1.0), (2, False, 2.0)],
+        "user_id long, flagged boolean, value double",
+    )
+    write_version(df, path, "overwrite", partition_col="flagged")  # v1
+    repl = spark.createDataFrame(
+        [(9, True, 9.0)], "user_id long, flagged boolean, value double",
+    )
+    write_replace_partitions(repl, path, "flagged", [True])        # v2
+    rows = sorted(map(tuple, read_version(spark, path)
+                      .select("user_id", "flagged", "value").collect()))
+    assert rows == [(2, False, 2.0), (9, True, 9.0)]
+    # vacuum also finds the flagged=true subdir via the canonical string
+    from busdata_pipeline_spark.operators.versioned import vacuum_replaced
+
+    assert vacuum_replaced(spark, path)["rows_purged"] == 1
+    rows = sorted(map(tuple, read_version(spark, path)
+                      .select("user_id", "flagged", "value").collect()))
+    assert rows == [(2, False, 2.0), (9, True, 9.0)]

@@ -68,7 +68,11 @@ _DUCK_CANON = {
     "BOOLEAN": "bool",
     "DATE": "date",
     "TIMESTAMP": "ts",
-    "TIMESTAMP WITH TIME ZONE": "ts",
+    # TIMESTAMPTZ is deliberately NOT collapsed into "ts": the real
+    # driver materializes DuckDB results via .df(), where TIMESTAMPTZ
+    # becomes a tz-AWARE pandas column and fails the schema compare
+    # against Spark's tz-naive output (round-7 rel_resample_linear_interp).
+    "TIMESTAMP WITH TIME ZONE": "tstz",
     "TIMESTAMP_NS": "ts",
     "BLOB": "bytes",
 }
@@ -135,6 +139,47 @@ def canon_value(v) -> str:
     return "s:" + str(v)
 
 
+# ---------------------------------------------------------------------------
+# Output-type gate — the round-7 lesson.
+#
+# The REAL driver canonicalizes through pandas (Spark ``toPandas()``,
+# DuckDB ``.df()``), then sorts rows and hashes cell values.  Four type
+# families survive THIS module's collect()/fetchall() canonicalization
+# but break the driver's pandas one:
+#
+#   * list/map/struct cells  -> numpy.ndarray / dict in pandas; the
+#     driver's row sort raises ``TypeError: unhashable type`` (4 of the
+#     8 round-7 reds);
+#   * DECIMAL cells          -> Spark keeps ``decimal.Decimal`` objects,
+#     DuckDB converts to float64 — equal values, different hash input
+#     (3 round-7 reds);
+#   * tz-aware timestamps    -> DuckDB TIMESTAMPTZ becomes a tz-aware
+#     pandas column, Spark output is tz-naive — schema mismatch (1 red);
+#   * binary cells           -> bytes vs object-dtype rendering is
+#     engine-dependent.
+#
+# Any registered query whose OUTPUT schema contains one of these fails
+# here loudly, naming the column, BEFORE the values are even compared —
+# so the sim can never again say green where the driver says red.
+
+# note: DuckDB renders maps as MAP(k, v) and structs as STRUCT(...),
+# Spark as map<k,v> / struct<...> — match case-insensitively on both.
+_GATE_BANNED_PREFIXES = (
+    "list<", "map<", "map(", "struct", "dec(", "tstz", "bytes",
+)
+
+
+def gate_output_types(cols_types: dict[str, str], engine: str) -> list[str]:
+    """Return human-readable offenders for driver-unhashable output
+    columns.  ``cols_types`` maps lower-cased column name -> canonical
+    type (from canon_spark_type / canon_duck_type)."""
+    bad = []
+    for c, t in sorted(cols_types.items()):
+        if t.lower().startswith(_GATE_BANNED_PREFIXES):
+            bad.append(f"{engine}.{c}:{t}")
+    return bad
+
+
 def canon_rows(rows, col_order):
     out = [
         "|".join(canon_value(r[i]) for i in col_order) for r in rows
@@ -148,7 +193,6 @@ def strict_compare(spark_df, con, sql: str) -> tuple[bool, str]:
     strictness.  Returns (ok, message)."""
     s_cols = [c.lower() for c in spark_df.columns]
     s_types = {c.lower(): canon_spark_type(t) for c, t in spark_df.dtypes}
-    s_rows = [tuple(r) for r in spark_df.collect()]
 
     rel = con.sql(sql)
     d_cols = [c.lower() for c in rel.columns]
@@ -156,13 +200,26 @@ def strict_compare(spark_df, con, sql: str) -> tuple[bool, str]:
         c.lower(): canon_duck_type(t)
         for c, t in zip(rel.columns, rel.types)
     }
-    d_rows = rel.fetchall()
+
+    offenders = gate_output_types(s_types, "spark") + gate_output_types(
+        d_types, "duckdb"
+    )
+    if offenders:
+        return False, (
+            "output-type gate: driver-unhashable column(s) "
+            + ", ".join(offenders)
+            + " — serialize (to_json/concat_ws), flatten to scalars, or "
+            "cast decimals to VARCHAR/rounded DOUBLE on BOTH engines"
+        )
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     for c in sorted(s_cols):
         if s_types[c] != d_types[c]:
             return False, f"type of '{c}': spark={s_types[c]} duckdb={d_types[c]}"
+
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_rows = rel.fetchall()
     if len(s_rows) != len(d_rows):
         return False, f"rows: spark={len(s_rows)} duckdb={len(d_rows)}"
 
