@@ -116,9 +116,15 @@ def test_connector_gate_reports_clearly(spark, tmp_path):
                       str(tmp_path / "ck"))
 
 
-@pytest.mark.skipif(True, reason="needs a Kafka broker + spark-sql-kafka "
-                    "jar; the decode/payload parity above covers the "
-                    "broker-independent surface")
+@pytest.mark.skipif(True, reason="ENVIRONMENT GATE (closed, round 8): "
+                    "no broker, and jar resolution is offline-blocked — "
+                    "spark.jars.packages org.apache.spark:spark-sql-kafka-"
+                    "0-10_2.13:4.1.2 fails with 'java.lang.RuntimeException: "
+                    "[unresolved dependency: org.apache.spark#spark-sql-"
+                    "kafka-0-10_2.13;4.1.2: not found]' (no ~/.ivy2 cache, "
+                    "no network resolver on this box; verified 2026-08-14). "
+                    "The decode/payload parity above covers the broker-"
+                    "independent surface")
 def test_kafka_end_to_end_exactly_once():  # pragma: no cover
     """Where a broker exists: publish fixture_lines, stream into the
     warehouse twice with the same checkpoint, assert single delivery
