@@ -122,20 +122,28 @@ def ensure_protobuf_runtime(spark=None) -> str:
     import tempfile
     import zipfile
 
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-        return "protobuf"
-    except ImportError:
-        pass
-
     shim = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "vendor", "protoshim",
     )
-    if shim not in sys.path:
-        sys.path.insert(0, shim)
-    importlib.invalidate_caches()
-    import google.protobuf.descriptor  # noqa: F401  (the shim now)
+    try:
+        import google.protobuf as _gp
+        import google.protobuf.descriptor  # noqa: F401
+        # CAREFUL: importable != real distribution.  If an earlier
+        # caller (e.g. tests/test_protoshim's no-spark fixture) already
+        # path-inserted the shim, the import succeeds but the Spark-side
+        # worker wiring below is still required — returning "protobuf"
+        # here left the TWS driver worker unable to import
+        # google.protobuf (crashed with STREAMING_PYTHON_RUNNER_
+        # INITIALIZATION_FAILURE when test files shared one session).
+        gp_dir = os.path.abspath(next(iter(_gp.__path__)))
+        if not gp_dir.startswith(os.path.abspath(shim)):
+            return "protobuf"
+    except ImportError:
+        if shim not in sys.path:
+            sys.path.insert(0, shim)
+        importlib.invalidate_caches()
+        import google.protobuf.descriptor  # noqa: F401  (the shim now)
 
     if spark is not None:
         sc = spark.sparkContext

@@ -43,3 +43,24 @@ def test_driver_sim_rotating_sample():
     assert proc.returncode == 0, tail
     assert "TOTAL_FAILS=0" in proc.stdout, tail
     assert "FAIL" not in proc.stdout.replace("TOTAL_FAILS", ""), tail
+
+
+def test_rotation_fronts_failed_then_fresh_then_green():
+    """Round-8 ordering contract: names that ever FAILED a driver
+    artifact lead (so fixes get re-verified next round), then
+    never-sampled names (walking the registry), then the green tail —
+    each block sorted, the whole order a pure function of the
+    CORRECTNESS_r*.json set."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    seen, failed = entry._sampled_names()
+    failed = failed & set(names)
+    fresh = sorted(n for n in names if n not in seen)
+    n_f = len(failed)
+    assert names[:n_f] == sorted(failed)
+    assert names[n_f:n_f + len(fresh)] == fresh
+    tail = names[n_f + len(fresh):]
+    assert tail == sorted(tail)
+    assert set(tail) == (seen & set(names)) - failed

@@ -294,3 +294,22 @@ def test_stale_child_after_clear_does_not_resurrect(spark, sm):
     ttl.durationMs = 11                 # mutating the detached child
     assert not cmd.HasField("ttl")
     assert cmd.SerializeToString() == b""
+
+
+def test_ensure_runtime_wires_workers_even_when_shim_preimported(spark):
+    """Regression: a prior no-spark ensure_protobuf_runtime() call makes
+    google.protobuf importable in-driver (shim on sys.path); the
+    spark-armed call must STILL report "shim" and wire the worker env
+    (PYTHONPATH for the TWS driver worker) instead of mistaking the
+    shim for the real distribution and skipping the wiring — that skip
+    crashed transformWithState's pre-init worker when test files shared
+    a session."""
+    import os
+
+    ensure_protobuf_runtime()                   # driver-only insert
+    got = ensure_protobuf_runtime(spark)        # must still wire spark
+    if got == "protobuf":
+        pytest.skip("real protobuf installed; shim path not exercised")
+    assert got == "shim"
+    pp = spark.sparkContext.environment.get("PYTHONPATH", "")
+    assert any("protoshim" in part for part in pp.split(os.pathsep)), pp
