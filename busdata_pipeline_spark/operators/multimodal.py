@@ -393,3 +393,137 @@ def wav_frame_energy(media: DataFrame, frame: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=WAV_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: YUV4MPEG2 (Y4M) container — synth, real parse, frame sampling
+
+Y4M_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("mean_y", T.DoubleType()),
+])
+
+
+def encode_y4m(width: int, height: int, fps: int, frames) -> bytes:
+    """Minimal YUV4MPEG2 stream, C444 (three full planes per frame).
+    ``frames`` is an iterable of per-frame byte iterables, each
+    ``3 * width * height`` values in Y,U,V plane order."""
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n"
+        .encode("ascii")
+    )
+    for frame in frames:
+        out += b"FRAME\n"
+        out += bytes(bytearray(frame))
+    return bytes(out)
+
+
+def _parse_y4m_header(buf: bytes):
+    """Parse the stream header: returns (width, height, frames_offset,
+    frame_bytes).  Only C444 is supported (frame = 3 full planes)."""
+    nl = buf.find(b"\n")
+    if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420jpeg"  # spec default when the C tag is absent
+    for tok in buf[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:].decode("ascii")
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if colorspace != "444":
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    return w, h, nl + 1, 3 * w * h
+
+
+def video_frame_sample_means(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampled video feature extraction over the standard media
+    schema: walk the Y4M container, keep every ``every_n``-th frame, and
+    emit that frame's luma (Y-plane) mean — the decimation step a video
+    training pipeline runs before any expensive per-frame model.
+
+    The container walk SKIPS unsampled frames arithmetically (fixed
+    frame size from the header ⇒ pos += frame bytes) — their pixel
+    bytes are never materialized as arrays, so cost scales with the
+    SAMPLED frame count, not the video length.  Arrow-batched
+    ``mapInPandas``; per sampled frame the reduction is one numpy
+    slice+mean.  Y values are integers, so the plane sum is exact in
+    double and the /n division is the same IEEE op in every engine —
+    the round(6) is belt-and-braces, matching the WAV/PPM decoders."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "frame_idx", "mean_y")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w, h, pos, frame_bytes = _parse_y4m_header(buf)
+                idx = 0
+                while pos < len(buf):
+                    if buf[pos:pos + 6] != b"FRAME\n":
+                        raise ValueError(
+                            f"bad FRAME marker at offset {pos}")
+                    pos += 6
+                    if idx % every_n == 0:
+                        y = np.frombuffer(
+                            buf, dtype=np.uint8, count=w * h, offset=pos
+                        )
+                        rows["doc_id"].append(int(doc_id))
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["frame_idx"].append(idx)
+                        rows["mean_y"].append(
+                            round(float(y.astype(np.float64).mean()), 6)
+                        )
+                    pos += frame_bytes
+                    idx += 1
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=Y4M_FRAME_SCHEMA)
+
+
+def synth_y4m_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Y4M payloads, same closed-form contract as
+    synth_ppm_media / synth_wav_media: width = 4 + id % 6, height =
+    2 + id % 4, n_frames = 3 + id % 5, and byte j of frame f's Y plane
+    is (id*11 + f*5 + j*3) % 256 (U/V planes use offsets +1/+2) — an
+    oracle can state any sampled frame's luma mean without touching the
+    binary, so what's verified is the encode -> binary column -> real
+    container walk roundtrip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, n_frames = 4 + i % 6, 2 + i % 4, 3 + i % 5
+                j = np.arange(w * h, dtype=np.int64)
+                frames = []
+                for f in range(n_frames):
+                    y = (i * 11 + f * 5 + j * 3) % 256
+                    u = (i * 11 + f * 5 + j * 3 + 1) % 256
+                    v = (i * 11 + f * 5 + j * 3 + 2) % 256
+                    frames.append(np.concatenate([y, u, v])
+                                  .astype(np.uint8).tobytes())
+                payloads.append(encode_y4m(w, h, 25, frames))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        batches,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )

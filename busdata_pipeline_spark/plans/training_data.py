@@ -1487,6 +1487,48 @@ def td_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_multimodal_video_frames",
+    # Payload bytes are pure functions of doc_id (synth_y4m_media:
+    # width = 4+id%6, height = 2+id%4, n_frames = 3+id%5, Y byte j of
+    # frame f = (id*11 + f*5 + j*3) % 256), so the oracle states every
+    # SAMPLED frame's luma mean in closed form — the verified thing is
+    # the encode -> binary column -> real YUV4MPEG2 container walk with
+    # arithmetic frame skipping (operators/multimodal.py
+    # video_frame_sample_means), the video leg beside the PPM image and
+    # RIFF/WAV audio decoders.
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, CAST(unnest(range(0, 3 + doc_id % 5)) AS BIGINT) AS f
+  FROM documents)
+SELECT doc_id,
+  CAST(4 + doc_id % 6 AS INTEGER) AS width,
+  CAST(2 + doc_id % 4 AS INTEGER) AS height,
+  CAST(f AS INTEGER) AS frame_idx,
+  ROUND(list_avg(list_transform(
+        range(0, (4 + doc_id % 6) * (2 + doc_id % 4)),
+        j -> (doc_id * 11 + f * 5 + j * 3) % 256)), 6) AS mean_y
+FROM fr
+WHERE f % 2 = 0
+ORDER BY doc_id, frame_idx
+""",
+)
+def td_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video frame sampling through the multimodal seam:
+    deterministic Y4M (YUV4MPEG2, C444) payloads built per doc, every
+    2nd frame sampled by walking the container with ARITHMETIC skips
+    (unsampled frames' pixel bytes are never materialized), per-sampled-
+    frame luma mean checked against the closed form.  The decimation
+    step a video training pipeline runs before any per-frame model —
+    cost scales with sampled frames, not video length."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.synth_y4m_media(docs)
+    return (
+        multimodal.video_frame_sample_means(media, every_n=2)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query(
     "td_profile_documents",
     oracle="""
 SELECT COUNT(*) AS n_docs,

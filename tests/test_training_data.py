@@ -561,3 +561,46 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
         assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_y4m_frame_sample_roundtrip(spark):
+    """Real YUV4MPEG2 container walk through the mapInPandas seam:
+    synthesized C444 payloads frame-sample back to exact per-frame luma
+    means, with unsampled frames skipped arithmetically."""
+    import numpy as np
+
+    rows, want = [], {}
+    for doc_id, w, h, n_frames in [(1, 4, 2, 5), (2, 8, 5, 1), (3, 3, 3, 4)]:
+        frames = []
+        for f in range(n_frames):
+            j = np.arange(w * h, dtype=np.int64)
+            y = (doc_id * 100 + f * 7 + j) % 256
+            uv = np.zeros(2 * w * h, dtype=np.int64)
+            frames.append(np.concatenate([y, uv]).astype(np.uint8).tobytes())
+            if f % 2 == 0:
+                want[(doc_id, f)] = (w, h,
+                                     round(float(y.astype(np.float64).mean()), 6))
+        rows.append((doc_id, bytearray(multimodal.encode_y4m(w, h, 25, frames))))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.frame_idx): (r.width, r.height, r.mean_y)
+        for r in multimodal.video_frame_sample_means(media, every_n=2).collect()
+    }
+    assert got == want
+
+
+def test_y4m_rejects_wrong_colorspace(spark):
+    # C420 frame layout differs; the walker must refuse, not mis-slice
+    buf = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\nFRAME\n" + b"\x00" * 12
+    media = spark.createDataFrame([(1, bytearray(buf))],
+                                  "doc_id long, payload binary")
+    with pytest.raises(Exception, match="colorspace"):
+        multimodal.video_frame_sample_means(media).collect()
+
+
+def test_y4m_rejects_bad_frame_marker(spark):
+    buf = b"YUV4MPEG2 W2 H1 F25:1 Ip A1:1 C444\nFRAMX\n" + b"\x00" * 6
+    media = spark.createDataFrame([(1, bytearray(buf))],
+                                  "doc_id long, payload binary")
+    with pytest.raises(Exception, match="FRAME"):
+        multimodal.video_frame_sample_means(media).collect()
