@@ -152,7 +152,10 @@ def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial/final hash agg; the only shuffle carries
     |nations|×|years| groups.  Profit is summed in exact DECIMAL so the
     engine-vs-oracle comparison is bit-identical with no ROUND
-    canonicalization."""
+    canonicalization; the FINAL column is rendered as the fixed-scale
+    decimal string because the driver's pandas canonicalizer keeps
+    Spark Decimals as objects but collapses DuckDB decimals to
+    float64 (round-7 lesson)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = table(spark, sf_dir, "supplier")
@@ -210,7 +213,10 @@ def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, and a scalar-broadcast crossJoin to compare (the whitelisted
     1-row-expansion pattern — no O(n²) anywhere).  Value sums are exact
     DECIMAL end to end, so the >-threshold cannot flip on float
-    summation order in either engine.  Scale: nation-filtered suppliers
+    summation order in either engine (the final column is rendered as
+    the decimal STRING for driver-hashability — round-7 lesson; the
+    ORDER BY keys on the decimal value, pre-cast).  Scale:
+    nation-filtered suppliers
     broadcast into the scan; both aggs are partial+final; the global
     scalar re-aggregates the *grouped* output (|parts| rows), not the
     fact table, so the scan runs once per branch off a shared pruned

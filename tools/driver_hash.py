@@ -21,9 +21,19 @@ This comparator is therefore deliberately STRICTER than value equality:
   * rows and columns are canonically sorted the same way on both sides
     before comparison, mirroring the driver's sort-columns-by-name rule.
 
+Round 7 added the third failure class: the REAL driver canonicalizes
+through pandas (``toPandas()`` / ``.df()``), where list cells are
+unsortable ndarrays, Spark Decimals stay objects while DuckDB decimals
+collapse to float64, and TIMESTAMPTZ becomes tz-aware — all invisible
+to this module's collect()/fetchall() canonicalization.  The
+output-type GATE below therefore rejects any such schema outright (see
+``gate_output_types``), restoring the invariant:
+
 Anything green here should be green under the driver; anything red here
 must be fixed by canonicalizing BOTH engines (cast in the oracle SQL,
-cast/normalize in the Spark plan — see plans/registry.normalize_output).
+cast/normalize in the Spark plan — see plans/registry.normalize_output),
+or — for gate failures — by serializing/flattening the offending column
+on both sides.
 """
 
 from __future__ import annotations
