@@ -44,17 +44,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _sampled_names() -> tuple[set[str], set[str]]:
-    """(all sampled, ever failed) query names across every driver
-    CORRECTNESS_r*.json artifact.  A name counts as failed if any
-    artifact recorded an err / rows / schema / hash miss for it."""
+    """(all sampled, currently failed) query names across the driver
+    CORRECTNESS_r*.json artifacts.  A name counts as failed iff the
+    LATEST artifact that mentions it recorded an err / rows / schema /
+    hash miss — a later green run demotes it, so fixed names leave the
+    front block and stop displacing the never-sampled registry walk
+    from the driver's fixed-size sample."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
-    failed: set[str] = set()
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    last_bad: dict[str, bool] = {}
+
+    def round_no(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+                       key=round_no):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -66,22 +76,22 @@ def _sampled_names() -> tuple[set[str], set[str]]:
             seen.add(name)
             if not isinstance(rec, dict):
                 continue
-            bad = rec.get("err") is not None or any(
+            last_bad[name] = rec.get("err") is not None or any(
                 rec.get(k) is False
                 for k in ("rows_match", "schema_match", "hash_match")
             )
-            if bad:
-                failed.add(name)
+    failed = {n for n, bad in last_bad.items() if bad}
     return seen, failed
 
 
 def _rotated(names: list[str]) -> list[str]:
-    """Deterministic enumeration order: names that FAILED in any past
-    driver artifact come first (sorted) so the driver's prefix-biased
-    sample re-verifies their fixes next round; then names the driver
-    has never sampled (sorted), walking its sample across the registry;
-    then the already-green tail (sorted).  Order is a pure function of
-    the artifact set — stable within a round, no random shuffle."""
+    """Deterministic enumeration order: names whose LATEST driver
+    artifact is red come first (sorted) so the driver's prefix-biased
+    sample re-verifies their fixes next round (a green re-check demotes
+    them); then names the driver has never sampled (sorted), walking
+    its sample across the registry; then the green tail (sorted).
+    Order is a pure function of the artifact set — stable within a
+    round, no random shuffle."""
     seen, failed = _sampled_names()
     front = sorted(n for n in names if n in failed)
     fresh = sorted(n for n in names if n not in seen)

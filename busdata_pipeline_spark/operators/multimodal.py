@@ -428,7 +428,7 @@ def _parse_y4m_header(buf: bytes):
     if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
     w = h = None
-    colorspace = "C420jpeg"  # spec default when the C tag is absent
+    colorspace = "420jpeg"  # spec default when the C tag is absent
     for tok in buf[:nl].split(b" ")[1:]:
         if tok[:1] == b"W":
             w = int(tok[1:])

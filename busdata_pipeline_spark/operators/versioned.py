@@ -56,6 +56,20 @@ def _commit(path: str, mode: str, extra: dict | None = None) -> int:
     return version
 
 
+def _write_schema_marker_if_empty(df: DataFrame, target: str) -> None:
+    """A partitioned write of a zero-row frame emits no parquet file at
+    all (only _SUCCESS), which would make every later snapshot read
+    fail with UNABLE_TO_INFER_SCHEMA — land ``df``'s schema as a single
+    UNpartitioned empty file (partition dirs plus root files is a
+    layout parquet discovery rejects, so the marker carries the
+    partition column in-file)."""
+    import glob
+
+    if not glob.glob(os.path.join(target, "**", "*.parquet"),
+                     recursive=True):
+        df.limit(0).repartition(1).write.mode("overwrite").parquet(target)
+
+
 def write_version(df: DataFrame, path: str, mode: str = "append",
                   partition_col: str | None = None) -> int:
     """Commit ``df`` as the next version (mode: append | overwrite).
@@ -66,8 +80,6 @@ def write_version(df: DataFrame, path: str, mode: str = "append",
     the column's type) — required for later ``replace`` commits to be
     maskable by directory pruning and for ``vacuum_replaced`` to purge
     by subdirectory delete instead of rewriting the commit."""
-    import glob
-
     assert mode in ("append", "overwrite")
     version = len(_commits(path)) + 1
     target = os.path.join(path, f"_v{version}")
@@ -75,15 +87,9 @@ def write_version(df: DataFrame, path: str, mode: str = "append",
     if partition_col is not None:
         ptype = df.schema[partition_col].dataType.simpleString()
         df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
-        # a zero-row partitioned write emits only _SUCCESS (no parquet
-        # file at all), which would make every later snapshot read fail
-        # with UNABLE_TO_INFER_SCHEMA — land the same unpartitioned
-        # schema marker write_replace_partitions uses (reachable e.g.
-        # via merge_rollup_retract_versioned's first-commit delta,
-        # which can legitimately be empty)
-        if not glob.glob(os.path.join(target, "**", "*.parquet"),
-                         recursive=True):
-            df.limit(0).repartition(1).write.mode("overwrite").parquet(target)
+        # reachable e.g. via merge_rollup_retract_versioned's
+        # first-commit delta, which can legitimately be empty
+        _write_schema_marker_if_empty(df, target)
         extra = {"partition_col": partition_col, "pcol_type": ptype}
     else:
         df.write.mode("overwrite").parquet(target)
@@ -113,7 +119,16 @@ def _mask_value_strings(df: DataFrame, partition_col: str,
         ])
         .first()
     )
-    return [row[i] for i in range(len(values))]
+    out = [row[i] for i in range(len(values))]
+    bad = [values[i] for i, s in enumerate(out) if s is None]
+    if bad:
+        # a value the column's type cannot represent would land as JSON
+        # null in the manifest and poison every later sorted(masked)
+        # with a None/str comparison — refuse the commit instead
+        raise ValueError(
+            f"replace value(s) {bad!r} do not render under "
+            f"{partition_col}'s type {ptype.simpleString()}")
+    return out
 
 
 def write_replace_partitions(df: DataFrame, path: str, partition_col: str,
@@ -133,27 +148,24 @@ def write_replace_partitions(df: DataFrame, path: str, partition_col: str,
     ``vacuum_replaced`` purges history by subdirectory delete with no
     data rewrite.  A periodic full-overwrite compaction bounds the
     commit chain length."""
-    import glob
-
     from pyspark.sql import functions as F
 
     version = len(_commits(path)) + 1
     ptype = df.schema[partition_col].dataType.simpleString()
+    # render the manifest strings FIRST: an unrepresentable value fails
+    # here — loudly, before any data lands (ANSI cast error or the
+    # helper's None check under non-ANSI), never as a torn commit
+    mask_strings = _mask_value_strings(df, partition_col, list(values))
     out = df.where(F.col(partition_col).isin(list(values)))
     target = os.path.join(path, f"_v{version}")
     out.write.mode("overwrite").partitionBy(partition_col).parquet(target)
     # an all-retracted replace still needs a schema-carrying file so
-    # snapshot reads (a union over commit dirs) keep working; the
-    # marker is UNpartitioned (carries pcol in-file) — partition dirs
-    # plus root files is a layout parquet discovery rejects
-    if not glob.glob(os.path.join(target, "**", "*.parquet"),
-                     recursive=True):
-        df.limit(0).repartition(1).write.mode("overwrite").parquet(target)
+    # snapshot reads (a union over commit dirs) keep working
+    _write_schema_marker_if_empty(df, target)
     return _commit(path, "replace",
                    {"partition_col": partition_col,
                     "pcol_type": ptype,
-                    "values": _mask_value_strings(df, partition_col,
-                                                  list(values))})
+                    "values": mask_strings})
 
 
 def _replaced_after(commits: list[dict], i: int) -> tuple[str | None, set]:
@@ -275,6 +287,21 @@ def vacuum_replaced(spark: SparkSession, path: str) -> dict:
     rows_purged = 0
     for i, c in enumerate(commits):
         d = os.path.join(path, c["dir"])
+        # crash recovery for the write-aside swaps below (same .purged
+        # protocol in both branches): the ONLY writer of <d>.purged is
+        # a swap sequence [rename d -> .purged, rename aside -> d,
+        # rmtree .purged], so
+        #   - d missing + .purged present  = crashed between renames:
+        #     restore the intact pre-swap dir and redo the purge;
+        #   - d present + .purged present  = crashed before the final
+        #     rmtree: the swap landed, just finish the delete (leaving
+        #     .purged would keep the masked bytes on disk — the very
+        #     thing an erasure must not do).
+        if os.path.isdir(d + ".purged"):
+            if not os.path.isdir(d):
+                os.rename(d + ".purged", d)
+            else:
+                shutil.rmtree(d + ".purged")
         if not os.path.isdir(d):
             continue
         col, masked = _replaced_after(commits, i)
@@ -299,21 +326,26 @@ def vacuum_replaced(spark: SparkSession, path: str) -> dict:
                                      recursive=True)
                 if not os.path.relpath(p, d).startswith(masked_prefixes)
             ]
-            marker_tmp = None
             if not survivors:
+                # fully masked: swap FIRST (marker write-aside, two
+                # renames), delete LAST, so no crash point leaves the
+                # live dir half-empty — after the marker rename the
+                # masked subdirs live inside .purged, and every crash
+                # window is healed by the loop-top .purged recovery on
+                # the next run.
                 snap = spark.read.parquet(d).limit(0)
                 if c.get("pcol_type") and col in snap.columns:
                     snap = snap.withColumn(
                         col, F.col(col).cast(c["pcol_type"]))
                 marker_tmp = d + ".marker"
                 snap.repartition(1).write.mode("overwrite").parquet(marker_tmp)
-            for p in sub_paths:
-                shutil.rmtree(p)
-            if marker_tmp is not None:
                 old = d + ".purged"
                 os.rename(d, old)
                 os.rename(marker_tmp, d)
                 shutil.rmtree(old)
+            else:
+                for p in sub_paths:
+                    shutil.rmtree(p)
             dirs_rewritten += 1
             rows_purged += doomed
             continue

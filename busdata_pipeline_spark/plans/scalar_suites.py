@@ -247,7 +247,8 @@ def rel_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list cells.
     oracle="""
 SELECT user_id,
-  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_csv,
+  COALESCE(string_agg(DISTINCT event_type, ',' ORDER BY event_type), '')
+    AS type_csv,
   CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
 FROM events
 GROUP BY user_id
@@ -394,10 +395,12 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list cells; integer rendering is digit-identical cross-engine.
     oracle="""
 SELECT event_id,
-  array_to_string(list_transform(range(1, event_id % 5 + 4), x -> x * 2),
-                  ',') AS doubled_csv,
-  array_to_string(list_filter(range(1, event_id % 5 + 4), x -> x % 2 = 1),
-                  ',') AS odds_csv,
+  COALESCE(array_to_string(
+      list_transform(range(1, event_id % 5 + 4), x -> x * 2), ','), '')
+    AS doubled_csv,
+  COALESCE(array_to_string(
+      list_filter(range(1, event_id % 5 + 4), x -> x % 2 = 1), ','), '')
+    AS odds_csv,
   CAST(list_sum(range(1, event_id % 5 + 4)) AS BIGINT) AS total,
   CAST(len(list_filter(range(1, event_id % 5 + 4), x -> x > 4)) > 0
        AS BOOLEAN) AS any_gt4
@@ -437,10 +440,10 @@ def fn_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
   (MAP {'evt': event_type, 'uid': CAST(user_id AS VARCHAR)})['evt'][1] AS evt,
-  array_to_string(map_keys(MAP {'evt': event_type,
-      'uid': CAST(user_id AS VARCHAR)}), ',') AS ks_csv,
-  array_to_string(map_values(MAP {'evt': event_type,
-      'uid': CAST(user_id AS VARCHAR)}), ',') AS vs_csv,
+  COALESCE(array_to_string(map_keys(MAP {'evt': event_type,
+      'uid': CAST(user_id AS VARCHAR)}), ','), '') AS ks_csv,
+  COALESCE(array_to_string(map_values(MAP {'evt': event_type,
+      'uid': CAST(user_id AS VARCHAR)}), ','), '') AS vs_csv,
   CAST(cardinality(MAP {'evt': event_type,
                         'uid': CAST(user_id AS VARCHAR)}) AS INTEGER) AS n,
   CAST(list_contains(map_keys(MAP {'evt': event_type,

@@ -3,6 +3,7 @@ manifest-last atomicity."""
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import pytest
@@ -375,3 +376,91 @@ def test_replace_mask_values_use_spark_string_rendering(spark, tmp_path):
     rows = sorted(map(tuple, read_version(spark, path)
                       .select("user_id", "flagged", "value").collect()))
     assert rows == [(2, False, 2.0), (9, True, 9.0)]
+
+
+def test_vacuum_recovers_from_crash_between_swap_renames(spark, tmp_path):
+    """Simulate a crash window of the fully-masked swap: commit dir
+    renamed to .purged but the marker not yet swapped in.  The next
+    vacuum run must restore and complete instead of skipping the
+    missing dir (which left the table unreadable and the masked bytes
+    on disk)."""
+    import shutil
+
+    from busdata_pipeline_spark.operators.versioned import (
+        vacuum_replaced,
+        write_replace_partitions,
+    )
+
+    path = str(tmp_path / "crashy")
+    df = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d2", 2.0)],
+        "user_id long, day string, value double",
+    )
+    write_version(df, path, "overwrite", partition_col="day")      # v1
+    repl = spark.createDataFrame(
+        [(9, "d1", 9.0), (9, "d2", 9.9)],
+        "user_id long, day string, value double",
+    )
+    write_replace_partitions(repl, path, "day", ["d1", "d2"])      # v2
+    # crash simulation: rename v1 -> v1.purged (first swap rename done,
+    # second never happened)
+    v1 = os.path.join(path, "_v1")
+    os.rename(v1, v1 + ".purged")
+    got = vacuum_replaced(spark, path)
+    assert got["rows_purged"] == 2
+    assert not os.path.isdir(v1 + ".purged")
+    assert _rows(spark, path) == [(9, "d1", 9.0), (9, "d2", 9.9)]
+    assert _rows(spark, path, v=1) == []
+
+
+def test_vacuum_finishes_interrupted_final_delete(spark, tmp_path):
+    """Crash after the swap landed but before rmtree(.purged): the next
+    run must delete the leftover (it still holds the masked bytes — an
+    erasure must not leave them)."""
+    import shutil
+
+    from busdata_pipeline_spark.operators.versioned import (
+        vacuum_replaced,
+        write_replace_partitions,
+    )
+
+    path = str(tmp_path / "leftover")
+    df = spark.createDataFrame(
+        [(1, "d1", 1.0)], "user_id long, day string, value double",
+    )
+    write_version(df, path, "overwrite", partition_col="day")      # v1
+    repl = spark.createDataFrame(
+        [(9, "d1", 9.0)], "user_id long, day string, value double",
+    )
+    write_replace_partitions(repl, path, "day", ["d1"])            # v2
+    vacuum_replaced(spark, path)
+    # crash simulation: resurrect a .purged leftover beside the live dir
+    v1 = os.path.join(path, "_v1")
+    shutil.copytree(v1, v1 + ".purged")
+    vacuum_replaced(spark, path)
+    assert not os.path.isdir(v1 + ".purged")
+    assert _rows(spark, path) == [(9, "d1", 9.0)]
+
+
+def test_replace_value_not_renderable_raises(spark, tmp_path):
+    """A mask value the partition column's type cannot represent must
+    refuse the commit (a JSON-null manifest entry would poison every
+    later read with None/str sort comparisons)."""
+    from busdata_pipeline_spark.operators.versioned import (
+        write_replace_partitions,
+    )
+
+    path = str(tmp_path / "badval")
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1), 1.0)],
+        "user_id long, day date, value double",
+    )
+    write_version(df, path, "overwrite", partition_col="day")
+    # ANSI sessions fail the cast itself; non-ANSI sessions hit the
+    # helper's None guard — either way the commit is refused loudly
+    # BEFORE any data or manifest lands
+    with pytest.raises(Exception,
+                       match="do not render|cannot be cast|CAST_INVALID"):
+        write_replace_partitions(df.limit(0), path, "day",
+                                 ["definitely-not-a-date"])
+    assert len(table_history(path)) == 1  # no torn replace commit
