@@ -529,12 +529,16 @@ def st_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rel_ewma_value's): the streaming run over a time-boundary batch
     # split must be bit-identical to the batch fold over the whole
     # series, because per-user state (one double) carries the prefix.
+    # FLOOR-quantized 6-decimal cut, not ROUND — see rel_ewma_value:
+    # the fold lands on exact decimal halves where the engines' ROUNDs
+    # disagree (caught by the 10× replica sweep, round 8).
     oracle="""
 SELECT event_id, user_id,
-  ROUND(list_reduce(
+  FLOOR(list_reduce(
           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-          (acc, x) -> 0.7 * acc + 0.3 * x), 6) AS ewma
+          (acc, x) -> 0.7 * acc + 0.3 * x) * 1000000.0 + 0.5)
+    / 1000000.0 AS ewma
 FROM events
 WHERE value IS NOT NULL
 """,
@@ -557,5 +561,7 @@ def st_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = ewma_stream_replay(spark, batches, alpha=0.3)
     return out.select(
-        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+        "event_id", "user_id",
+        (F.floor(F.col("ewma") * 1000000.0 + 0.5) / 1000000.0)
+        .alias("ewma"),
     )

@@ -267,10 +267,11 @@ def rel_resample_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver scale; the Spark side is linear.)
     oracle="""
 SELECT event_id, user_id,
-  ROUND(list_reduce(
+  FLOOR(list_reduce(
           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-          (acc, x) -> 0.7 * acc + 0.3 * x), 6) AS ewma
+          (acc, x) -> 0.7 * acc + 0.3 * x) * 1000000.0 + 0.5)
+    / 1000000.0 AS ewma
 FROM events
 WHERE value IS NOT NULL
 """,
@@ -278,13 +279,21 @@ WHERE value IS NOT NULL
 def rel_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (α = 0.3) over the event value series — the
     sequential-recurrence smoother (serial within key, parallel across
-    keys) via operators/temporal.ewma_smooth's partition-level mapInPandas; output
-    rounded JVM-side so both engines cut half-up at 6 decimals."""
+    keys) via operators/temporal.ewma_smooth's partition-level
+    mapInPandas.  The 6-decimal cut is FLOOR-quantized (x·1e6 + 0.5,
+    floor, /1e6) on BOTH engines instead of ROUND: the 2-decimal input
+    domain makes the fold land on exact decimal halves (first observed
+    at the 10× replica: 133.5310185), where Spark's ROUND (HALF_UP on
+    the shortest decimal repr) and DuckDB's (binary) disagree — the
+    quantized form is pure double arithmetic, identical in any IEEE
+    engine."""
     from busdata_pipeline_spark.operators.temporal import ewma_smooth
 
     ev = table(spark, sf_dir, "events")
     return ewma_smooth(ev, alpha=0.3).select(
-        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+        "event_id", "user_id",
+        (F.floor(F.col("ewma") * 1000000.0 + 0.5) / 1000000.0)
+        .alias("ewma"),
     )
 
 
