@@ -920,3 +920,73 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, F.round("ad2", 6).alias("approx_d2"), "rank")
     )
+
+
+def knn_graph(embeddings: DataFrame, k: int = 5, n_clusters: int = 8,
+              n_iter: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """IVF-blocked k-nearest-neighbor graph over the WHOLE corpus — the
+    substrate of graph-based curation (SemDeDup-style cluster pruning,
+    connectivity filtering, label propagation): every vector's k nearest
+    cluster-mates by cosine, ties broken by neighbor id.
+
+    The neighbor relation is *defined* within the trained coarse cell
+    (the IVF contract, same as ``semdedup_flags``), so an oracle can
+    replay it exactly — no probabilistic recall argument.  Scale shape:
+    training is ``kmeans_centroids`` (bounded driver traffic),
+    assignment a projection, and the only pairwise work is one dense
+    GEMM per cluster with m ≈ corpus/n_clusters rows — n_clusters grows
+    with the corpus so m (and the m×m score matrix) stays a design
+    constant.  Output is n·k rows, linear in the corpus.
+    """
+    import pandas as pd
+
+    emb = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    cents = kmeans_centroids(emb, n_clusters, n_iter, id_col, vec_col)
+    assigned = assign_to_centroids_auto(emb, cents, vec_col)
+
+    def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = len(ids)
+        kk = min(k, m - 1)
+        if kk <= 0:
+            return pd.DataFrame({
+                id_col: np.array([], dtype=np.int64),
+                "nbr_id": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+                "rank": np.array([], dtype=np.int32),
+            })
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        np.fill_diagonal(S, -np.inf)
+        # columns are in ascending-id order, so a STABLE argsort on
+        # -cos resolves score ties by ascending neighbor id — the same
+        # total order as (cos DESC, nbr_id ASC).
+        sel = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(m), kk)
+        cols = sel.ravel()
+        return pd.DataFrame({
+            id_col: ids[rows],
+            "nbr_id": ids[cols],
+            "cos": S[rows, cols],
+            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), m),
+        })
+
+    return (
+        assigned.select("cluster", id_col, vec_col)
+        .groupBy("cluster")
+        .applyInPandas(
+            cell_topk,
+            schema=f"{id_col} long, nbr_id long, cos double, rank int",
+        )
+        .select(
+            id_col, "nbr_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -1242,3 +1242,123 @@ def td_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.2 * F.col("exact_overlap") + 10
         ).alias("overlap_est_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# blocking-scheme evaluation (record-linkage QA)
+
+
+@query(
+    "rel_blocking_quality",
+    # The three canonical blocking-evaluation metrics (Christen 2012):
+    # reduction ratio, pair completeness (blocking recall), pair quality
+    # (blocking precision), computed on a deterministic bounded labeled
+    # sample (doc_id < 200) where the all-pairs ground truth is
+    # enumerable by definition.  Blocking predicate and truth predicate
+    # are the rel_entity_resolution definitions verbatim, so this query
+    # *measures* the blocking scheme the resolution pipeline uses.
+    # Ratios are FLOOR-quantized at 1e-6 on both engines (the EWMA
+    # discipline — ROUND's half-ulp is engine-divergent).
+    oracle="""
+WITH nm AS (
+  SELECT doc_id, rpad(lower(substring(text, 1, 12)), 12, '_') AS nm
+  FROM documents WHERE doc_id < 200),
+blocks AS (
+  SELECT doc_id, nm, i, substring(nm, 1 + (i - 1) * 4, 4) AS blk
+  FROM nm, range(1, 4) t(i)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM blocks a JOIN blocks b
+    ON a.i = b.i AND a.blk = b.blk AND b.doc_id > a.doc_id),
+truth AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM nm x JOIN nm y ON y.doc_id > x.doc_id
+  WHERE levenshtein(x.nm, y.nm) <= 2),
+hits AS (SELECT * FROM cands INTERSECT SELECT * FROM truth),
+m AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nm)     AS n_sample,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cands)  AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)  AS n_true,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hits)   AS n_true_in_cands)
+SELECT n_sample, n_candidates, n_true, n_true_in_cands,
+  CAST(n_sample * (n_sample - 1) / 2 AS BIGINT) AS n_possible_pairs,
+  FLOOR((1.0 - CAST(n_candidates AS DOUBLE)
+              / (n_sample * (n_sample - 1) / 2)) * 1e6 + 0.5) / 1e6 + 0.0
+    AS reduction_ratio,
+  CASE WHEN n_true = 0 THEN NULL
+       ELSE FLOOR(CAST(n_true_in_cands AS DOUBLE) / n_true * 1e6 + 0.5)
+            / 1e6 + 0.0 END AS pair_completeness,
+  CASE WHEN n_candidates = 0 THEN NULL
+       ELSE FLOOR(CAST(n_true_in_cands AS DOUBLE) / n_candidates * 1e6
+                  + 0.5) / 1e6 + 0.0 END AS pair_quality
+FROM m
+""",
+)
+def rel_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality report — reduction ratio / pair
+    completeness / pair quality of the aligned-prefix-block scheme that
+    rel_entity_resolution uses, evaluated against exhaustive
+    edit-distance ground truth on a BOUNDED labeled sample.
+
+    Scale posture: the sample is a fixed 200 ids regardless of corpus
+    size (labeled-subset evaluation, the only way ground truth exists
+    at 100 TB), so the all-pairs truth enumeration is O(1) — a
+    BroadcastNestedLoopJoin over ≤200 broadcast rows, whitelisted as
+    such in the plan lint.  Candidates come from the SAME blocked
+    equi-join shape as production; the four counts recombine by scalar
+    crossJoin (1-row aggregates)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    nm = docs.select(
+        "doc_id",
+        F.rpad(F.lower(F.substring("text", 1, 12)), 12, "_").alias("nm"),
+    )
+    blocks = nm.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.substring("nm", 1 + i * 4, 4) for i in range(3)])
+        ).alias("blk_i", "blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.blk_i") == F.col("b.blk_i"))
+               & (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    x, y = nm.alias("x"), nm.alias("y")
+    truth = (
+        x.join(F.broadcast(y), F.col("x.doc_id") < F.col("y.doc_id"))
+        .where(F.levenshtein("x.nm", "y.nm") <= 2)
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    hits = cands.join(truth, ["a", "b"])
+
+    counts = (
+        nm.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+        .crossJoin(cands.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")))
+        .crossJoin(truth.agg(
+            F.count(F.lit(1)).cast("long").alias("n_true")))
+        .crossJoin(hits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_in_cands")))
+    )
+
+    def q6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    pairs = (F.col("n_sample") * (F.col("n_sample") - 1) / 2).cast("long")
+    return counts.select(
+        "n_sample", "n_candidates", "n_true", "n_true_in_cands",
+        pairs.alias("n_possible_pairs"),
+        q6(F.lit(1.0) - F.col("n_candidates").cast("double")
+           / pairs.cast("double")).alias("reduction_ratio"),
+        F.when(F.col("n_true") == 0, F.lit(None).cast("double"))
+         .otherwise(q6(F.col("n_true_in_cands").cast("double")
+                       / F.col("n_true")))
+         .alias("pair_completeness"),
+        F.when(F.col("n_candidates") == 0, F.lit(None).cast("double"))
+         .otherwise(q6(F.col("n_true_in_cands").cast("double")
+                       / F.col("n_candidates")))
+         .alias("pair_quality"),
+    )

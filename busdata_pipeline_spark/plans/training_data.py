@@ -37,6 +37,7 @@ from busdata_pipeline_spark.operators import (
     dedup,
     multimodal,
     packing,
+    quantize,
     similarity,
 )
 from busdata_pipeline_spark.plans.registry import query
@@ -2292,3 +2293,134 @@ def td_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lt, lr), 6).alias("zipf_slope"),
         F.round(F.corr(lt, lr), 6).alias("loglog_corr"),
     )
+
+
+@query(
+    "td_embed_int8_quantize",
+    # Replays the symmetric-absmax int8 quantization scalar-for-scalar:
+    # every arithmetic step is a deterministic IEEE float64 op in both
+    # engines (float32 -> float64 is exact; (x*127.0)/scale, half-up
+    # floor, squared reconstruction error), and every SUM is over
+    # INTEGERS so summation order cannot move a bit.  CAST(SUM(BIGINT)
+    # AS BIGINT) collapses DuckDB's HUGEINT widening (the round-1
+    # integer-width driver lesson).
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM vecs),
+el AS (
+  SELECT vec_id, scale, i, v[i + 1] AS x,
+         CASE WHEN scale = 0 THEN 0
+              ELSE CAST(FLOOR(v[i + 1] * 127.0 / scale + 0.5) AS BIGINT)
+         END AS q
+  FROM s, range(64) t(i))
+SELECT vec_id,
+       any_value(scale) AS scale,
+       CAST(SUM(q) AS BIGINT) AS q_sum,
+       CAST(SUM(q * q) AS BIGINT) AS q_sumsq,
+       CAST(SUM(q * (i + 1)) AS BIGINT) AS q_poly,
+       CAST(SUM(CAST(FLOOR(
+           (x - q * scale / 127.0) * (x - q * scale / 127.0)
+           * 1048576.0 + 0.5) AS BIGINT))
+         AS BIGINT) / 1048576.0 AS recon_err
+FROM el
+GROUP BY vec_id
+""",
+)
+def td_embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 embedding quantization over the zero-copy
+    ``mapInArrow`` seam (operators/quantize.py): per-vector scale,
+    order-independent integer signatures of the quantized vector, and
+    the 2^-20-quantized reconstruction error.  The compression step a
+    serving-side ANN index runs over the full corpus — no shuffle, no
+    driver traffic, Arrow-batch vectorized."""
+    emb = table(spark, sf_dir, "embeddings")
+    return quantize.int8_quantize_signatures(emb)
+
+
+# Like _SEMDEDUP_K: the kNN graph's cell count is an import-time knob
+# mirrored into the oracle so the scale ladder can grow cells with the
+# corpus (keeping per-cell m — and the per-cell GEMM — constant) while
+# the sf0.01 correctness gate stays at the SQL-replayable 8.
+_KNN_CELLS = int(os.environ.get("SPARK_GRAFT_KNN_CELLS", "8"))
+
+
+def _lloyd_cte(k_cells: int) -> str:
+    """The deterministic 2-iteration Lloyd replay (identical chain to
+    the td_ivf_ann / td_semdedup oracles) over a ``vecs(vec_id, v)``
+    CTE, ending at ``af(vec_id, v, c)`` — the trained final
+    assignment."""
+    return f"""
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k_cells})),
+a1 AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c0.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c0.v) DESC, c0.c) AS rn
+    FROM vecs, c0) WHERE rn = 1),
+m1 AS (
+  SELECT c, i,
+    CAST(SUM(CAST(FLOOR(v[i + 1] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (COUNT(*) * 1048576.0) AS m
+  FROM a1, range(64) t(i) GROUP BY c, i),
+c1 AS (
+  SELECT c0.c, COALESCE(mm.v, c0.v) AS v
+  FROM c0 LEFT JOIN (SELECT c, list(m ORDER BY i) AS v
+                     FROM m1 GROUP BY c) mm USING (c)),
+a2 AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c1.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c1.v) DESC, c1.c) AS rn
+    FROM vecs, c1) WHERE rn = 1),
+m2 AS (
+  SELECT c, i,
+    CAST(SUM(CAST(FLOOR(v[i + 1] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (COUNT(*) * 1048576.0) AS m
+  FROM a2, range(64) t(i) GROUP BY c, i),
+c2 AS (
+  SELECT c1.c, COALESCE(mm.v, c1.v) AS v
+  FROM c1 LEFT JOIN (SELECT c, list(m ORDER BY i) AS v
+                     FROM m2 GROUP BY c) mm USING (c)),
+af AS (
+  SELECT vec_id, v, c FROM (
+    SELECT vecs.vec_id, vecs.v, c2.c,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+        ORDER BY list_cosine_similarity(vecs.v, c2.v) DESC, c2.c) AS rn
+    FROM vecs, c2) WHERE rn = 1)"""
+
+
+@query(
+    "td_knn_graph",
+    # Replays training + assignment (the td_ivf_ann Lloyd chain) and
+    # then the within-cell neighbor relation verbatim, so the graph's
+    # EDGES are hash-checked — cosine values, ranks, tie-breaks — not
+    # just counts.
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_lloyd_cte(_KNN_CELLS)},
+nbrs AS (
+  SELECT e.vec_id, n.vec_id AS nbr_id,
+         list_cosine_similarity(e.v, n.v) AS cos
+  FROM af e JOIN af n ON n.c = e.c AND n.vec_id <> e.vec_id)
+SELECT vec_id, nbr_id, ROUND(cos, 6) AS cosine,
+  CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       ORDER BY cos DESC, nbr_id) AS INT) AS rank
+FROM nbrs QUALIFY rank <= 5
+""",
+)
+def td_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-nearest-neighbor graph (k=5) within trained IVF
+    cells (operators/similarity.knn_graph) — the edge set that
+    graph-based curation (cluster pruning, connectivity filters, label
+    propagation) consumes.  One GEMM per cell, output linear in the
+    corpus; the cell count scales with the corpus via
+    SPARK_GRAFT_KNN_CELLS so per-cell work is a design constant."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=5, n_clusters=_KNN_CELLS)

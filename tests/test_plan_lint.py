@@ -102,6 +102,9 @@ SCALAR_EXPANSION_BNLJ = {
     "td_temperature_mix",             # 1-row (Σweights, budget) broadcast
     "rel_spatial_hotspots",           # 1-row global cell moments broadcast
     "rel_abc_pareto",                 # 1-row grand-total broadcast
+    "rel_blocking_quality",           # bounded 200-id labeled-sample
+                                      # all-pairs ground truth + 1-row
+                                      # metric-count recombination
 }
 
 
