@@ -556,7 +556,7 @@ s{i} AS (
             f"SELECT {i} AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM b{i}"
         )
         prev = f"s{i}"
-    body = f"""words AS (
+    body = f"""words AS MATERIALIZED (
   SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents),
 wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        FROM words GROUP BY word),
@@ -1362,3 +1362,283 @@ def rel_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.col("n_candidates")))
          .alias("pair_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer training (Kudo 2018, SentencePiece) — Viterbi-EM
+
+#: cap on multi-char seed pieces (single chars are ALWAYS kept — the
+#: coverage guarantee), max piece length, training-word length bound
+#: (bounds the unrolled DP depth), EM iterations.
+_UNI_VOCAB = 200
+_UNI_MAXPIECE = 4
+_UNI_MAXWORD = 10
+_UNI_ITERS = 2
+
+#: integer micro-nat quantization of log-probs: ALL Viterbi arithmetic
+#: is exact BIGINT sums, so the DP argmax can never diverge by a float
+#: ulp between engines; ln itself is quantized at the one point it
+#: enters (both engines call the same glibc log on the same double).
+_UNI_MICRO = "CAST(FLOOR(ln({x}) * 1e6 + 0.5) AS BIGINT)"
+
+
+def _uni_dp_sql(it: int, lps: str) -> str:
+    """Unrolled Viterbi DP + backtrace for one E-step against the
+    log-prob relation ``{lps}(piece, lp)``: layer CTEs d{it}_j hold the
+    best integer score and chosen last-piece length at prefix length j
+    (argmax by score DESC then SHORTER piece — a total, engine-stable
+    order); the backtrace walks bl backwards emitting used pieces."""
+    layers = []
+    for j in range(1, _UNI_MAXWORD + 1):
+        cands = []
+        for l in range(1, min(_UNI_MAXPIECE, j) + 1):
+            prev = ("CAST(0 AS BIGINT)" if j == l
+                    else f"p.best")
+            join_prev = ("" if j == l
+                         else f" JOIN d{it}_{j - l} p ON p.word = t.word")
+            cands.append(f"""
+      SELECT t.word, t.freq, {prev} + lp.lp AS best, {l} AS bl
+      FROM train t{join_prev}
+      JOIN {lps} lp ON lp.piece = substr(t.word, {j - l + 1}, {l})
+      WHERE length(t.word) >= {j}""")
+        layers.append(f"""
+d{it}_{j} AS MATERIALIZED (
+  SELECT word, freq, best, bl FROM (
+    SELECT word, freq, best, bl,
+           ROW_NUMBER() OVER (PARTITION BY word
+                              ORDER BY best DESC, bl ASC) AS rn
+    FROM ({" UNION ALL ".join(cands)}) c) q WHERE rn = 1)""")
+    dp_union = " UNION ALL ".join(
+        f"SELECT word, {j} AS pos, bl FROM d{it}_{j}"
+        for j in range(1, _UNI_MAXWORD + 1)
+    )
+    steps = [f"""
+bt{it}_0 AS MATERIALIZED (SELECT word, freq, length(word) AS pos FROM train)"""]
+    emits = []
+    for s in range(_UNI_MAXWORD):
+        steps.append(f"""
+e{it}_{s} AS MATERIALIZED (
+  SELECT b.word, b.freq,
+         substr(b.word, b.pos - d.bl + 1, d.bl) AS piece,
+         b.pos - d.bl AS nxt
+  FROM bt{it}_{s} b JOIN dp{it} d
+    ON d.word = b.word AND d.pos = b.pos)""")
+        emits.append(f"SELECT piece, freq FROM e{it}_{s}")
+        if s < _UNI_MAXWORD - 1:
+            steps.append(f"""
+bt{it}_{s + 1} AS MATERIALIZED (SELECT word, freq, nxt AS pos FROM e{it}_{s}
+                   WHERE nxt > 0)""")
+    return (
+        ",".join(layers)
+        + f",\ndp{it} AS MATERIALIZED ({dp_union}),"
+        + ",".join(steps)
+        + f""",
+cnt{it} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM ({" UNION ALL ".join(emits)}) u GROUP BY piece)"""
+    )
+
+
+def _uni_mstep_sql(it: int, vocab: str, next_lps: str) -> str:
+    """Prune unused multi-char pieces, re-estimate add-one-smoothed
+    log-probs over survivors."""
+    return f"""
+surv{it} AS MATERIALIZED (
+  SELECT v.piece, COALESCE(c.cnt, 0) AS cnt
+  FROM {vocab} v LEFT JOIN cnt{it} c USING (piece)
+  WHERE length(v.piece) = 1 OR COALESCE(c.cnt, 0) > 0),
+tot{it} AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM surv{it}),
+{next_lps} AS MATERIALIZED (
+  SELECT piece,
+         {_UNI_MICRO.format(x=f"CAST(cnt + 1 AS DOUBLE) / (total + n)")} AS lp
+  FROM surv{it}, tot{it})"""
+
+
+def _unigram_oracle() -> str:
+    """Full SQL replay of Viterbi-EM unigram-LM training: seed vocab
+    (chars + top-{V} substrings by freq-weighted occurrence), initial
+    log-probs, then per EM iteration the complete unrolled DP,
+    backtrace, prune, and re-estimate — the driver hash-checks the
+    training trajectory, not just the final table (td_bpe_train
+    contract)."""
+    parts = [f"""
+words AS MATERIALIZED (
+  SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents),
+train AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words
+  WHERE length(word) BETWEEN 1 AND {_UNI_MAXWORD} GROUP BY word),
+occ AS MATERIALIZED (
+  SELECT substr(t.word, i, l) AS piece, CAST(SUM(t.freq) AS BIGINT) AS cnt
+  FROM train t, range(1, {_UNI_MAXWORD} + 1) ri(i),
+       range(1, {_UNI_MAXPIECE} + 1) rl(l)
+  WHERE i + l - 1 <= length(t.word)
+  GROUP BY 1),
+vocab0 AS MATERIALIZED (
+  SELECT piece, cnt FROM occ WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM occ WHERE length(piece) > 1) q WHERE rn <= {_UNI_VOCAB}),
+t0 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab0),
+lps1 AS MATERIALIZED (
+  SELECT piece,
+         {_UNI_MICRO.format(x="CAST(cnt AS DOUBLE) / total")} AS lp
+  FROM vocab0, t0)"""]
+    vocab = "vocab0"
+    for it in range(1, _UNI_ITERS + 1):
+        parts.append(_uni_dp_sql(it, f"lps{it}"))
+        parts.append(_uni_mstep_sql(it, vocab, f"lps{it + 1}"))
+        vocab = f"surv{it}"
+    final_it = _UNI_ITERS
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT s.piece AS piece, s.cnt AS used_count, l.lp AS logp_micro
+FROM surv{final_it} s JOIN lps{final_it + 1} l USING (piece)"""
+    )
+
+
+def _uni_micro_py(x: float) -> int:
+    import math
+
+    return int(math.floor(math.log(x) * 1e6 + 0.5))
+
+
+def unigram_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Core of td_unigram_tokenizer over any (doc_id, text) frame.
+
+    Scale shape (the td_bpe_train contract): the corpus is touched
+    exactly once (the word-frequency aggregate); every E-step is one
+    ``mapInPandas`` pass over the DISTINCT-WORD table with the
+    vocab-sized log-prob dict shipped in the closure (k-row broadcast,
+    like the PQ ADC tables); M-steps are vocab-bounded collects.  The
+    Viterbi DP is pure BIGINT arithmetic over micro-nat log-probs, so
+    no float ulp can flip an argmax between engines."""
+    import pandas as pd
+
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), " ")).alias("word")
+    )
+    train = (
+        words.where(F.length("word").between(1, _UNI_MAXWORD))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    occ = (
+        train.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {_UNI_MAXWORD}), i -> "
+                    f"transform(sequence(1, {_UNI_MAXPIECE}), l -> "
+                    "CASE WHEN i + l - 1 <= length(word) "
+                    "THEN substring(word, i, l) END)))"
+                )
+            ).alias("piece"),
+        )
+        .where(F.col("piece").isNotNull())
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    wsel = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    vocab0 = (
+        occ.where(F.length("piece") == 1)
+        .unionByName(
+            occ.where(F.length("piece") > 1)
+            .withColumn("rn", F.row_number().over(wsel))
+            .where(F.col("rn") <= _UNI_VOCAB)
+            .drop("rn")
+        )
+        .collect()  # vocab-bounded: <= _UNI_VOCAB + |charset| rows
+    )
+    total0 = sum(r["cnt"] for r in vocab0)
+    lp = {r["piece"]: _uni_micro_py(r["cnt"] / total0) for r in vocab0}
+    vocab = {r["piece"] for r in vocab0}
+
+    def estep(lp_map: dict) -> "callable":
+        def run(batches):
+            for pdf in batches:
+                out_p: list = []
+                out_f: list = []
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    n = len(word)
+                    best = [0] * (n + 1)
+                    bl = [0] * (n + 1)
+                    for j in range(1, n + 1):
+                        bb = None
+                        for piece_len in range(
+                            1, min(_UNI_MAXPIECE, j) + 1
+                        ):
+                            p = lp_map.get(word[j - piece_len:j])
+                            if p is None:
+                                continue
+                            s = best[j - piece_len] + p
+                            # strict > with ascending length keeps the
+                            # SHORTEST piece on score ties — the same
+                            # total order as the oracle's
+                            # (best DESC, bl ASC) row_number.
+                            if bb is None or s > bb:
+                                bb, bbl = s, piece_len
+                        if bb is None:
+                            raise ValueError(
+                                f"uncovered prefix in {word!r}"
+                            )
+                        best[j], bl[j] = bb, bbl
+                    pos = n
+                    while pos > 0:
+                        piece_len = bl[pos]
+                        out_p.append(word[pos - piece_len:pos])
+                        out_f.append(freq)
+                        pos -= piece_len
+                yield pd.DataFrame(
+                    {"piece": out_p,
+                     "freq": pd.Series(out_f, dtype="int64")}
+                )
+
+        return run
+
+    counts: dict = {}
+    for _ in range(_UNI_ITERS):
+        crows = (
+            train.mapInPandas(estep(lp), "piece string, freq long")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()  # keyed by used vocab pieces — vocab-bounded
+        )
+        used = {r["piece"]: int(r["cnt"]) for r in crows}
+        # prune unused multi-char pieces; single chars always survive
+        vocab = {p for p in vocab if len(p) == 1 or used.get(p, 0) > 0}
+        counts = {p: used.get(p, 0) for p in vocab}
+        total = sum(counts.values())
+        n_surv = len(vocab)
+        lp = {
+            p: _uni_micro_py((c + 1) / (total + n_surv))
+            for p, c in counts.items()
+        }
+
+    out = sorted(vocab)
+    return spark.createDataFrame(
+        [(p, counts[p], lp[p]) for p in out],
+        schema="piece string, used_count long, logp_micro long",
+    )
+
+
+@query("td_unigram_tokenizer", oracle=_unigram_oracle())
+def td_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    model) by hard-EM: seed vocab = all chars (coverage guarantee) +
+    the top-{V} substrings (<= 4 chars) by freq-weighted occurrence;
+    each EM round Viterbi-segments the word-frequency table under the
+    current piece log-probs, prunes multi-char pieces that no optimal
+    segmentation used, and re-estimates add-one-smoothed probabilities
+    over the survivors.  Companion to td_bpe_train — the OTHER major
+    subword algorithm, trained distributedly with the same contract:
+    corpus touched once, per-round work on the distinct-word dimension
+    table, driver traffic bounded by vocab size.
+
+    Oracle: the complete unrolled Viterbi-EM replay (10-layer integer
+    DP + backtrace per iteration) — training itself is hash-checked."""
+    return unigram_train_frame(spark, table(spark, sf_dir, "documents"))
