@@ -1455,13 +1455,9 @@ tot{it} AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
   FROM surv{it}, tot{it})"""
 
 
-def _unigram_oracle() -> str:
-    """Full SQL replay of Viterbi-EM unigram-LM training: seed vocab
-    (chars + top-{V} substrings by freq-weighted occurrence), initial
-    log-probs, then per EM iteration the complete unrolled DP,
-    backtrace, prune, and re-estimate — the driver hash-checks the
-    training trajectory, not just the final table (td_bpe_train
-    contract)."""
+def _unigram_train_body() -> list[str]:
+    """WITH-clause parts replaying seed + ``_UNI_ITERS`` EM rounds,
+    ending at surv{N} / lps{N+1}."""
     parts = [f"""
 words AS MATERIALIZED (
   SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents),
@@ -1491,12 +1487,51 @@ lps1 AS MATERIALIZED (
         parts.append(_uni_dp_sql(it, f"lps{it}"))
         parts.append(_uni_mstep_sql(it, vocab, f"lps{it + 1}"))
         vocab = f"surv{it}"
+    return parts
+
+
+def _unigram_oracle() -> str:
+    """Full SQL replay of Viterbi-EM unigram-LM training: seed vocab
+    (chars + top-{V} substrings by freq-weighted occurrence), initial
+    log-probs, then per EM iteration the complete unrolled DP,
+    backtrace, prune, and re-estimate — the driver hash-checks the
+    training trajectory, not just the final table (td_bpe_train
+    contract)."""
     final_it = _UNI_ITERS
     return (
-        "WITH " + ",".join(parts)
+        "WITH " + ",".join(_unigram_train_body())
         + f"""
 SELECT s.piece AS piece, s.cnt AS used_count, l.lp AS logp_micro
 FROM surv{final_it} s JOIN lps{final_it + 1} l USING (piece)"""
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    """Replay training, then one more unrolled Viterbi pass under the
+    FINAL log-probs to segment every trained word, and join documents
+    to their words' piece counts — the td_bpe_encode twin."""
+    enc_it = _UNI_ITERS + 1
+    parts = _unigram_train_body()
+    parts.append(_uni_dp_sql(enc_it, f"lps{enc_it}"))
+    emits = " UNION ALL ".join(
+        f"SELECT word FROM e{enc_it}_{s}" for s in range(_UNI_MAXWORD)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+npieces AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+  FROM ({emits}) u GROUP BY word),
+docw AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+  FROM documents)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS enc_words,
+  CAST(SUM(n_pieces) AS BIGINT) AS uni_tokens,
+  FLOOR(CAST(SUM(n_pieces) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 + 0.0
+    AS tokens_per_word
+FROM docw JOIN npieces USING (word)
+GROUP BY doc_id"""
     )
 
 
@@ -1506,8 +1541,45 @@ def _uni_micro_py(x: float) -> int:
     return int(math.floor(math.log(x) * 1e6 + 0.5))
 
 
-def unigram_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Core of td_unigram_tokenizer over any (doc_id, text) frame.
+def _uni_viterbi(word: str, lp_map: dict) -> list[int]:
+    """Best-segmentation last-piece lengths for every prefix of
+    ``word`` under integer micro-nat log-probs — exact BIGINT sums,
+    argmax by (score DESC, piece length ASC), the identical total
+    order as the oracle's unrolled DP."""
+    n = len(word)
+    best = [0] * (n + 1)
+    bl = [0] * (n + 1)
+    for j in range(1, n + 1):
+        bb = None
+        bbl = 0
+        for piece_len in range(1, min(_UNI_MAXPIECE, j) + 1):
+            p = lp_map.get(word[j - piece_len:j])
+            if p is None:
+                continue
+            s = best[j - piece_len] + p
+            # strict > with ascending length keeps the SHORTEST piece
+            # on score ties — same order as (best DESC, bl ASC).
+            if bb is None or s > bb:
+                bb, bbl = s, piece_len
+        if bb is None:
+            raise ValueError(f"uncovered prefix in {word!r}")
+        best[j], bl[j] = bb, bbl
+    return bl
+
+
+def _uni_backtrace(word: str, bl: list[int]) -> list[str]:
+    pieces = []
+    pos = len(word)
+    while pos > 0:
+        piece_len = bl[pos]
+        pieces.append(word[pos - piece_len:pos])
+        pos -= piece_len
+    return pieces
+
+
+def _unigram_learn(spark: SparkSession, docs: DataFrame):
+    """Shared trainer: returns (train_df, lp, counts, vocab) after
+    ``_UNI_ITERS`` rounds of hard EM.
 
     Scale shape (the td_bpe_train contract): the corpus is touched
     exactly once (the word-frequency aggregate); every E-step is one
@@ -1564,35 +1636,11 @@ def unigram_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 out_p: list = []
                 out_f: list = []
                 for word, freq in zip(pdf["word"], pdf["freq"]):
-                    n = len(word)
-                    best = [0] * (n + 1)
-                    bl = [0] * (n + 1)
-                    for j in range(1, n + 1):
-                        bb = None
-                        for piece_len in range(
-                            1, min(_UNI_MAXPIECE, j) + 1
-                        ):
-                            p = lp_map.get(word[j - piece_len:j])
-                            if p is None:
-                                continue
-                            s = best[j - piece_len] + p
-                            # strict > with ascending length keeps the
-                            # SHORTEST piece on score ties — the same
-                            # total order as the oracle's
-                            # (best DESC, bl ASC) row_number.
-                            if bb is None or s > bb:
-                                bb, bbl = s, piece_len
-                        if bb is None:
-                            raise ValueError(
-                                f"uncovered prefix in {word!r}"
-                            )
-                        best[j], bl[j] = bb, bbl
-                    pos = n
-                    while pos > 0:
-                        piece_len = bl[pos]
-                        out_p.append(word[pos - piece_len:pos])
+                    for piece in _uni_backtrace(
+                        word, _uni_viterbi(word, lp_map)
+                    ):
+                        out_p.append(piece)
                         out_f.append(freq)
-                        pos -= piece_len
                 yield pd.DataFrame(
                     {"piece": out_p,
                      "freq": pd.Series(out_f, dtype="int64")}
@@ -1618,11 +1666,56 @@ def unigram_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
             p: _uni_micro_py((c + 1) / (total + n_surv))
             for p, c in counts.items()
         }
+    return train, lp, counts, vocab
 
+
+def unigram_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Core of td_unigram_tokenizer over any (doc_id, text) frame."""
+    _, lp, counts, vocab = _unigram_learn(spark, docs)
     out = sorted(vocab)
     return spark.createDataFrame(
         [(p, counts[p], lp[p]) for p in out],
         schema="piece string, used_count long, logp_micro long",
+    )
+
+
+def unigram_encode_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Core of td_unigram_encode: Viterbi-segment the corpus under the
+    TRAINED model and report per-document fertility.  Same scale shape
+    as td_bpe_encode: segmentation runs once per DISTINCT word (one
+    mapInPandas over the word dimension table), documents join to their
+    words' piece counts through one equi-join on word."""
+    import pandas as pd
+
+    train, lp, _, _ = _unigram_learn(spark, docs)
+
+    def seg_counts(batches):
+        for pdf in batches:
+            words = list(pdf["word"])
+            yield pd.DataFrame({
+                "word": words,
+                "n_pieces": pd.Series(
+                    [len(_uni_backtrace(w, _uni_viterbi(w, lp)))
+                     for w in words],
+                    dtype="int64",
+                ),
+            })
+
+    npieces = train.mapInPandas(seg_counts, "word string, n_pieces long")
+    docw = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("word")
+    )
+    return (
+        docw.join(npieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("enc_words"),
+            F.sum("n_pieces").alias("uni_tokens"),
+            (F.floor(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1))
+                * F.lit(1e6) + F.lit(0.5)
+            ) / F.lit(1e6)).alias("tokens_per_word"),
+        )
     )
 
 
@@ -1642,3 +1735,14 @@ def td_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the complete unrolled Viterbi-EM replay (10-layer integer
     DP + backtrace per iteration) — training itself is hash-checked."""
     return unigram_train_frame(spark, table(spark, sf_dir, "documents"))
+
+
+@query("td_unigram_encode", oracle=_unigram_encode_oracle())
+def td_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION for the unigram-LM model — encode the
+    corpus under the trained piece probabilities and report per-document
+    piece counts and fertility (tokens per word), mirroring
+    td_bpe_encode so the two subword algorithms are directly
+    comparable on the same corpus.  Segmentation state lives on the
+    DISTINCT-WORD table; documents reach it through one equi-join."""
+    return unigram_encode_frame(spark, table(spark, sf_dir, "documents"))
