@@ -70,6 +70,9 @@ HEADLINERS = [
     # round-8 additions (earlier keys unchanged for cross-round deltas)
     "etl_avro_roundtrip",          # Avro container write + DataSource read-back
     "td_dsir_weights",             # DSIR importance weights + resample quota
+    "td_embed_int8_quantize",      # zero-copy mapInArrow int8 signatures
+    "td_knn_graph",                # IVF-blocked corpus kNN graph (per-cell GEMM)
+    "td_unigram_tokenizer",        # unigram-LM Viterbi-EM training rounds
 ]
 
 
