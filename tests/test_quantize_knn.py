@@ -120,3 +120,90 @@ def test_unigram_tokenizer_invariants(spark, sf_dir=None):
     top = max((r for r in out if len(r["piece"]) > 1),
               key=lambda r: r["used_count"])
     assert top["piece"] in "bandana" or top["piece"] in "banana"
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure Python — no Spark session needed)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from busdata_pipeline_spark.plans.llm_corpus import (
+    _UNI_MAXPIECE,
+    _uni_backtrace,
+    _uni_viterbi,
+)
+
+_word = st.text(alphabet="ab", min_size=1, max_size=8)
+
+
+def _lp_map_for(words: set[str]) -> dict[str, int]:
+    # chars + every <=_UNI_MAXPIECE substring, scored by length so longer
+    # pieces are preferred (log-probs must be negative ints)
+    lp = {}
+    for w in words:
+        for i in range(len(w)):
+            for piece_len in range(1, _UNI_MAXPIECE + 1):
+                p = w[i:i + piece_len]
+                if p:
+                    lp[p] = -1000000 // len(p)
+    return lp
+
+
+@settings(max_examples=200, deadline=None)
+@given(word=_word)
+def test_viterbi_segmentation_reconstructs_word(word):
+    lp = _lp_map_for({word})
+    pieces = _uni_backtrace(word, _uni_viterbi(word, lp))
+    # backtrace emits right-to-left
+    assert "".join(reversed(pieces)) == word
+    assert all(p in lp for p in pieces)
+
+
+@settings(max_examples=100, deadline=None)
+@given(word=st.text(alphabet="abc", min_size=1, max_size=7))
+def test_viterbi_is_optimal_vs_bruteforce(word):
+    """The DP score must equal the best over ALL segmentations, and the
+    chosen segmentation must be the (score, shortest-piece-first)
+    lexicographic winner the oracle's row_number picks."""
+    import itertools
+
+    lp = _lp_map_for({word})
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for piece_len in range(1, min(_UNI_MAXPIECE, len(w)) + 1):
+            head = w[:piece_len]
+            if head in lp:
+                for rest in all_segs(w[piece_len:]):
+                    yield [head] + rest
+
+    best_score = max(
+        sum(lp[p] for p in seg) for seg in all_segs(word)
+    )
+    bl = _uni_viterbi(word, lp)
+    got = list(reversed(_uni_backtrace(word, bl)))
+    assert sum(lp[p] for p in got) == best_score
+
+
+@settings(max_examples=100, deadline=None)
+@given(vec=st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=2, max_size=16))
+def test_int8_quantization_model(vec):
+    """Pure-numpy model of the mapInArrow kernel: quantized values stay
+    in [-127, 127] and reconstruction error per element is bounded by
+    half a quantization step."""
+    import numpy as np
+
+    x = np.array(vec, dtype=np.float32).astype(np.float64)
+    scale = np.abs(x).max()
+    if scale == 0.0:
+        return
+    q = np.floor(x * 127.0 / scale + 0.5)
+    assert q.min() >= -127 and q.max() <= 127
+    err = np.abs(x - q * scale / 127.0)
+    assert (err <= scale / 127.0 / 2 + 1e-12).all()
