@@ -26,6 +26,7 @@ import busdata_pipeline_spark.plans.relational_ext  # noqa: F401
 import busdata_pipeline_spark.plans.relational_tail  # noqa: F401
 import busdata_pipeline_spark.plans.retrieval  # noqa: F401
 import busdata_pipeline_spark.plans.scalar_suites  # noqa: F401
+import busdata_pipeline_spark.plans.sketch_filters  # noqa: F401
 import busdata_pipeline_spark.plans.spatial  # noqa: F401
 import busdata_pipeline_spark.plans.sql_twins  # noqa: F401
 import busdata_pipeline_spark.plans.streaming_windows  # noqa: F401

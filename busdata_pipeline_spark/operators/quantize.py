@@ -91,3 +91,72 @@ def int8_quantize_signatures(embeddings: DataFrame,
     return embeddings.select(id_col, vec_col).mapInArrow(
         quantize, _SIG_SCHEMA
     )
+
+
+def _sign_matrix(in_dim: int, out_dim: int):
+    """Deterministic +-1 matrix from the portable 60-bit md5 of "j,p" —
+    the same bits DuckDB derives via ('0x'||substr(md5(j||','||p),1,15))
+    ::UBIGINT, so the oracle's relational replay sees identical signs."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((in_dim, out_dim), dtype=np.int64)
+    for j in range(in_dim):
+        for p in range(out_dim):
+            h = int(hashlib.md5(f"{j},{p}".encode()).hexdigest()[:15], 16)
+            s[j, p] = 1 if h % 2 == 0 else -1
+    return s
+
+
+def sign_projection_signatures(embeddings: DataFrame,
+                               out_dim: int = 16,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """JL sign projection norms per vector: (vec_id, sp2, sq2) where
+    sp2 = sum_p (P x_q)_p^2 and sq2 = sum_j x_q_j^2 over the 2^20-
+    micro-unit quantized vector x_q.  One int64 GEMM per Arrow batch
+    (exact — |q| <= ~2^22, partial sums < 2^60); callers derive the
+    norm-preservation ratio sqrt(sp2/m)/sqrt(sq2) in SQL so the
+    rounding discipline stays visible in the plan.  Same scaling shape
+    as int8_quantize_signatures: no shuffle, no driver traffic."""
+
+    def project(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+        import pyarrow as pa
+
+        signs = None
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            emb = batch.column(batch.schema.get_field_index(vec_col))
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            widths = offs[1:] - offs[:-1]
+            dim = int(widths[0])
+            if not (widths == dim).all():
+                raise ValueError("ragged embedding column")
+            if signs is None:
+                signs = _sign_matrix(dim, out_dim)
+            flat = emb.values.to_numpy(zero_copy_only=False)
+            x = flat[offs[0]:offs[-1]].astype(np.float64).reshape(n, dim)
+
+            q = np.floor(x * 1048576.0 + 0.5).astype(np.int64)
+            proj = q @ signs                                   # exact int64
+            sp2 = (proj * proj).sum(axis=1)
+            sq2 = (q * q).sum(axis=1)
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.to_numpy(zero_copy_only=False),
+                             type=pa.int64()),
+                    pa.array(sp2, type=pa.int64()),
+                    pa.array(sq2, type=pa.int64()),
+                ],
+                names=["vec_id", "sp2", "sq2"],
+            )
+
+    return embeddings.select(id_col, vec_col).mapInArrow(
+        project, "vec_id long, sp2 long, sq2 long"
+    )

@@ -366,3 +366,87 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# frequency label propagation (community detection — the integer-exact
+# argmax fixpoint completing the numeric (PageRank) / min-plus (BFS) /
+# counting (triangles) graph tier)
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle(iters: int = _LPA_ITERS) -> str:
+    """Unrolled synchronous LPA replay: every iteration's argmax is
+    re-derived, so the driver verifies the ITERATION (weighted
+    neighbor-label scores, tie-breaks) and not just the fixpoint.
+    ``pairs`` is MATERIALIZED: DuckDB inlines CTEs by default and the
+    edge derivation is referenced once per unrolled round."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(f""",
+l{i} AS (
+  SELECT {prev}.v, COALESCE(b{i}.nlab, {prev}.lab) AS lab
+  FROM {prev} LEFT JOIN (
+    SELECT v, lab AS nlab FROM (
+      SELECT p.v, {prev}.lab,
+             ROW_NUMBER() OVER (PARTITION BY p.v
+               ORDER BY SUM(p.w) DESC, {prev}.lab) AS rn
+      FROM pairs p JOIN {prev} ON {prev}.v = p.u
+      GROUP BY p.v, {prev}.lab) q{i} WHERE rn = 1) b{i}
+    ON b{i}.v = {prev}.v)""")
+        prev = f"l{i}"
+    return f"""
+WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+  FROM e0 a JOIN e0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY u, v),
+nodes AS (SELECT s_suppkey AS v FROM supplier),
+l0 AS (SELECT v, v AS lab FROM nodes){"".join(steps)}
+SELECT v AS s_suppkey, CAST(lab AS BIGINT) AS community
+FROM {prev} ORDER BY s_suppkey
+"""
+
+
+@query("rel_label_propagation", oracle=_lpa_oracle())
+def rel_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous weighted label propagation over the co-supply graph
+    (community detection): every node starts as its own label; each
+    round v adopts the label with the LARGEST summed edge weight among
+    its neighbors (tie -> smallest label), isolated nodes keep their
+    own.  Deterministic — weights are BIGINT shared-order counts and
+    the argmax is a total order (score DESC, label ASC), so there is
+    no float state at all and the oracle replays every round exactly.
+
+    Scale shape: per iteration one rank-join on u (labels are |V|-sized,
+    the broadcast side at any realistic |V|) + one hash aggregate on
+    (v, lab) + one row_number window partitioned by v — the same
+    bounded-plan discipline as rel_pagerank_cosuppliers (fixed
+    iteration count over the checkpointed edge table; no per-round
+    materialization)."""
+    from pyspark.sql import Window
+
+    pairs, nodes = _cosupply_graph(spark, sf_dir)
+    pairs_i = pairs.select(
+        "u", "v", F.col("w").cast("long").alias("wi")
+    )
+    labels = nodes.select("v", F.col("v").alias("lab"))
+    win = Window.partitionBy("v").orderBy(F.desc("s"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        best = (
+            pairs_i.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v", "lab")
+            .agg(F.sum("wi").alias("s"))
+            .withColumn("rn", F.row_number().over(win))
+            .where("rn = 1")
+            .select("v", F.col("lab").alias("nlab"))
+        )
+        labels = labels.join(best, "v", "left").select(
+            "v", F.coalesce("nlab", "lab").alias("lab")
+        )
+    return labels.select(
+        F.col("v").alias("s_suppkey"), F.col("lab").cast("long").alias("community")
+    ).orderBy("s_suppkey")

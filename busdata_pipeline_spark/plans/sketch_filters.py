@@ -1,0 +1,396 @@
+"""Sketch-based filtering and splitting: the probabilistic-structure
+tier a 100 TB curation pipeline leans on when exact state is too big to
+ship — plus the group-aware fold assignment that keeps cross-validation
+leakage-free.
+
+The reference has no sketch tier (its corpus fits PostgreSQL;
+`/root/reference/analytic.sql` counts exactly); these four close the
+gap between the exact operators (td_dedup_exact, td_contamination) and
+what survives a 1000-executor deployment:
+
+- ``td_bloom_prune`` — blocklist membership pruning through a
+  CONSTANT-SIZE Bloom bitmap.  The broadcast is the m-bit bitmap
+  (m/32 BIGINT words), not the blocklist itself, so the probe side
+  stays O(m) no matter how many entries the blocklist holds — the
+  Spark-native pattern behind runtime bloom-filter join pruning,
+  surfaced as an operator with its false-positive rate measured
+  against the exact semi-join.
+- ``td_countmin`` — CountMin frequency sketch (depth x width counter
+  grid, estimate = min over rows).  Point-queried for the corpus's
+  top-20 tokens against exact counts; the one-sided error guarantee
+  (estimate >= truth, always) is hash-checked row by row.
+- ``td_random_projection`` — Johnson-Lindenstrauss sign projection of
+  the embedding corpus (dim 64 -> 16) over the zero-copy ``mapInArrow``
+  seam: one int64 GEMM per Arrow batch, no shuffle, no driver traffic.
+  Output is the per-vector norm-preservation ratio, the quantity JL
+  bounds promise to concentrate near 1.
+- ``td_grouped_kfold`` — k-fold assignment at the SOURCE granularity
+  (every doc of a source lands in the same fold), the grouped-CV split
+  that prevents near-duplicate leakage across folds.
+
+Cross-engine determinism: all randomness is the house 60-bit md5
+prefix (``conv(substr(md5(x),1,15),16,10)`` here,
+``('0x' || substr(md5(x),1,15))::UBIGINT`` in DuckDB — see
+operators/dedup.py), all accumulation is integer-domain (quantized
+micro-units for the projection), and floats appear only in final
+ROUND(...,6) projections — the established bit-parity discipline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators import quantize
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+
+def _h60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5, as BIGINT."""
+    return F.conv(F.md5(col).substr(1, 15), 16, 10).cast("long")
+
+
+_DUCK_H60 = "CAST(('0x' || substr(md5({x}), 1, 15))::UBIGINT AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter blocklist pruning
+
+# Bitmap width is an import-time knob mirrored into the oracle (the
+# td_knn_graph pattern): production sizes m ≈ 1.44·k·n/ln2 bits from the
+# blocklist count n for a target false-positive rate, so the scale
+# ladder grows SPARK_GRAFT_BLOOM_WORDS with the corpus while the sf0.01
+# correctness gate stays at the default 8 words (256 bits — small
+# enough that the sketch actually produces false positives to measure).
+_BLOOM_WORDS = int(os.environ.get("SPARK_GRAFT_BLOOM_WORDS", "8"))
+_BLOOM_BITS = _BLOOM_WORDS * 32
+_BLOOM_K = 5
+
+
+@query(
+    "td_bloom_prune",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_DUCK_H60.format(x="CAST(doc_id AS VARCHAR)")} AS h0,
+         {_DUCK_H60.format(x="'s:' || CAST(doc_id AS VARCHAR)")} AS h1,
+         doc_id % 7 = 0 AS is_block
+  FROM documents),
+probes AS (
+  SELECT doc_id, is_block,
+         (h0 + t.i * h1) % {_BLOOM_BITS} AS pos
+  FROM keyed, range({_BLOOM_K}) t(i)),
+slots AS (
+  SELECT doc_id, is_block, pos // 32 AS w_idx,
+         (CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS mask
+  FROM probes),
+words AS (
+  SELECT w_idx, bit_or(mask) AS word
+  FROM slots WHERE is_block GROUP BY w_idx),
+tested AS (
+  SELECT s.doc_id, s.is_block,
+         CASE WHEN w.word IS NOT NULL AND (w.word & s.mask) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM slots s LEFT JOIN words w ON w.w_idx = s.w_idx),
+per_doc AS (
+  SELECT doc_id, is_block,
+         SUM(hit) = {_BLOOM_K} AS bloom_pass
+  FROM tested GROUP BY doc_id, is_block)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_block THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocklist,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN bloom_pass AND is_block THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_true_pos,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_block THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_pos
+FROM per_doc
+""",
+)
+def td_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pruning of a corpus scan against a blocklist (here:
+    every 7th doc_id, standing in for a takedown / contamination list).
+
+    k={_BLOOM_K} double-hashed probes (Kirsch-Mitzenmacher: pos_i =
+    (h0 + i*h1) mod m) set bits in an m-bit bitmap stored as m/32
+    BIGINT words via one ``bit_or`` aggregate; membership is an
+    equi-join of each probe's word index against that constant-size
+    word table (broadcast — the fact side never shuffles) requiring
+    all k bits set.  Output: one audit row proving the Bloom contract
+    — n_true_pos == n_blocklist (a Bloom filter has NO false
+    negatives) and the measured false-positive count the exact
+    semi-join would then discharge.
+
+    At scale only the m-bit bitmap crosses the cluster; the blocklist
+    itself (millions of entries at 100 TB) never does."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        _h60(F.col("doc_id").cast("string")).alias("h0"),
+        _h60(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))).alias(
+            "h1"
+        ),
+        (F.col("doc_id") % 7 == 0).alias("is_block"),
+    )
+    slots = keyed.select(
+        "doc_id",
+        "is_block",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_BLOOM_K - 1}), "
+                f"i -> (h0 + i * h1) % {_BLOOM_BITS})"
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "is_block",
+        F.expr("pos div 32").alias("w_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    words = (
+        slots.where("is_block")
+        .groupBy("w_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    tested = slots.join(F.broadcast(words), "w_idx", "left").select(
+        "doc_id",
+        "is_block",
+        F.expr(
+            "CASE WHEN word IS NOT NULL AND (word & mask) <> 0 "
+            "THEN 1 ELSE 0 END"
+        ).alias("hit"),
+    )
+    per_doc = tested.groupBy("doc_id", "is_block").agg(
+        (F.sum("hit") == _BLOOM_K).alias("bloom_pass")
+    )
+    blk = F.col("is_block")
+    ok = F.col("bloom_pass")
+    return per_doc.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(blk, 1).otherwise(0)).alias("n_blocklist"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(ok & blk, 1).otherwise(0)).alias("n_true_pos"),
+        F.sum(F.when(ok & ~blk, 1).otherwise(0)).alias("n_false_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CountMin frequency sketch
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+
+
+@query(
+    "td_countmin",
+    oracle=f"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(TRIM(text), ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+counters AS (
+  SELECT t.r,
+         {_DUCK_H60.format(x="CAST(t.r AS VARCHAR) || ':' || tok")}
+           % {_CMS_WIDTH} AS bucket,
+         COUNT(*) AS cnt
+  FROM toks, range({_CMS_DEPTH}) t(r)
+  GROUP BY 1, 2),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_tf
+  FROM toks GROUP BY tok
+  ORDER BY exact_tf DESC, tok LIMIT 20),
+probes AS (
+  SELECT e.tok, t.r,
+         {_DUCK_H60.format(x="CAST(t.r AS VARCHAR) || ':' || e.tok")}
+           % {_CMS_WIDTH} AS bucket
+  FROM exact e, range({_CMS_DEPTH}) t(r)),
+est AS (
+  SELECT p.tok, MIN(c.cnt) AS cms_est
+  FROM probes p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY p.tok)
+SELECT e.tok, e.exact_tf, s.cms_est,
+       s.cms_est - e.exact_tf AS overcount
+FROM exact e JOIN est s USING (tok)
+ORDER BY e.exact_tf DESC, e.tok
+""",
+)
+def td_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin sketch over the corpus token stream ({_CMS_DEPTH} rows x
+    {_CMS_WIDTH} counters, independent per-row salted hashes), point-
+    queried for the exact top-20 tokens.  The whole sketch is one hash
+    aggregate over (row, bucket) — at most depth*width counter rows
+    regardless of corpus size, the property that lets a 100 TB stream
+    keep its frequency state in a few KB per executor and merge by
+    addition.  Output pins the CMS contract per token: estimate >=
+    exact always (collisions only ADD), with the realized overcount.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    salted = toks.select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r")
+    ).select(
+        "tok",
+        "r",
+        (
+            _h60(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok")))
+            % _CMS_WIDTH
+        ).alias("bucket"),
+    )
+    counters = salted.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_tf"))
+        .orderBy(F.desc("exact_tf"), "tok")
+        .limit(20)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_tf",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r"),
+    ).select(
+        "tok",
+        "exact_tf",
+        "r",
+        (
+            _h60(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok")))
+            % _CMS_WIDTH
+        ).alias("bucket"),
+    )
+    est = (
+        F.broadcast(probes)
+        .join(counters, ["r", "bucket"])
+        .groupBy("tok", "exact_tf")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_tf",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_tf")).alias("overcount"),
+    ).orderBy(F.desc("exact_tf"), "tok")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign random projection
+
+_RP_OUT_DIM = 16
+_RP_IN_DIM = 64
+
+
+@query(
+    "td_random_projection",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, t.j,
+         CAST(FLOOR(CAST(embedding[t.j + 1] AS DOUBLE) * 1048576.0 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings, range({_RP_IN_DIM}) t(j)),
+signs AS (
+  SELECT a.j, b.p,
+         CASE WHEN {_DUCK_H60.format(
+             x="CAST(a.j AS VARCHAR) || ',' || CAST(b.p AS VARCHAR)")}
+              % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM range({_RP_IN_DIM}) a(j), range({_RP_OUT_DIM}) b(p)),
+proj AS (
+  SELECT q.vec_id, s.p, CAST(SUM(q.qv * s.s) AS BIGINT) AS pv
+  FROM q JOIN signs s ON s.j = q.j
+  GROUP BY q.vec_id, s.p),
+norms AS (
+  SELECT vec_id, CAST(SUM(pv * pv) AS BIGINT) AS sp2
+  FROM proj GROUP BY vec_id),
+orig AS (
+  SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS sq2
+  FROM q GROUP BY vec_id)
+SELECT n.vec_id,
+       CASE WHEN o.sq2 = 0 THEN NULL
+            ELSE ROUND(sqrt(CAST(n.sp2 AS DOUBLE) / {_RP_OUT_DIM}.0)
+                       / sqrt(CAST(o.sq2 AS DOUBLE)), 6) + 0.0
+       END AS norm_ratio
+FROM norms n JOIN orig o USING (vec_id)
+ORDER BY n.vec_id
+""",
+)
+def td_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign random projection of the embedding corpus (64 -> 16 dims,
+    +-1 entries derived from the portable 60-bit md5 of "j,p") over the
+    ``mapInArrow`` zero-copy seam: embeddings are quantized to 2^20
+    micro-units and multiplied by the sign matrix as ONE int64 GEMM per
+    Arrow batch — exact integer arithmetic, so the oracle's relational
+    replay (explode x join x sum) lands on bit-identical sums.
+
+    Output is the norm-preservation ratio ||Px|| / (sqrt(m)·||x||)
+    per vector — the quantity the JL lemma concentrates near 1, i.e.
+    the audit a pipeline runs before trusting the compressed vectors
+    for near-dup / ANN work at 4x less memory.  No shuffle, no driver
+    traffic; corpus-linear."""
+    emb = table(spark, sf_dir, "embeddings")
+    sig = quantize.sign_projection_signatures(
+        emb, out_dim=_RP_OUT_DIM
+    )
+    return sig.select(
+        "vec_id",
+        F.when(F.col("sq2") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sqrt(F.col("sp2") / F.lit(float(_RP_OUT_DIM)))
+                / F.sqrt(F.col("sq2").cast("double")),
+                6,
+            )
+        )
+        .alias("norm_ratio"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Group-aware k-fold assignment
+
+_KFOLD = 5
+
+
+@query(
+    "td_grouped_kfold",
+    oracle=f"""
+SELECT {_DUCK_H60.format(x="source")} % {_KFOLD} AS fold,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+ORDER BY fold
+""",
+)
+def td_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold split: fold = h60(source) mod {_KFOLD}, so
+    every document of a source lands in the same fold — the grouped
+    cross-validation discipline that keeps near-identical docs (same
+    crawl domain, same template) from straddling a train/eval boundary.
+    Deterministic, stateless, one hash aggregate; at 100 TB the fold
+    column is a free projection, not a shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (_h60(F.col("source")) % _KFOLD).alias("fold"),
+            "source",
+            "n_chars",
+        )
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("fold")
+    )

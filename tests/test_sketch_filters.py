@@ -1,0 +1,82 @@
+"""Semantic pins for the sketch/filter tier (plans/sketch_filters.py)
+and label propagation (plans/graph.py) — the invariants an oracle diff
+can't isolate: the Bloom no-false-negative contract, the CMS one-sided
+error guarantee, JL norm concentration, fold disjointness, and LPA
+determinism.  Oracle parity itself is covered by test_oracle_parity /
+driver_sim."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import busdata_pipeline_spark.plans.graph  # noqa: F401  (registers)
+import busdata_pipeline_spark.plans.sketch_filters  # noqa: F401
+from busdata_pipeline_spark.operators import quantize
+from busdata_pipeline_spark.plans.registry import QUERIES
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    row = QUERIES["td_bloom_prune"](spark, sf_dir).collect()[0]
+    # the Bloom contract: every blocklisted doc passes the filter
+    assert row["n_true_pos"] == row["n_blocklist"]
+    assert row["n_bloom_pass"] == row["n_true_pos"] + row["n_false_pos"]
+    assert row["n_blocklist"] > 0
+    # pruning must actually prune at the gate sf (fpr well below 1)
+    assert row["n_bloom_pass"] < row["n_docs"]
+
+
+def test_countmin_one_sided_error(spark, sf_dir):
+    rows = QUERIES["td_countmin"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # CMS never undercounts: collisions only add
+        assert r["cms_est"] >= r["exact_tf"]
+        assert r["overcount"] == r["cms_est"] - r["exact_tf"]
+
+
+def test_random_projection_norm_concentration(spark, sf_dir):
+    rows = QUERIES["td_random_projection"](spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == emb_n
+    ratios = [r["norm_ratio"] for r in rows if r["norm_ratio"] is not None]
+    assert ratios, "all-zero embedding corpus?"
+    # JL with m=16: ratios concentrate near 1 (loose tail bound)
+    assert all(0.2 < x < 2.5 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3
+
+
+def test_sign_matrix_matches_duckdb_md5():
+    import hashlib
+
+    s = quantize._sign_matrix(4, 3)
+    for j in range(4):
+        for p in range(3):
+            h = int(hashlib.md5(f"{j},{p}".encode()).hexdigest()[:15], 16)
+            assert s[j, p] == (1 if h % 2 == 0 else -1)
+    assert (s != 0).all() and set(s.flatten()) <= {-1, 1}
+
+
+def test_grouped_kfold_partitions_corpus(spark, sf_dir):
+    rows = QUERIES["td_grouped_kfold"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["n_sources"] for r in rows) == (
+        docs.select("source").distinct().count()
+    )  # disjoint by construction: a source hashes to exactly one fold
+    assert all(0 <= r["fold"] < 5 for r in rows)
+
+
+def test_label_propagation_deterministic_and_closed(spark, sf_dir):
+    out = QUERIES["rel_label_propagation"](spark, sf_dir)
+    rows = out.collect()
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    keys = {r["s_suppkey"] for r in sup.select("s_suppkey").collect()}
+    assert {r["s_suppkey"] for r in rows} == keys
+    # labels are always node ids (closure: no label invented mid-flight)
+    assert {r["community"] for r in rows} <= keys
+    # propagation did SOMETHING: fewer communities than nodes
+    assert len({r["community"] for r in rows}) < len(rows)
+    # determinism: a second run is bit-identical
+    again = QUERIES["rel_label_propagation"](spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
