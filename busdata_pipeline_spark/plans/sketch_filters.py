@@ -394,3 +394,57 @@ def td_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k (KMV) uniform sample
+
+_BOTTOMK = 50
+
+
+@query(
+    "td_bottomk_sample",
+    oracle=f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS INT) AS rank,
+       doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         {_DUCK_H60.format(x="CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents)
+ORDER BY h, doc_id
+LIMIT {_BOTTOMK}
+""",
+)
+def td_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) uniform sample: the {_BOTTOMK} docs with the
+    smallest 60-bit hash of their id.  Unlike LIMIT or Bernoulli
+    sampling this is MERGEABLE and CONSISTENT — bottom-k of a union is
+    the bottom-k of the merged partial bottom-ks (Spark's
+    TakeOrderedAndProject computes exactly that: per-partition top-k,
+    then a k-row driver merge — no full sort, no shuffle of the
+    corpus), and the same doc set is chosen no matter how the corpus
+    is partitioned or which day's increment arrived last.  The k-th
+    smallest hash doubles as the KMV distinct-count estimator
+    ((k-1)·2^60/h_k — asserted in tests/test_sketch_filters.py).
+    The fixed-size uniform sample is what quality-audit / eval-holdout
+    tooling reads instead of scanning 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _h60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy("h", "doc_id")
+    return (
+        hashed.orderBy("h", "doc_id")
+        .limit(_BOTTOMK)
+        .select(
+            F.row_number().over(win).alias("rank"),
+            "doc_id",
+            "lang",
+            "n_chars",
+        )
+    )

@@ -565,3 +565,93 @@ def st_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("ewma") * 1000000.0 + 0.5) / 1000000.0)
         .alias("ewma"),
     )
+
+
+@query(
+    "st_stream_countmin",
+    # Flat (unsplit) CMS replay: per-micro-batch partial counters merged
+    # by addition must equal the one-pass sketch EXACTLY — counting is
+    # associative, which is the whole mergeability claim being driver-
+    # checked here.
+    oracle="""
+WITH items AS (
+  SELECT CAST(user_id AS VARCHAR) AS item FROM events
+  WHERE user_id IS NOT NULL),
+slots AS (
+  SELECT item, t.r,
+         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || item),
+                              1, 15))::UBIGINT AS BIGINT) % 64 AS bucket
+  FROM items, range(4) t(r)),
+counters AS (
+  SELECT r, bucket, COUNT(*) AS cnt FROM slots GROUP BY 1, 2),
+exact AS (
+  SELECT item, COUNT(*) AS exact_n FROM items GROUP BY item
+  ORDER BY exact_n DESC, item LIMIT 10),
+probes AS (
+  SELECT e.item, t.r,
+         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || e.item),
+                              1, 15))::UBIGINT AS BIGINT) % 64 AS bucket
+  FROM exact e, range(4) t(r)),
+est AS (
+  SELECT p.item, MIN(c.cnt) AS cms_est
+  FROM probes p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY p.item)
+SELECT CAST(e.item AS BIGINT) AS user_id, e.exact_n, s.cms_est,
+       s.cms_est - e.exact_n AS overcount
+FROM exact e JOIN est s USING (item)
+ORDER BY e.exact_n DESC, user_id
+""",
+)
+def st_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CountMin heavy-user sketch: the event stream is split
+    into three day-bounded micro-batches, each batch builds its PARTIAL
+    (r, bucket) counter grid, and the partials merge by addition — the
+    plan literally contains the per-batch sub-aggregations, so the
+    driver's hash check proves sketch mergeability (partial+merge ==
+    one-pass), the property that lets a firehose keep heavy-hitter
+    state in depth*width counter rows per executor forever.  The top-10
+    heaviest users are then point-queried (min over rows) against their
+    exact counts; CMS never undercounts.  The REAL readStream leg
+    (state-store incremental aggregation, availableNow trigger) is
+    pinned stream==batch in tests/test_sketch_filters.py."""
+    from busdata_pipeline_spark.streaming.sketches import (
+        cms_counters,
+        cms_point_query,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .withColumn("d", F.to_date("ts"))
+    )
+    cut1 = F.lit("2024-01-10").cast("date")
+    cut2 = F.lit("2024-01-20").cast("date")
+    batches = [
+        ev.where(F.col("d") <= cut1),
+        ev.where((F.col("d") > cut1) & (F.col("d") <= cut2)),
+        ev.where(F.col("d") > cut2),
+    ]
+    partials = [cms_counters(b, "user_id") for b in batches]
+    merged = (
+        partials[0].unionAll(partials[1]).unionAll(partials[2])
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    exact = (
+        ev.select(F.col("user_id").cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "item")
+        .limit(10)
+    )
+    est = cms_point_query(merged, exact.select("item"), "item")
+    return (
+        exact.join(est, "item")
+        .select(
+            F.col("item").cast("long").alias("user_id"),
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )

@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 
 import busdata_pipeline_spark.plans.graph  # noqa: F401  (registers)
 import busdata_pipeline_spark.plans.sketch_filters  # noqa: F401
+import busdata_pipeline_spark.plans.streaming_windows  # noqa: F401
 from busdata_pipeline_spark.operators import quantize
 from busdata_pipeline_spark.plans.registry import QUERIES
 
@@ -80,3 +81,78 @@ def test_label_propagation_deterministic_and_closed(spark, sf_dir):
     # determinism: a second run is bit-identical
     again = QUERIES["rel_label_propagation"](spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_cms_real_stream_equals_batch(spark, tmp_path):
+    """The CMS counter grid built by a REAL stream (state-store
+    incremental aggregation, availableNow trigger, complete mode) must
+    equal the batch sketch exactly — counting is associative, so the
+    sketch merges losslessly across micro-batches."""
+    from busdata_pipeline_spark.sources import table
+    from busdata_pipeline_spark.streaming.sketches import cms_counters
+    from tests.conftest import SF0001
+
+    ev = table(spark, SF0001, "events").where(F.col("user_id").isNotNull())
+    src = tmp_path / "cms_src"
+    ev.coalesce(3).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = (
+        cms_counters(stream, "user_id")
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM cms_stream").collect())
+    )
+    want = sorted(map(tuple, cms_counters(ev, "user_id").collect()))
+    assert got == want and len(want) > 0
+
+
+def test_stream_countmin_query_contract(spark, sf_dir):
+    rows = QUERIES["st_stream_countmin"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)
+
+
+def test_bottomk_kmv_distinct_estimate(spark, sf_dir):
+    """The k-th smallest hash of the bottom-k sample is the KMV
+    distinct-count estimator: (k-1) * 2^60 / h_k ~ |corpus|."""
+    import busdata_pipeline_spark.plans.sketch_filters as sk
+
+    out = QUERIES["td_bottomk_sample"](spark, sf_dir)
+    rows = out.orderBy("rank").collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    k = min(sk._BOTTOMK, n)
+    assert len(rows) == k
+    # recompute the k-th hash the operator sorted by
+    import hashlib
+
+    h_k = sorted(
+        int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+        for r in rows
+    )[-1]
+    est = (k - 1) * (1 << 60) / h_k
+    assert 0.3 * n < est < 3.0 * n  # loose: k=50 gives ~15% rel. error
+    # mergeability: bottom-k over any 2-way split, merged, is identical
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+
+    def bk(df):
+        return [
+            (r["doc_id"],)
+            for r in df.select(
+                "doc_id",
+                F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 15),
+                       16, 10).cast("long").alias("h"),
+            ).orderBy("h", "doc_id").limit(k).collect()
+        ]
+
+    merged = spark.createDataFrame(
+        [x for x in bk(a)] + [x for x in bk(b)], "doc_id long"
+    ).join(docs, "doc_id")
+    assert bk(merged) == [(r["doc_id"],) for r in rows]
