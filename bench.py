@@ -73,6 +73,11 @@ HEADLINERS = [
     "td_embed_int8_quantize",      # zero-copy mapInArrow int8 signatures
     "td_knn_graph",                # IVF-blocked corpus kNN graph (per-cell GEMM)
     "td_unigram_tokenizer",        # unigram-LM Viterbi-EM training rounds
+    # round-8 sketch/filter tier (earlier keys unchanged for deltas)
+    "td_bloom_prune",              # constant-size Bloom bitmap probe join
+    "td_countmin",                 # CMS counter grid + top-20 point queries
+    "td_random_projection",        # JL sign projection (int64 mapInArrow GEMM)
+    "rel_label_propagation",       # weighted sync LPA argmax rounds
 ]
 
 

@@ -359,3 +359,59 @@ def etl_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "etl_warc_roundtrip",
+    # Oracle runs on the ORIGINAL parquet: the WARC write+read must be
+    # lossless, so per-lang counts, char totals, and an order-
+    # independent payload signature (sum of 60-bit md5 mod 1e9+7 —
+    # bounded so a 1e7-doc corpus can't overflow BIGINT) all match.
+    oracle="""
+SELECT lang, COUNT(*) AS n_records,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT)
+                % 1000000007) AS BIGINT) AS payload_sig
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def etl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) container parity end-to-end: the documents
+    corpus is serialized to WARC files (one per partition,
+    executor-side — sources/warc.py), read back through the
+    binaryFile-parallel parser, and the per-lang profile of THAT scan —
+    record counts, char totals, and an order-independent md5 payload
+    signature — is hash-checked against DuckDB on the original
+    parquet.  Content-Length framing means payloads containing
+    header-lookalike lines survive byte-exactly; the signature is what
+    catches a lossy decode.  One file per partition is the production
+    WARC parallelization unit (Common Crawl segments)."""
+    import shutil
+    import tempfile
+
+    from busdata_pipeline_spark.sources.warc import read_warc, write_warc
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = tempfile.mkdtemp(prefix="warc_q_")
+    try:
+        write_warc(docs.repartition(4), path)
+        back = read_warc(spark, path)
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.sum(F.length("text")).alias("sum_chars"),
+                F.sum(
+                    F.conv(F.md5("text").substr(1, 15), 16, 10).cast("long")
+                    % 1000000007
+                ).alias("payload_sig"),
+            )
+            .orderBy("lang")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -448,3 +448,129 @@ def td_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust stats (quality-filter calibration)
+
+@query(
+    "td_winsorized_stats",
+    # p95 by EXPLICIT order statistic (value at row ceil(0.95*n) of the
+    # ascending sort) — not quantile_disc/percentile, whose index
+    # conventions differ between engines.
+    oracle="""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+p AS (
+  SELECT lang, MAX(n) AS n_docs,
+         MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                  THEN n_chars END) AS p95_chars
+  FROM ranked GROUP BY lang)
+SELECT d.lang, p.n_docs, p.p95_chars,
+       ROUND(CAST(SUM(LEAST(d.n_chars, p.p95_chars)) AS DOUBLE)
+             / COUNT(*), 6) + 0.0 AS win_mean_chars
+FROM documents d JOIN p ON p.lang = d.lang
+GROUP BY d.lang, p.n_docs, p.p95_chars
+ORDER BY d.lang
+""",
+)
+def td_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized corpus length stats per language: the p95 order
+    statistic (explicit row-at-ceil(0.95·n) of the ascending sort — an
+    index convention both engines replay identically, unlike their
+    quantile built-ins) and the mean with the upper tail clipped to it.
+    This is the robust calibration read a quality-filter tier does
+    before setting length cutoffs — outlier docs (concatenated crawls,
+    binary spills) would otherwise drag a plain mean.
+
+    Scale shape: one window sort per language partition + two hash
+    aggregates; the per-lang p95 table is dimension-sized and
+    broadcast back onto the corpus for the clip."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cw = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    p = ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias("p95_chars"),
+    )
+    return (
+        docs.join(F.broadcast(p), "lang")
+        .groupBy("lang", "n_docs", "p95_chars")
+        .agg(
+            F.round(
+                F.sum(F.least(F.col("n_chars"), F.col("p95_chars"))).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("win_mean_chars")
+        )
+        .select("lang", "n_docs", "p95_chars", "win_mean_chars")
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (release-compliance tier)
+
+_KANON = 5
+
+
+@query(
+    "td_k_anonymity",
+    oracle=f"""
+WITH qi AS (
+  SELECT lang, source, COUNT(*) AS group_n
+  FROM documents GROUP BY lang, source),
+flag AS (
+  SELECT group_n, group_n < {_KANON} AS violating FROM qi)
+SELECT CAST(SUM(CASE WHEN violating THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN violating THEN group_n ELSE 0 END) AS BIGINT)
+         AS n_exposed_docs,
+       COUNT(*) AS n_groups,
+       CAST(MIN(group_n) AS BIGINT) AS min_group_size
+FROM flag
+""",
+)
+def td_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus's quasi-identifier tuple
+    (lang, source): a released dataset is k-anonymous iff every
+    quasi-identifier group holds >= k rows — groups below k={_KANON}
+    re-identify their members by attribute intersection alone.  Output
+    is the one-row release gate: violating-group count, exposed-row
+    count, total groups, smallest group.  The check the PII-redaction
+    tier (td_pii_redact) runs AFTER masking direct identifiers, since
+    quasi-identifiers are what masking does not touch.
+
+    Scale shape: one hash aggregate on the quasi-identifier key + one
+    scalar re-aggregate of the (dimension-sized) group table."""
+    docs = table(spark, sf_dir, "documents")
+    qi = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("group_n")
+    )
+    v = F.col("group_n") < _KANON
+    return qi.groupBy().agg(
+        F.sum(F.when(v, 1).otherwise(0)).alias("n_violating_groups"),
+        F.sum(F.when(v, F.col("group_n")).otherwise(0)).alias(
+            "n_exposed_docs"
+        ),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_n").alias("min_group_size"),
+    )

@@ -156,3 +156,35 @@ def test_bottomk_kmv_distinct_estimate(spark, sf_dir):
         [x for x in bk(a)] + [x for x in bk(b)], "doc_id long"
     ).join(docs, "doc_id")
     assert bk(merged) == [(r["doc_id"],) for r in rows]
+
+
+def test_winsorized_mean_bounded(spark, sf_dir):
+    rows = QUERIES["td_winsorized_stats"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = {
+        r["lang"]: (r["mx"], r["avg"])
+        for r in docs.groupBy("lang")
+        .agg(F.max("n_chars").alias("mx"), F.avg("n_chars").alias("avg"))
+        .collect()
+    }
+    assert len(rows) == len(plain)
+    for r in rows:
+        mx, avg = plain[r["lang"]]
+        assert r["p95_chars"] <= mx
+        # clipping the upper tail can only pull the mean down
+        assert r["win_mean_chars"] <= avg + 1e-9
+
+def test_k_anonymity_audit_consistent(spark, sf_dir):
+    row = QUERIES["td_k_anonymity"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    groups = (
+        docs.groupBy("lang", "source").count().collect()
+    )
+    sizes = [g["count"] for g in groups]
+    viol = [s for s in sizes if s < 5]
+    assert row["n_groups"] == len(sizes)
+    assert row["min_group_size"] == min(sizes)
+    assert row["n_violating_groups"] == len(viol)
+    assert row["n_exposed_docs"] == sum(viol)
+    # exposed docs are exactly the members of sub-k groups
+    assert row["n_exposed_docs"] <= row["n_violating_groups"] * 4
