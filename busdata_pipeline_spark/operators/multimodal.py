@@ -326,6 +326,55 @@ def resize_items(decoded: DataFrame, max_side: int = 32) -> DataFrame:
     })
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+    T.StructField("sum_rgb", T.LongType()),
+])
+
+
+def resize_ppm_items(media: DataFrame, max_side: int = 4) -> DataFrame:
+    """REAL pixel resample (the step resize_items only plans): parse each
+    P6 PPM payload, nearest-neighbor downscale so the longest side is
+    ``max_side``, and emit the resized plane's dims + total channel sum.
+
+    Geometry and sampling are INTEGER-only so an oracle can replay them
+    exactly: out_w = max(1, w*max_side // longest) (aspect-preserving
+    integer division, no float scale), and NN source index
+    src = (y*h // out_h)*w + (x*w // out_w) — the classic floor-NN
+    gather.  The resample itself is two numpy fancy-index gathers per
+    image (row indexes, then column indexes), no Python loop over
+    pixels; Arrow batches carry the payloads executor-side.  sum_rgb is
+    an integer, so cross-engine equality is exact — a wrong gather order,
+    off-by-one in the index map, or a lossy parse all shift the sum."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, ows, ohs, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _parse_ppm(bytes(payload))
+                plane = px.reshape(h, w, 3)
+                longest = max(w, h)
+                ow = max(w * max_side // longest, 1)
+                oh = max(h * max_side // longest, 1)
+                sy = (np.arange(oh) * h) // oh
+                sx = (np.arange(ow) * w) // ow
+                resized = plane[sy][:, sx]
+                ids.append(int(doc_id))
+                ows.append(ow)
+                ohs.append(oh)
+                sums.append(int(resized.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": ids, "out_width": ows, "out_height": ohs,
+                "sum_rgb": sums,
+            })
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling: explode n_frames into frame indexes, keep every
     n-th — pure Column algebra (no Python), prunes before any heavy

@@ -255,3 +255,88 @@ def etl_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (driver-visible face of operators/bucketing.py)
+
+@query(
+    "etl_bucketed_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0
+         AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def etl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, driver-visible end to end: orders and
+    lineitem are written hash-clustered into the same bucket count on
+    their join key (operators/bucketing.write_bucketed — bucketBy +
+    sortBy, the pay-the-shuffle-once layout), then joined with broadcast
+    disabled and the physical plan ASSERTED exchange-free on both join
+    children before the result is computed.  The only shuffle left in
+    the whole query is the 5-group priority aggregate; at 100 TB this is
+    the layout that amortizes the orderkey shuffle across every
+    order-grain query instead of re-paying it per run.  The revenue
+    profile hash-checks against DuckDB on the original parquet, so a
+    lossy bucketed write (dropped rows, mangled keys) fails parity, not
+    just the plan shape.
+
+    Reference parity: PostgreSQL re-hashes per query; the closest knob is
+    the per-day reload layout (/root/reference/data_subscriber.py) — this
+    generalizes that from time-pruning to join-locality."""
+    import uuid as _uuid
+
+    from busdata_pipeline_spark.operators.bucketing import cobucket_tables
+
+    tag = _uuid.uuid4().hex[:8]
+    t_orders, t_lineitem = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        cobucket_tables(
+            spark, sf_dir,
+            {t_orders: ("orders", "o_orderkey"),
+             t_lineitem: ("lineitem", "l_orderkey")},
+            buckets=8,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # keys differ by name, so this is operators/bucketing.bucketed_join
+        # inlined with an explicit join condition; co-bucketed layout is
+        # what makes it exchange-free, asserted below.
+        joined = spark.table(t_orders).join(
+            spark.table(t_lineitem),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        jexp = (
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")
+        )
+        plan = joined._jdf.queryExecution().explainString(jexp)
+        if "SortMergeJoin" not in plan or "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join is not exchange-free:\n" + plan
+            )
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")

@@ -2424,3 +2424,195 @@ def td_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARK_GRAFT_KNN_CELLS so per-cell work is a design constant."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.knn_graph(emb, k=5, n_clusters=_KNN_CELLS)
+
+
+@query(
+    "td_ccnet_perplexity_buckets",
+    # Float discipline: the per-doc cross-entropy is FLOOR-quantized to
+    # BIGINT micro-nats immediately (logs touch only integer counts, so
+    # the only risk is summation order inside one doc — same margin
+    # class as td_unigram_logprob's tested ROUND); every downstream
+    # comparison (tercile cuts, bucket assignment) and sum is integer-
+    # exact, and the one output double is a division of two exact
+    # integers, deterministic bitwise on both engines.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS tok
+  FROM documents),
+dt AS (SELECT doc_id, tok, COUNT(*) AS c_dt FROM toks
+       WHERE tok <> '' GROUP BY doc_id, tok),
+ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_t FROM toks
+       WHERE tok <> '' GROUP BY tok),
+tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS total FROM ct),
+xe AS (
+  SELECT doc_id, CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+    CAST(FLOOR((ln(CAST(total AS DOUBLE))
+                - SUM(c_dt * ln(CAST(c_t AS DOUBLE))) / SUM(c_dt))
+               * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM dt JOIN ct USING (tok) CROSS JOIN tot
+  GROUP BY doc_id, total),
+ranked AS (
+  SELECT d.lang, x.doc_id, x.n_tokens, x.xq,
+         ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY x.xq, x.doc_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM xe x JOIN documents d USING (doc_id)),
+cuts AS (
+  SELECT lang,
+    MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS BIGINT) THEN xq END) AS c1,
+    MAX(CASE WHEN rn = CAST(CEIL(2 * n / 3.0) AS BIGINT) THEN xq END)
+      AS c2
+  FROM ranked GROUP BY lang),
+b AS (
+  SELECT r.lang,
+    CASE WHEN r.xq <= c.c1 THEN 'head'
+         WHEN r.xq <= c.c2 THEN 'middle' ELSE 'tail' END AS bucket,
+    r.n_tokens, r.xq
+  FROM ranked r JOIN cuts c ON c.lang = r.lang)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  ROUND(CAST(SUM(xq) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) + 0.0
+    AS mean_xent
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+""",
+)
+def td_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    per-language perplexity terciles under the corpus-trained unigram LM
+    (td_unigram_logprob's scorer), each document bucketed by VALUE
+    against the tercile cut points — head = lowest cross-entropy third,
+    the slice CCNet keeps for pretraining.  Cut points are explicit
+    order statistics (value at row ceil(n/3) / ceil(2n/3) of the
+    ascending per-lang sort) so both engines replay the identical index
+    convention, and the cross-entropy is quantized to BIGINT micro-nats
+    before any comparison — the cut, the bucket CASE, and the sums are
+    all integer-exact.
+
+    Scale shape: one exploded-token pass feeds the per-doc and corpus
+    count aggregates (both fact-scale, shuffle equi-join on token); the
+    tercile window sorts each language partition once; the cut table is
+    dimension-sized and broadcast back for the value-comparison bucket
+    assignment — no rank recomputation on the second pass."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_dt"))
+    ct = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    tot = ct.agg(F.sum("c_t").alias("total"))
+    xe = (
+        dt.join(ct, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.floor(
+                (
+                    F.log(F.max("total").cast("double"))
+                    - F.sum(F.col("c_dt") * F.log(F.col("c_t").cast("double")))
+                    / F.sum("c_dt")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("xq"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("xq", "doc_id")
+    cw = Window.partitionBy("lang")
+    ranked = (
+        xe.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang", "doc_id", "n_tokens", "xq",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(cw).alias("n"),
+        )
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.col("n") / F.lit(3.0)).cast("long"),
+                F.col("xq"),
+            )
+        ).alias("c1"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(2.0) * F.col("n") / F.lit(3.0)).cast("long"),
+                F.col("xq"),
+            )
+        ).alias("c2"),
+    )
+    b = ranked.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("xq") <= F.col("c1"), "head")
+        .when(F.col("xq") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_tokens",
+        "xq",
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(
+                F.sum("xq").cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1))),
+                6,
+            ).alias("mean_xent"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@query(
+    "td_multimodal_resize",
+    # Payload bytes are pure functions of doc_id (synth_ppm_media:
+    # width = 4 + id%8, height = 3 + id%5, byte j = (id*7 + j)%256), and
+    # the op's geometry + NN sampling are INTEGER-only (floor divisions),
+    # so the oracle replays the resample pixel-for-pixel in closed form:
+    # src index si = (y*h//oh)*w + (x*w//ow), channel byte
+    # (id*7 + 3*si + c)%256.  sum_rgb is integer-exact — a wrong gather,
+    # index off-by-one, or lossy parse shifts it.
+    oracle="""
+WITH g AS (
+  SELECT doc_id, CAST(4 + doc_id % 8 AS BIGINT) AS w,
+         CAST(3 + doc_id % 5 AS BIGINT) AS h
+  FROM documents),
+d AS (
+  SELECT doc_id, w, h,
+    GREATEST((w * 4) // GREATEST(w, h), 1) AS ow,
+    GREATEST((h * 4) // GREATEST(w, h), 1) AS oh
+  FROM g),
+px AS (
+  SELECT doc_id, w, h, ow, oh, unnest(range(0, ow * oh)) AS p
+  FROM d),
+s AS (
+  SELECT doc_id, ow, oh,
+    (((p // ow) * h) // oh) * w + ((p % ow) * w) // ow AS si
+  FROM px)
+SELECT doc_id,
+  CAST(ow AS INTEGER) AS out_width, CAST(oh AS INTEGER) AS out_height,
+  CAST(SUM((doc_id * 7 + 3 * si) % 256
+           + (doc_id * 7 + 3 * si + 1) % 256
+           + (doc_id * 7 + 3 * si + 2) % 256) AS BIGINT) AS sum_rgb
+FROM s GROUP BY doc_id, ow, oh ORDER BY doc_id
+""",
+)
+def td_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize through the multimodal seam: deterministic P6
+    PPM payloads built per doc, nearest-neighbor downscaled to longest
+    side 4 by an actual numpy gather over the decoded pixel plane
+    (operators/multimodal.resize_ppm_items — the pixel path that
+    resize_items only plans), resized dims + integer channel sum checked
+    against the closed-form oracle.  The thumbnail/normalize step an
+    image training pipeline runs before feature extraction; cost is one
+    decode + one O(out_pixels) gather per item, embarrassingly parallel,
+    no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.synth_ppm_media(docs)
+    return multimodal.resize_ppm_items(media, max_side=4).orderBy("doc_id")

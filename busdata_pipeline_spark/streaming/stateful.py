@@ -237,3 +237,60 @@ def track_trip_progress_tws(stream: DataFrame,
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: Emitted by the idle-expiry counter: running count + whether this
+#: micro-batch RESUMED live (unexpired) state from an earlier batch.
+SESSION_COUNT = T.StructType([
+    T.StructField("trip_id", T.LongType()),
+    T.StructField("n_pings", T.LongType()),
+    T.StructField("resumed", T.BooleanType()),
+])
+
+
+class IdleExpiryCounterProcessor(StatefulProcessor):
+    """Per-trip ping counter whose state carries a processing-time TTL:
+    a trip idle longer than ``ttl_ms`` restarts from zero instead of
+    resuming — the bounded-state discipline for unbounded key spaces
+    (abandoned trips must not pin state-store memory forever; at 100 TB
+    of stream history the state store holds only trips seen within the
+    TTL window).  Exercises the getValueState(ttlDurationMs=...) leg of
+    the state protocol end-to-end — the shim-vivify path
+    (vendor/protoshim) that is wire-pinned in tests/test_protoshim.py is
+    here proven to actually expire state through a real query."""
+
+    def __init__(self, ttl_ms: int):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._cnt = handle.getValueState(
+            "cnt", "n bigint", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        (trip_id,) = key
+        resumed = self._cnt.exists()
+        n = int(self._cnt.get()[0]) if resumed else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._cnt.update((n,))
+        yield pd.DataFrame({
+            "trip_id": [trip_id], "n_pings": [n], "resumed": [resumed],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def count_pings_ttl_tws(stream: DataFrame, ttl_ms: int,
+                        trip_col: str = "EVENT_NO_TRIP") -> DataFrame:
+    """transformWithStateInPandas with TTL'd ValueState (ProcessingTime
+    time mode — TTL requires it).  Same protobuf-runtime bootstrap as
+    track_trip_progress_tws."""
+    ensure_protobuf_runtime(stream.sparkSession)
+    return stream.groupBy(trip_col).transformWithStateInPandas(
+        statefulProcessor=IdleExpiryCounterProcessor(ttl_ms),
+        outputStructType=SESSION_COUNT,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

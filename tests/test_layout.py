@@ -167,3 +167,33 @@ def test_row_groups_without_stats_count_as_unskippable(tmp_path):
         str(d), "x", 0, 5, "y", 0, 50)
     assert total == 2
     assert hit == 1  # the stats-less group scanned, the out-of-box one skipped
+
+
+def test_bucketed_join_query_plan_and_result(spark):
+    """etl_bucketed_join asserts its own exchange-free plan internally;
+    here we pin the semantic contract: the bucketed-layout result equals
+    the plain unbucketed join+agg."""
+    from busdata_pipeline_spark.plans.pruning import etl_bucketed_join
+
+    got = {
+        r["o_orderpriority"]: (r["n_items"], r["n_orders"], r["revenue"])
+        for r in etl_bucketed_join(spark, SF001).collect()
+    }
+    o = table(spark, SF001, "orders")
+    li = table(spark, SF001, "lineitem")
+    want = {
+        r["o_orderpriority"]: (r["n_items"], r["n_orders"], r["revenue"])
+        for r in (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) >= 2

@@ -604,3 +604,58 @@ def test_y4m_rejects_bad_frame_marker(spark):
                                   "doc_id long, payload binary")
     with pytest.raises(Exception, match="FRAME"):
         multimodal.video_frame_sample_means(media).collect()
+
+
+def test_ccnet_buckets_ordered_and_partition(spark):
+    """CCNet head/middle/tail: the buckets partition each language's
+    docs, sizes are within tie-slack of thirds, and mean cross-entropy
+    is monotone head <= middle <= tail (head = best quality)."""
+    import __spark_entry__ as E
+    from tests.conftest import SF001
+
+    rows = E.queries()["td_ccnet_perplexity_buckets"](spark, SF001).collect()
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    per_lang = {
+        r["lang"]: r["n"] for r in
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    assert set(by_lang) == set(per_lang)
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        assert sum(b["n_docs"] for b in buckets.values()) == per_lang[lang]
+        # value-cut at the tercile order statistic: head holds at least
+        # a third (ties at the cut can only grow it)
+        assert buckets["head"]["n_docs"] >= per_lang[lang] // 3
+        means = [
+            buckets[k]["mean_xent"]
+            for k in ("head", "middle", "tail") if k in buckets
+        ]
+        assert means == sorted(means)
+
+
+def test_ppm_nn_resize_matches_python_model(spark):
+    """resize_ppm_items vs an independent pure-Python NN resample of the
+    same closed-form pixel plane (no numpy gather, no SQL)."""
+    from tests.conftest import SF001
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").limit(40)
+    media = multimodal.synth_ppm_media(docs)
+    got = {
+        r["doc_id"]: (r["out_width"], r["out_height"], r["sum_rgb"])
+        for r in multimodal.resize_ppm_items(media, max_side=4).collect()
+    }
+    for doc_id in got:
+        i = int(doc_id)
+        w, h = 4 + i % 8, 3 + i % 5
+        longest = max(w, h)
+        ow, oh = max(w * 4 // longest, 1), max(h * 4 // longest, 1)
+        total = 0
+        for y in range(oh):
+            for x in range(ow):
+                si = (y * h // oh) * w + (x * w // ow)
+                for c in range(3):
+                    total += (i * 7 + 3 * si + c) % 256
+        assert got[doc_id] == (ow, oh, total), doc_id
