@@ -740,3 +740,95 @@ def test_stream_ewma_equals_batch_fold(spark):
         r["event_id"]: r["ewma"] for r in ewma_smooth(ev).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _run_ttl_counter(spark, src, ckpt, qname, ttl_ms):
+    """One availableNow pass of the TTL'd counter over whatever is in
+    ``src``, resuming state from ``ckpt``; returns the emitted rows.
+    foreachBatch sink (memory sink refuses checkpoint recovery)."""
+    from busdata_pipeline_spark.streaming.stateful import count_pings_ttl_tws
+
+    rows: list = []
+    q = (
+        count_pings_ttl_tws(stream_breadcrumbs(spark, src), ttl_ms=ttl_ms)
+        .writeStream.foreachBatch(
+            lambda batch, _id: rows.extend(batch.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_tws_value_state_ttl_expires(spark, tmp_path):
+    """End-to-end proof of TTL'd ValueState through
+    transformWithStateInPandas: a trip idle past the TTL restarts from
+    zero on the next batch; a control with a long TTL resumes.  This is
+    the query-level pin of the protoshim auto-vivify fix (the
+    ``state_call_command.ttl.durationMs`` wire path) — under the broken
+    shim the TTL was silently dropped and the short-TTL leg would
+    resume instead of restarting."""
+    from busdata_pipeline_spark.streaming.stateful import (
+        ensure_protobuf_runtime,
+    )
+
+    assert ensure_protobuf_runtime(spark) in ("protobuf", "shim")
+
+    def rec(trip, act_time):
+        return json.dumps({
+            "EVENT_NO_TRIP": trip, "EVENT_NO_STOP": 1,
+            "OPD_DATE": "25DEC2022:00:00:00", "VEHICLE_ID": 1,
+            "METERS": 1.0, "ACT_TIME": act_time,
+            "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6,
+        })
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    # 4 query runs x one RocksDB store per shuffle partition: keep the
+    # store count (and the test's wall time) down — 1 key in play.
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        results = {}
+        for leg, ttl_ms in (("short", 1500), ("long", 600_000)):
+            src = str(tmp_path / f"ttl_src_{leg}")
+            ckpt = str(tmp_path / f"ttl_ckpt_{leg}")
+            os.makedirs(src)
+            with open(os.path.join(src, "batch0.jsonl"), "w") as fh:
+                fh.write(rec(1, 100) + "\n" + rec(1, 160) + "\n")
+            first = _run_ttl_counter(
+                spark, src, ckpt, f"ttl_{leg}_run0", ttl_ms
+            )
+            assert [(r["n_pings"], r["resumed"]) for r in first] == [
+                (2, False)
+            ]
+            time.sleep(2.5)  # beyond the short TTL, well inside the long
+            with open(os.path.join(src, "batch1.jsonl"), "w") as fh:
+                fh.write(rec(1, 220) + "\n")
+            second = _run_ttl_counter(
+                spark, src, ckpt, f"ttl_{leg}_run1", ttl_ms
+            )
+            results[leg] = [
+                (r["n_pings"], r["resumed"]) for r in second
+            ]
+        # idle past TTL: state expired, count restarts
+        assert results["short"] == [(1, False)]
+        # same flow, long TTL: state survives the gap and resumes
+        assert results["long"] == [(3, True)]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
