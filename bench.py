@@ -78,6 +78,10 @@ HEADLINERS = [
     "td_countmin",                 # CMS counter grid + top-20 point queries
     "td_random_projection",        # JL sign projection (int64 mapInArrow GEMM)
     "rel_label_propagation",       # weighted sync LPA argmax rounds
+    # round-8 wave 2 (earlier keys unchanged for deltas)
+    "etl_warc_roundtrip",          # WARC container write + binaryFile parse
+    "td_ccnet_perplexity_buckets", # per-lang perplexity tercile split
+    "td_multimodal_resize",        # real NN pixel resample (mapInPandas)
 ]
 
 

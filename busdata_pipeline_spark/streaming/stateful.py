@@ -294,3 +294,100 @@ def count_pings_ttl_tws(stream: DataFrame, ttl_ms: int,
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+#: Emitted ONLY when a session closes (idle gap exceeded) — the
+#: emit-once-on-close shape built-in session_window aggregation cannot
+#: express (it re-emits per update in update mode).
+SESSION_CLOSED = T.StructType([
+    T.StructField("trip_id", T.LongType()),
+    T.StructField("n_pings", T.LongType()),
+    T.StructField("closed_by", T.StringType()),  # 'timer' | 'gap_on_input'
+])
+
+#: per-key session state: ping count + last-seen processing time (ms).
+_SESS_STATE = "n bigint, last_seen bigint"
+
+
+class SessionCloseProcessor(StatefulProcessor):
+    """Timer-driven sessionization: one output row per CLOSED session.
+
+    Two close paths, so semantics do not depend on the engine's
+    input-vs-timer ordering inside a micro-batch:
+
+    - ``handleInputRows``: if the stored session is already stale
+      (now - last_seen >= gap), the old session closes inline
+      (``closed_by='gap_on_input'``) and a fresh one starts with this
+      batch's pings.  A new timer is registered at now+gap; the old
+      one is deleted so it cannot double-close.
+    - ``handleExpiredTimer``: pure-idle close (``closed_by='timer'``)
+      — fires only when no newer traffic re-registered the timer; a
+      stale timer racing a just-refreshed session is detected by
+      expiry < last_seen + gap and ignored.
+
+    State is two scalars per live key and is CLEARED on close — at
+    100 TB of stream history the store holds only currently-open
+    sessions, the bounded-state contract timers exist to enforce."""
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", _SESS_STATE)
+
+    def _close_row(self, trip_id, n, how):
+        return pd.DataFrame({
+            "trip_id": [trip_id], "n_pings": [n], "closed_by": [how],
+        })
+
+    def handleInputRows(self, key, rows, timer_values):
+        (trip_id,) = key
+        now = timer_values.getCurrentProcessingTimeInMs()
+        n_new = sum(len(pdf) for pdf in rows)
+        if self._sess.exists():
+            n_old, last_seen = (int(v) for v in self._sess.get())
+            if now - last_seen >= self._gap_ms:
+                # stale session: close it inline, start fresh
+                yield self._close_row(trip_id, n_old, "gap_on_input")
+                n_old = 0
+            n_total = n_old + n_new
+        else:
+            n_total = n_new
+        for t in list(self._handle.listTimers()):  # snapshot before delete
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(now + self._gap_ms)
+        self._sess.update((n_total, now))
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # (pyspark invokes this hook with keyword arguments, so the
+        # parameter names must match the API's camelCase exactly)
+        (trip_id,) = key
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        if not self._sess.exists():
+            return
+        n, last_seen = (int(v) for v in self._sess.get())
+        if expiry < last_seen + self._gap_ms:
+            return  # stale timer; a newer one owns this session
+        self._sess.clear()
+        yield self._close_row(trip_id, n, "timer")
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_with_timers(stream: DataFrame, gap_ms: int,
+                           trip_col: str = "EVENT_NO_TRIP") -> DataFrame:
+    """transformWithStateInPandas sessionizer emitting one row per
+    closed session via processing-time TIMERS — the
+    registerTimer/handleExpiredTimer leg of the stateful API
+    (streaming/windows.py's session_window aggregation is the
+    declarative sibling; this shape is for close-side effects and
+    emit-once contracts)."""
+    ensure_protobuf_runtime(stream.sparkSession)
+    return stream.groupBy(trip_col).transformWithStateInPandas(
+        statefulProcessor=SessionCloseProcessor(gap_ms),
+        outputStructType=SESSION_CLOSED,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

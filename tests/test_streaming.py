@@ -742,9 +742,25 @@ def test_stream_ewma_equals_batch_fold(spark):
     assert got == want and len(got) > 0
 
 
-def _run_ttl_counter(spark, src, ckpt, qname, ttl_ms):
-    """One availableNow pass of the TTL'd counter over whatever is in
-    ``src``, resuming state from ``ckpt``; returns the emitted rows.
+def _drain_tws(q, rows, min_rows, min_input, timeout=90):
+    """Poll a ProcessingTime-timeMode TWS query until it has consumed
+    ``min_input`` rows and emitted ``min_rows``, then stop it.  An
+    availableNow trigger does NOT self-terminate under ProcessingTime
+    time mode (the engine keeps scheduling batches for pending
+    timers/TTL), so awaitTermination alone burns its whole timeout."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        seen = sum(p.numInputRows for p in q.recentProgress)
+        if seen >= min_input and len(rows) >= min_rows:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+
+
+def _run_ttl_counter(spark, src, ckpt, ttl_ms, min_input):
+    """One pass of the TTL'd counter over whatever is in ``src``,
+    resuming state from ``ckpt``; returns the emitted rows.
     foreachBatch sink (memory sink refuses checkpoint recovery)."""
     from busdata_pipeline_spark.streaming.stateful import count_pings_ttl_tws
 
@@ -759,7 +775,7 @@ def _run_ttl_counter(spark, src, ckpt, qname, ttl_ms):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_tws(q, rows, min_rows=1, min_input=min_input)
     return rows
 
 
@@ -805,18 +821,14 @@ def test_tws_value_state_ttl_expires(spark, tmp_path):
             os.makedirs(src)
             with open(os.path.join(src, "batch0.jsonl"), "w") as fh:
                 fh.write(rec(1, 100) + "\n" + rec(1, 160) + "\n")
-            first = _run_ttl_counter(
-                spark, src, ckpt, f"ttl_{leg}_run0", ttl_ms
-            )
+            first = _run_ttl_counter(spark, src, ckpt, ttl_ms, min_input=2)
             assert [(r["n_pings"], r["resumed"]) for r in first] == [
                 (2, False)
             ]
             time.sleep(2.5)  # beyond the short TTL, well inside the long
             with open(os.path.join(src, "batch1.jsonl"), "w") as fh:
                 fh.write(rec(1, 220) + "\n")
-            second = _run_ttl_counter(
-                spark, src, ckpt, f"ttl_{leg}_run1", ttl_ms
-            )
+            second = _run_ttl_counter(spark, src, ckpt, ttl_ms, min_input=1)
             results[leg] = [
                 (r["n_pings"], r["resumed"]) for r in second
             ]
@@ -824,6 +836,96 @@ def test_tws_value_state_ttl_expires(spark, tmp_path):
         assert results["short"] == [(1, False)]
         # same flow, long TTL: state survives the gap and resumes
         assert results["long"] == [(3, True)]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_tws_timer_session_close(spark, tmp_path):
+    """Timer-driven sessionization (registerTimer/handleExpiredTimer):
+    sessions emit exactly once, on close.  A trip idle past the gap with
+    NO new traffic closes via its timer; a trip whose next ping arrives
+    after the gap closes its old session exactly once (timer or
+    gap-on-input, whichever the engine runs first) and opens a new one
+    that stays unemitted.
+
+    The gap must exceed run 1's lifetime after its data batch: under
+    ProcessingTime time mode the engine keeps scheduling batches past
+    the data, and a gap smaller than that window closes every session
+    inside run 1 (observed with 1.5 s) — correct semantics, useless
+    test.  _drain_tws stops the query within a poll tick of the data
+    batch committing, so 20 s clears it with a wide margin."""
+    from busdata_pipeline_spark.streaming.stateful import (
+        ensure_protobuf_runtime,
+        sessionize_with_timers,
+    )
+
+    assert ensure_protobuf_runtime(spark) in ("protobuf", "shim")
+
+    def rec(trip, act_time):
+        return json.dumps({
+            "EVENT_NO_TRIP": trip, "EVENT_NO_STOP": 1,
+            "OPD_DATE": "25DEC2022:00:00:00", "VEHICLE_ID": 1,
+            "METERS": 1.0, "ACT_TIME": act_time,
+            "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6,
+        })
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src)
+
+    def run(min_rows, min_input):
+        rows: list = []
+        q = (
+            sessionize_with_timers(
+                stream_breadcrumbs(spark, src), gap_ms=20_000
+            )
+            .writeStream.foreachBatch(
+                lambda batch, _id: rows.extend(batch.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_tws(q, rows, min_rows=min_rows, min_input=min_input)
+        return rows
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        with open(os.path.join(src, "batch0.jsonl"), "w") as fh:
+            fh.write("\n".join(
+                [rec(1, 100), rec(1, 160), rec(2, 100)]
+            ) + "\n")
+        # run 1 stops right after its data batch commits (well inside
+        # the 20 s gap), so both sessions are still open.
+        first = run(min_rows=0, min_input=3)
+        assert first == []  # both sessions open: nothing emitted
+        time.sleep(25)  # idle past the 20 s gap
+        with open(os.path.join(src, "batch1.jsonl"), "w") as fh:
+            fh.write(rec(2, 220) + "\n")
+        second = run(min_rows=2, min_input=1)
+        closed = {(r["trip_id"], r["n_pings"]) for r in second}
+        # trip 1: pure-idle close (2 pings) — must be the timer path.
+        # trip 2: old 1-ping session closes once; new session unemitted.
+        assert closed == {(1, 2), (2, 1)}, second
+        by_trip = {r["trip_id"]: r["closed_by"] for r in second}
+        assert by_trip[1] == "timer"
+        assert by_trip[2] in ("timer", "gap_on_input")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev is None:
