@@ -84,6 +84,7 @@ SCALAR_EXPANSION_BNLJ = {
     "td_dedup_summary",               # 1-row total-docs aggregate
     "td_tfidf_top_terms",             # 1-row corpus doc count (idf)
     "td_unigram_logprob",             # 1-row corpus token total (ln N)
+    "td_ccnet_perplexity_buckets",    # same 1-row token-total broadcast
     "td_ivf_ann",                     # queries × nlist centroids routing
     "rel_q11_important_parts",        # 1-row global value-sum threshold
     "td_mixture_resample",            # 1-row feasible-total (T) broadcast
