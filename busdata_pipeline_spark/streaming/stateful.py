@@ -391,3 +391,102 @@ def sessionize_with_timers(stream: DataFrame, gap_ms: int,
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+#: Emitted by the event-time timeout detector.
+TRIP_TIMEOUT = T.StructType([
+    T.StructField("trip_id", T.LongType()),
+    T.StructField("first_time", T.LongType()),   # ACT_TIME of first ping
+    T.StructField("n_pings", T.LongType()),      # pings seen before verdict
+    T.StructField("outcome", T.StringType()),    # 'completed' | 'timed_out'
+])
+
+_TIMEOUT_STATE = "first_ms bigint, first_act bigint, n bigint"
+
+
+class TripTimeoutProcessor(StatefulProcessor):
+    """EVENT-TIME timer CEP pattern: a trip whose first ping gets no
+    follow-up within ``gap_ms`` of EVENT time is flagged ``timed_out``
+    when the watermark passes first_ts+gap; a follow-up arriving first
+    deletes the pending timer and emits ``completed``.  Unlike the
+    processing-time sessionizer this is fully deterministic under
+    replay — timers fire on watermark advancement (data-driven), never
+    wall clock, so the same files in the same batch order give the same
+    verdicts.  The stuck-vehicle / abandoned-checkout monitor shape:
+    per-key state is three scalars, cleared on verdict."""
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState("first", _TIMEOUT_STATE)
+
+    def handleInputRows(self, key, rows, timer_values):
+        (trip_id,) = key
+        pdfs = [pdf for pdf in rows]
+        n_new = sum(len(pdf) for pdf in pdfs)
+        ts_ms = min(
+            int(pdf["tstamp"].min().value // 1_000_000) for pdf in pdfs
+        )
+        first_act = min(int(pdf["ACT_TIME"].min()) for pdf in pdfs)
+        if not self._st.exists():
+            self._st.update((ts_ms, first_act, n_new))
+            self._handle.registerTimer(ts_ms + self._gap_ms)
+            return
+        first_ms, f_act, n = (int(v) for v in self._st.get())
+        self._handle.deleteTimer(first_ms + self._gap_ms)
+        if ts_ms - first_ms > self._gap_ms:
+            # the follow-up itself proves the deadline passed (EVENT
+            # time) — verdict by data, not by which batch the watermark
+            # advanced in, so replays with different batch splits agree;
+            # the late ping opens a fresh episode.
+            self._st.update((ts_ms, first_act, n_new))
+            self._handle.registerTimer(ts_ms + self._gap_ms)
+            yield pd.DataFrame({
+                "trip_id": [trip_id], "first_time": [f_act],
+                "n_pings": [n], "outcome": ["timed_out"],
+            })
+            return
+        self._st.clear()
+        yield pd.DataFrame({
+            "trip_id": [trip_id], "first_time": [f_act],
+            "n_pings": [n + n_new], "outcome": ["completed"],
+        })
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (trip_id,) = key
+        if not self._st.exists():
+            return
+        first_ms, f_act, n = (int(v) for v in self._st.get())
+        if expiredTimerInfo.getExpiryTimeInMs() < first_ms + self._gap_ms:
+            return  # stale timer from an earlier incarnation
+        self._st.clear()
+        yield pd.DataFrame({
+            "trip_id": [trip_id], "first_time": [f_act],
+            "n_pings": [n], "outcome": ["timed_out"],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def detect_trip_timeouts(stream: DataFrame, gap_ms: int,
+                         watermark_delay: str = "10 seconds",
+                         trip_col: str = "EVENT_NO_TRIP") -> DataFrame:
+    """transformWithStateInPandas with EVENT-TIME timers over the
+    breadcrumb stream: decodes ``tstamp`` (ingest.with_event_date),
+    applies the watermark, and runs the timeout detector.  Timers fire
+    when the WATERMARK (not the wall clock) passes their expiry, and
+    the follow-up verdict compares event times directly — replays are
+    deterministic end to end."""
+    from busdata_pipeline_spark.streaming.ingest import with_event_date
+
+    ensure_protobuf_runtime(stream.sparkSession)
+    ev = with_event_date(stream).withWatermark("tstamp", watermark_delay)
+    return ev.groupBy(trip_col).transformWithStateInPandas(
+        statefulProcessor=TripTimeoutProcessor(gap_ms),
+        outputStructType=TRIP_TIMEOUT,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

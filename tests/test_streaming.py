@@ -934,3 +934,83 @@ def test_tws_timer_session_close(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_tws_event_time_timer_timeouts(spark, tmp_path):
+    """EVENT-TIME timers (watermark-driven, zero wall-clock coupling):
+    a trip whose first ping gets no follow-up within 10 EVENT-time
+    minutes is flagged when the watermark passes its deadline; a trip
+    with a prompt follow-up completes; a trip still inside its window
+    stays unjudged.  Deterministic under replay — no sleeps anywhere."""
+    from busdata_pipeline_spark.streaming.stateful import (
+        detect_trip_timeouts,
+        ensure_protobuf_runtime,
+    )
+
+    assert ensure_protobuf_runtime(spark) in ("protobuf", "shim")
+
+    def rec(trip, act_time):
+        return json.dumps({
+            "EVENT_NO_TRIP": trip, "EVENT_NO_STOP": 1,
+            "OPD_DATE": "25DEC2022:00:00:00", "VEHICLE_ID": 1,
+            "METERS": 1.0, "ACT_TIME": act_time,
+            "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6,
+        })
+
+    src = str(tmp_path / "to_src")
+    os.makedirs(src)
+    # batch 0: trips 1 and 2 start at t=1000
+    f0 = os.path.join(src, "a0.jsonl")
+    with open(f0, "w") as fh:
+        fh.write(rec(1, 1000) + "\n" + rec(2, 1000) + "\n")
+    # batch 1: trip 1 follows up at +120 s (completes); trip 3's ping at
+    # t=4600 advances the watermark to 4590 — past trip 2's 1600
+    # deadline (timed_out fires) but inside trip 3's own window.
+    f1 = os.path.join(src, "b1.jsonl")
+    with open(f1, "w") as fh:
+        fh.write(rec(1, 1120) + "\n" + rec(3, 4600) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 600, now - 600))
+    os.utime(f1, (now, now))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        rows: list = []
+        q = (
+            detect_trip_timeouts(
+                stream_breadcrumbs(spark, src, max_files_per_trigger=1),
+                gap_ms=600_000,
+            )
+            .writeStream.foreachBatch(
+                lambda batch, _id: rows.extend(batch.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "to_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_tws(q, rows, min_rows=2, min_input=4)
+        verdicts = {
+            r["trip_id"]: (r["n_pings"], r["outcome"]) for r in rows
+        }
+        assert verdicts == {1: (2, "completed"), 2: (1, "timed_out")}
+        # first_time carries the opening ping's ACT_TIME
+        firsts = {r["trip_id"]: r["first_time"] for r in rows}
+        assert firsts == {1: 1000, 2: 1000}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
