@@ -29,6 +29,7 @@ import busdata_pipeline_spark.plans.scalar_suites  # noqa: F401
 import busdata_pipeline_spark.plans.sketch_filters  # noqa: F401
 import busdata_pipeline_spark.plans.spatial  # noqa: F401
 import busdata_pipeline_spark.plans.sql_twins  # noqa: F401
+import busdata_pipeline_spark.plans.stats_tests  # noqa: F401
 import busdata_pipeline_spark.plans.streaming_windows  # noqa: F401
 import busdata_pipeline_spark.plans.temporal  # noqa: F401
 import busdata_pipeline_spark.plans.training_data  # noqa: F401

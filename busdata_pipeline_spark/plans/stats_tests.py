@@ -1,0 +1,379 @@
+"""Distribution-comparison statistics and referential-integrity audits.
+
+The reference validates its loads with ad-hoc SQL checks
+(analytic.sql:1-190 is a battery of profile queries over the warehouse);
+this module packages the statistician's versions of those checks as
+first-class, oracle-verified operators:
+
+- ``rel_mannwhitney_value`` / ``rel_ks_2sample`` — nonparametric
+  two-sample tests (rank-sum and ECDF-distance) between event cohorts,
+  the robust complement to the parametric ``rel_ab_welch_ttest``.
+- ``rel_autocorr_daily`` — ACF of the daily revenue series at lags 1-7,
+  the seasonality probe behind ``rel_seasonal_decompose``.
+- ``etl_fk_integrity_audit`` — orphan detection across every FK edge of
+  the star schema (the load-audit counterpart of data_collector.py's
+  assert-based record validation).
+
+Float discipline (established across rounds): every statistic is built
+from BIGINT counts / early-quantized BIGINT cents; doubles appear only
+in the final closed-form expression, written with the identical
+operation order on both engines, then ROUND 6 (+0.0 via
+registry.normalize_output).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.sources import table
+
+
+def _ranked_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared shape for the rank tests: the click-vs-view ``value``
+    samples collapsed to one row per distinct value with per-group
+    counts.  groupBy(value) is the only corpus-sized shuffle; the
+    distinct-value relation it emits is what the single-partition
+    window sorts, and that is bounded by the measurement domain (a
+    6-decimal sensor reading), not the row count.  At 100 TB the same
+    two-pass prefix-sum trick rel_running_distinct_users documents
+    applies; at any realistic domain size one task sorting distinct
+    values is cheap."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("event_type").isin("click", "view")
+    )
+    return ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("long").alias("n1v"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("long").alias("n2v"),
+    )
+
+
+_TWO_SAMPLE_CTE = """
+ev AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND event_type IN ('click', 'view')),
+pv AS (
+  SELECT value,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1v,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2v
+  FROM ev GROUP BY value)
+"""
+
+
+@query(
+    "rel_mannwhitney_value",
+    # Tie-corrected Mann-Whitney U via per-distinct-value average ranks:
+    # avg_rank(v) = cnt_less + (nv+1)/2, carried as 2*R1 so every
+    # aggregate stays BIGINT-exact; the z closed form is the only double
+    # arithmetic, identical op order on both engines.
+    oracle="""
+WITH """ + _TWO_SAMPLE_CTE + """,
+r AS (
+  SELECT n1v, n2v, n1v + n2v AS nv,
+    CAST(COALESCE(SUM(n1v + n2v) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lt
+  FROM pv),
+a AS (
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(n2v) AS BIGINT) AS n2,
+    CAST(SUM(n1v * (2 * lt + nv + 1)) AS BIGINT) AS two_r1,
+    CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tie_t
+  FROM a_src)
+SELECT n1, n2,
+  CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+  ROUND(
+    (CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+       - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+       * (CAST(n1 + n2 + 1 AS DOUBLE)
+          - CAST(tie_t AS DOUBLE)
+            / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+    6) AS z_score
+FROM a
+""".replace("FROM a_src", "FROM r"),
+)
+def rel_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (tie-corrected normal approximation)
+    comparing the click vs view ``value`` distributions — the
+    nonparametric sibling of rel_ab_welch_ttest for the same A/B
+    question when normality can't be assumed.  Average ranks are exact
+    rationals carried as 2*R1 in BIGINT (ranks of ties are halves), the
+    tie correction sums nv^3-nv per distinct value, and only the final
+    z expression touches doubles."""
+    pv = _ranked_two_sample(spark, sf_dir)
+    w_less = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = pv.select(
+        "n1v",
+        "n2v",
+        (F.col("n1v") + F.col("n2v")).alias("nv"),
+        F.coalesce(
+            F.sum(F.col("n1v") + F.col("n2v")).over(w_less), F.lit(0)
+        ).cast("long").alias("lt"),
+    )
+    a = r.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n2v").cast("long").alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("lt") + F.col("nv") + 1)
+        ).cast("long").alias("two_r1"),
+        F.sum(
+            F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")
+        ).cast("long").alias("tie_t"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / F.lit(2.0)
+    sigma = F.sqrt(
+        n1d * n2d / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("tie_t").cast("double")
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1).cast("double")
+            )
+        )
+    )
+    return a.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - n1d * n2d / F.lit(2.0)) / sigma, 6).alias("z_score"),
+    )
+
+
+@query(
+    "rel_ks_2sample",
+    # KS D as an integer argmax: max |c1*n2 - c2*n1| over the pooled
+    # ECDF steps (BIGINT-exact), divided once at the end.  Group totals
+    # come from an unbounded frame over the SAME window sort — no extra
+    # exchange, no scalar cross join.
+    oracle="""
+WITH """ + _TWO_SAMPLE_CTE + """,
+c AS (
+  SELECT
+    CAST(SUM(n1v) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+    CAST(SUM(n2v) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2,
+    CAST(SUM(n1v) OVER () AS BIGINT) AS n1,
+    CAST(SUM(n2v) OVER () AS BIGINT) AS n2
+  FROM pv)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+  ROUND(CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)), 6) AS d_stat
+FROM c
+""",
+)
+def rel_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    view ``value`` distributions: D = max_x |F1(x) - F2(x)|, computed
+    as the BIGINT argmax of |c1*n2 - c2*n1| over the pooled ECDF steps
+    so the comparison is exact and the single division happens once at
+    the end.  Shares rel_mannwhitney_value's one-shuffle shape; the
+    group totals ride the same window sort via an unbounded frame."""
+    pv = _ranked_two_sample(spark, sf_dir)
+    w_cum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = pv.select(
+        F.sum("n1v").over(w_cum).cast("long").alias("c1"),
+        F.sum("n2v").over(w_cum).cast("long").alias("c2"),
+        F.sum("n1v").over(w_all).cast("long").alias("n1"),
+        F.sum("n2v").over(w_all).cast("long").alias("n2"),
+    )
+    return c.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).cast("double")
+            / (
+                F.max("n1").cast("double") * F.max("n2").cast("double")
+            ),
+            6,
+        ).alias("d_stat"),
+    )
+
+
+@query(
+    "rel_autocorr_daily",
+    # Daily revenue quantized to whole thousands (integer division of
+    # exact per-row cents — FLOOR(x*100+0.5) is the established
+    # per-row quantization) so every lag-L moment sum is BIGINT-exact;
+    # the Pearson closed form is the only double arithmetic.
+    oracle="""
+WITH day_rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      // 100000 AS x
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT l.lag, x,
+    LAG(x, l.lag) OVER (PARTITION BY l.lag ORDER BY d) AS y
+  FROM day_rev CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l),
+m AS (
+  SELECT CAST(lag AS INTEGER) AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM lagged WHERE y IS NOT NULL GROUP BY lag)
+SELECT lag, n,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+FROM m ORDER BY lag
+""",
+)
+def rel_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at lags 1-7 —
+    the weekly-seasonality probe that motivates rel_seasonal_decompose.
+    The series is one row per calendar day (corpus-independent length:
+    ~2,400 points for the 1995-2001 span no matter the SF), so the
+    per-lag windows are trivially cheap; the corpus-sized work is the
+    single groupBy(day) partial-aggregate scan.  Revenue is quantized
+    to whole thousands via exact integer arithmetic so all moment sums
+    are BIGINT and both engines feed identical doubles to the Pearson
+    closed form."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000")
+        .cast("long")
+        .alias("x")
+    )
+    _ = cents  # per-row quantization documented above; inlined in expr
+    # Spark's lag() needs a literal offset — build the 7 series as
+    # explicit per-lag columns over ONE window sort, then stack.
+    w1 = Window.orderBy("d")
+    cols = day_rev.select(
+        "x",
+        *[F.lag("x", k).over(w1).alias(f"y{k}") for k in range(1, 8)],
+    )
+    stacked = cols.select(
+        F.expr(
+            "stack(7, "
+            + ", ".join(f"{k}, x, y{k}" for k in range(1, 8))
+            + ") AS (lag, x, y)"
+        )
+    ).where(F.col("y").isNotNull())
+    m = stacked.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "lag", "n", F.round(num / den, 6).alias("acf")
+    ).orderBy("lag")
+
+
+_FK_EDGES = [
+    # (edge label, child table, fk col, parent table, pk col)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def _fk_edge_sql(edge: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{edge}' AS edge,
+  CAST(SUM(c) AS BIGINT) AS child_rows,
+  CAST(COUNT(*) AS BIGINT) AS distinct_child_keys,
+  CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS orphan_keys,
+  CAST(SUM(CASE WHEN p.{pk} IS NULL THEN c ELSE 0 END) AS BIGINT)
+    AS orphan_rows
+FROM (SELECT {fk} AS k, CAST(COUNT(*) AS BIGINT) AS c FROM {child}
+      WHERE {fk} IS NOT NULL GROUP BY {fk}) ck
+LEFT JOIN {parent} p ON p.{pk} = ck.k"""
+
+
+@query(
+    "etl_fk_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        _fk_edge_sql(*e) for e in _FK_EDGES
+    ) + "\nORDER BY edge",
+)
+def etl_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: per edge, the child row/key counts and how many keys/rows
+    point at a missing parent.  This is the post-load validation the
+    reference does with assert-per-record in data_collector.py
+    (validate_* checks), reshaped into one declarative pass per edge:
+    the child side collapses to per-key counts FIRST (one partial-agg
+    shuffle on the key — the relation the join sees is key-cardinality,
+    not row-cardinality), then a single left join against the parent
+    key column classifies orphans.  Tiny dims (nation, region) hit
+    broadcast joins automatically; the fact-fact edge (lineitem→orders)
+    is a key-collapsed shuffle join AQE can skew-split.  No edge ever
+    materializes orphan ROWS — only their counts — so the audit output
+    is 7 rows at any corpus size."""
+    frames = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        ck = (
+            table(spark, sf_dir, child)
+            .where(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        pk_col = (
+            table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+        )
+        joined = ck.join(pk_col, ck.k == pk_col.pk, "left")
+        frames.append(
+            joined.agg(
+                F.lit(edge).alias("edge"),
+                F.sum("c").cast("long").alias("child_rows"),
+                F.count(F.lit(1)).cast("long").alias("distinct_child_keys"),
+                F.sum(
+                    F.when(F.col("pk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("orphan_keys"),
+                F.sum(
+                    F.when(F.col("pk").isNull(), F.col("c")).otherwise(0)
+                ).cast("long").alias("orphan_rows"),
+            )
+        )
+    return reduce(DataFrame.unionAll, frames).orderBy("edge")

@@ -1,0 +1,147 @@
+"""Semantic pins for the distribution-test / FK-audit tier
+(plans/stats_tests.py) — the invariants an oracle diff can't isolate:
+the MWU statistic against a hand-computed tie-heavy example, KS bounds
+and sensitivity, ACF range and lag-0 degeneracy, and the FK audit
+actually catching planted orphans.  Oracle parity itself is covered by
+test_oracle_parity / driver_sim."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+import busdata_pipeline_spark.plans.stats_tests  # noqa: F401  (registers)
+from busdata_pipeline_spark.plans.registry import QUERIES
+
+
+def _mwu_reference(x1: list[float], x2: list[float]):
+    """Textbook tie-corrected MWU (z from the normal approximation)."""
+    pooled = sorted([(v, 1) for v in x1] + [(v, 2) for v in x2])
+    n = len(pooled)
+    ranks: dict[int, float] = {}
+    i = 0
+    r1 = 0.0
+    tie_t = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0  # ranks i+1..j
+        t = j - i
+        tie_t += t * t * t - t
+        for k in range(i, j):
+            if pooled[k][1] == 1:
+                r1 += avg_rank
+        i = j
+    n1, n2 = len(x1), len(x2)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    sigma = math.sqrt(
+        n1 * n2 / 12.0 * ((n + 1) - tie_t / (n * (n - 1)))
+    )
+    return u1, (u1 - mu) / sigma
+
+
+def test_mwu_matches_textbook_on_events(spark, sf_dir):
+    row = QUERIES["rel_mannwhitney_value"](spark, sf_dir).collect()[0]
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & F.col("event_type").isin("click", "view")
+        )
+        .select("event_type", "value")
+        .collect()
+    )
+    x1 = [r["value"] for r in ev if r["event_type"] == "click"]
+    x2 = [r["value"] for r in ev if r["event_type"] == "view"]
+    u1, z = _mwu_reference(x1, x2)
+    assert row["n1"] == len(x1) and row["n2"] == len(x2)
+    assert abs(row["u1"] - u1) < 1e-6
+    assert abs(row["z_score"] - round(z, 6)) < 2e-6
+
+
+def test_mwu_u_bounds(spark, sf_dir):
+    row = QUERIES["rel_mannwhitney_value"](spark, sf_dir).collect()[0]
+    # 0 <= U1 <= n1*n2 always
+    assert 0.0 <= row["u1"] <= row["n1"] * row["n2"]
+
+
+def test_ks_matches_textbook_on_events(spark, sf_dir):
+    row = QUERIES["rel_ks_2sample"](spark, sf_dir).collect()[0]
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & F.col("event_type").isin("click", "view")
+        )
+        .select("event_type", "value")
+        .collect()
+    )
+    x1 = sorted(r["value"] for r in ev if r["event_type"] == "click")
+    x2 = sorted(r["value"] for r in ev if r["event_type"] == "view")
+    values = sorted(set(x1) | set(x2))
+    import bisect
+
+    d = 0.0
+    for v in values:
+        f1 = bisect.bisect_right(x1, v) / len(x1)
+        f2 = bisect.bisect_right(x2, v) / len(x2)
+        d = max(d, abs(f1 - f2))
+    assert 0.0 <= row["d_stat"] <= 1.0
+    assert abs(row["d_stat"] - round(d, 6)) < 2e-6
+
+
+def test_autocorr_shape_and_range(spark, sf_dir):
+    rows = QUERIES["rel_autocorr_daily"](spark, sf_dir).collect()
+    assert [r["lag"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    # pair counts strictly decrease by one per extra lag step
+    ns = [r["n"] for r in rows]
+    assert all(ns[i] == ns[i + 1] + 1 for i in range(6))
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+
+
+def test_fk_audit_clean_on_generated_data(spark, sf_dir):
+    rows = QUERIES["etl_fk_integrity_audit"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    by_edge = {r["edge"]: r for r in rows}
+    # generator data is referentially intact
+    assert all(r["orphan_keys"] == 0 and r["orphan_rows"] == 0 for r in rows)
+    li = by_edge["lineitem.l_orderkey->orders"]
+    assert li["child_rows"] >= li["distinct_child_keys"] > 0
+
+
+def test_fk_audit_catches_planted_orphans(spark, sf_dir, tmp_path):
+    """Plant orphan FK rows in a copied sf dir and assert the audit
+    counts them exactly (keys and rows separately)."""
+    import shutil
+
+    d = str(tmp_path / "sfcorrupt")
+    shutil.copytree(sf_dir, d)
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    bad = li.limit(3).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(10**12)
+    )
+    # two rows share one bogus key, one row gets another
+    bad = bad.withColumn(
+        "l_orderkey",
+        F.when(
+            F.col("l_linenumber") % 2 == 0, F.col("l_orderkey") + 1
+        ).otherwise(F.col("l_orderkey")),
+    )
+    planted = li.unionAll(bad)
+    # materialize BEFORE replacing the file the lazy plans read
+    n_bad_keys = bad.select("l_orderkey").distinct().count()
+    planted.write.mode("overwrite").parquet(f"{d}/lineitem_new.parquet")
+    import os
+
+    os.remove(f"{d}/lineitem.parquet")  # source sf dirs hold plain files
+    shutil.move(f"{d}/lineitem_new.parquet", f"{d}/lineitem.parquet")
+    rows = QUERIES["etl_fk_integrity_audit"](spark, d).collect()
+    rec = {r["edge"]: r for r in rows}["lineitem.l_orderkey->orders"]
+    assert rec["orphan_rows"] == 3
+    assert rec["orphan_keys"] == n_bad_keys
