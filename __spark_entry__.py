@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing the plan modules registers their queries.
 import busdata_pipeline_spark.plans.analytics  # noqa: F401
 import busdata_pipeline_spark.plans.census  # noqa: F401
+import busdata_pipeline_spark.plans.curation_ext  # noqa: F401
 import busdata_pipeline_spark.plans.dup_spans  # noqa: F401
 import busdata_pipeline_spark.plans.etl_windows  # noqa: F401
 import busdata_pipeline_spark.plans.formats  # noqa: F401

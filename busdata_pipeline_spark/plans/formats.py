@@ -415,3 +415,85 @@ def etl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "etl_csv_roundtrip",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS total_value,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       CAST(SUM(length(props)) AS BIGINT) AS props_chars,
+       CAST(MAX(hour(ts)) AS INTEGER) AS max_hour
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV format parity end-to-end, the hostile-row edition: events
+    (whose ``props`` JSON embeds the separator AND the quote char) are
+    written to RFC-4180-style CSV with explicit quote/escape/null
+    options, read back under an explicit schema with the symmetric
+    options, and the day-3 profile from that scan is hash-checked
+    against DuckDB on the original parquet.  The profile is chosen to
+    trip every classic CSV lossiness: quote mangling (props_chars),
+    null-vs-empty conflation (n_null_value vs the '\\\\N' marker),
+    double formatting (total_value — Spark writes shortest-roundtrip
+    repr), timestamp truncation (max_hour under an explicit micros
+    format).  multiLine stays OFF so the read splits per-block at any
+    scale — embedded newlines belong in quoted parquet/WARC payloads,
+    not CSV interchange (documented constraint)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events")
+    opts = {
+        "header": "true",
+        "quote": '"',
+        "escape": '"',  # RFC 4180 doubled-quote escaping
+        "nullValue": "\\N",
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    }
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="csv_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        w = ev.write.mode("overwrite")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.csv(path)
+        r = spark.read.schema(schema)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        back = r.csv(path)
+        return (
+            back.where(F.col("ts").cast("date") == F.lit("2024-01-03").cast("date"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+                F.sum(
+                    F.when(F.col("value").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_null_value"),
+                F.sum(F.length("props")).cast("long").alias("props_chars"),
+                F.max(F.hour("ts")).cast("int").alias("max_hour"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,178 @@
+"""Semantic pins for plans/curation_ext.py and the CSV roundtrip —
+the invariants an oracle diff can't isolate: normalization idempotence
+and byte-exact mode behavior, Kneser-Ney's sum-to-one property and a
+pure-Python model replay, and row-level CSV losslessness (not just the
+profile hash)."""
+
+from __future__ import annotations
+
+import math
+import unicodedata
+
+import pyspark.sql.functions as F
+
+import busdata_pipeline_spark.plans.curation_ext as cx  # noqa: F401
+import busdata_pipeline_spark.plans.formats  # noqa: F401
+from busdata_pipeline_spark.plans.registry import QUERIES
+
+
+def _clean_py(x: str) -> str:
+    import re
+
+    y = unicodedata.normalize("NFC", x)
+    for z in cx._ZW:
+        y = y.replace(z, "")
+    return re.sub(r"[ \t\r\n]+", " ", y).strip(" ")
+
+
+def test_normalize_modes_and_idempotence(spark, sf_dir):
+    rows = QUERIES["td_text_normalize"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        t = docs[r["doc_id"]]
+        mode = r["doc_id"] % 3
+        if mode == 0:
+            dirty = t.replace("a", "á")
+        elif mode == 1:
+            dirty = t + "​﻿"
+        else:
+            dirty = t.replace(" ", "\t\r\n")
+        clean = _clean_py(dirty)
+        assert r["n_dirty"] == len(dirty)
+        assert r["n_clean"] == len(clean)
+        assert r["changed"] == (dirty != clean)
+        # idempotence: a second pass is the identity
+        assert _clean_py(clean) == clean
+        # whitespace-damage mode restores the original text exactly
+        if mode == 2:
+            assert clean == t
+        # combining-acute mode composes to the precomposed á
+        if mode == 0 and "a" in t:
+            assert "́" not in clean and "á" in clean
+
+
+def _kn_reference(docs: dict[int, str]):
+    """Pure-Python interpolated KN (d=0.75) replay of the query's math,
+    including the micro-nat quantization."""
+    toks = {d: [w for w in t.strip().split(" ") if w] for d, t in docs.items()}
+    tbig: dict[tuple[str, str], int] = {}
+    for d, ws in toks.items():
+        if d % 2 == 0:
+            for a, b in zip(ws, ws[1:]):
+                tbig[(a, b)] = tbig.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    n1f: dict[str, int] = {}
+    n1p: dict[str, int] = {}
+    for (a, b), c in tbig.items():
+        c1[a] = c1.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        n1p[b] = n1p.get(b, 0) + 1
+    B = len(tbig)
+    out = {}
+    for d, ws in toks.items():
+        lpm_sum = 0
+        n = 0
+        for a, b in zip(ws, ws[1:]):
+            if a in c1:
+                p = (
+                    max(tbig.get((a, b), 0) - 0.75, 0.0)
+                    + 0.75 * n1f[a] * n1p.get(b, 1) / B
+                ) / c1[a]
+            else:
+                p = n1p.get(b, 1) / B
+            lpm_sum += math.floor(math.log(p) * 1000000 + 0.5)
+            n += 1
+        if n:
+            out[d] = (n, round(-lpm_sum / 1000000.0 / n, 6))
+    return out, (tbig, c1, n1f, n1p, B)
+
+
+def test_kn_matches_pure_python_replay(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    want, _ = _kn_reference(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in QUERIES["td_kn_bigram_logprob"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n, xent) in want.items():
+        assert got[d][0] == n
+        # Python round() is banker's, Spark ROUND is HALF_UP — allow the
+        # one-ulp-of-ROUND divergence at exact .5e-6 boundaries (the
+        # engines themselves agree: driver_sim hash-checks Spark vs
+        # DuckDB exactly).
+        assert abs(got[d][1] - xent) < 1.1e-6
+
+
+def test_kn_probabilities_sum_to_one(spark, sf_dir):
+    """The KN identity: for every seen context w1, summing P(w2|w1)
+    over the full continuation vocabulary gives exactly 1 — the
+    discount mass d·N1+(w1•) is redistributed, not lost."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    _, (tbig, c1, n1f, n1p, B) = _kn_reference(docs)
+    vocab = list(n1p.keys())
+    for w1 in list(c1.keys())[:5]:
+        total = sum(
+            (
+                max(tbig.get((w1, w2), 0) - 0.75, 0.0)
+                + 0.75 * n1f[w1] * n1p[w2] / B
+            )
+            / c1[w1]
+            for w2 in vocab
+        )
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_csv_roundtrip_row_level_lossless(spark, sf_dir, tmp_path):
+    """Beyond the registered profile hash: every column of every row
+    survives the CSV write/read byte-for-byte (quotes in props, nulls
+    vs empties, micros timestamps, shortest-repr doubles)."""
+    from pyspark.sql import types as T
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "csv")
+    opts = {
+        "header": "true",
+        "quote": '"',
+        "escape": '"',
+        "nullValue": "\\N",
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    }
+    w = ev.write.mode("overwrite")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    r = spark.read.schema(schema)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    back = r.csv(path)
+
+    a = sorted(ev.collect(), key=lambda x: x["event_id"])
+    b = sorted(back.collect(), key=lambda x: x["event_id"])
+    assert len(a) == len(b)
+    n_quoted = 0
+    for ra, rb in zip(a, b):
+        assert ra == rb
+        if ra["props"] and '"' in ra["props"]:
+            n_quoted += 1
+    assert n_quoted > 0  # the hostile rows were actually exercised
