@@ -238,9 +238,12 @@ m AS (
     CAST(SUM(x * y) AS BIGINT) AS sxy
   FROM lagged WHERE y IS NOT NULL GROUP BY lag)
 SELECT lag, n,
-  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
 FROM m ORDER BY lag
 """,
 )
@@ -284,14 +287,16 @@ def rel_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
+    # Combine the exact BIGINT moment sums in DOUBLE: n*sxx would
+    # overflow int64 at the 100x rung (measured: 2405 * 6.0e15), and a
+    # BIGINT->DOUBLE cast of identical sums is deterministic on both
+    # engines at any scale — accuracy degrades gracefully, identically.
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxxd, syyd, sxyd = (
+        F.col(c).cast("double") for c in ("sxx", "syy", "sxy")
     )
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+    num = nd * sxyd - sxd * syd
+    den = F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(nd * syyd - syd * syd)
     return m.select(
         "lag", "n", F.round(num / den, 6).alias("acf")
     ).orderBy("lag")
