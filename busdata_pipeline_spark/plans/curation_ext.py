@@ -241,3 +241,249 @@ def td_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_TOKS_CTE = """
+toks0 AS (
+  SELECT doc_id, i, t[i] AS w
+  FROM (SELECT doc_id, string_split(TRIM(text), ' ') AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) r(i)
+  WHERE t[i] <> ''),
+toks AS (
+  SELECT doc_id, w,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT)
+      AS p
+  FROM toks0)
+"""
+
+
+@query(
+    "td_span_corruption",
+    # T5-style span corruption (Raffel et al. 2020 §3.1.4): fixed-width
+    # 3-token blocks, a block is masked iff md5(doc_id:block) % 20 < 3
+    # (15% corruption rate, hash-deterministic so both engines mask the
+    # SAME spans with no RNG), masked spans collapse to <extra_id_k>
+    # sentinels in the input and expand after the sentinel in the
+    # target; md5 signatures pin both generated strings byte-for-byte.
+    oracle="""
+WITH """ + _TOKS_CTE + """,
+blk AS (
+  SELECT doc_id, w, p, p // 3 AS b,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      CAST(p // 3 AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 20 < 3
+      AS masked
+  FROM toks),
+sent AS (
+  SELECT doc_id, w, p, b, masked,
+    CASE WHEN masked THEN
+      DENSE_RANK() OVER (PARTITION BY doc_id, masked ORDER BY b) - 1
+    END AS k
+  FROM blk),
+inp AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN NOT masked THEN w
+      ELSE '<extra_id_' || CAST(k AS VARCHAR) || '>' END,
+      ' ' ORDER BY p) AS s
+  FROM sent WHERE NOT masked OR p % 3 = 0
+  GROUP BY doc_id),
+tgt AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN p % 3 = 0 THEN
+      '<extra_id_' || CAST(k AS VARCHAR) || '> ' || w ELSE w END,
+      ' ' ORDER BY p) AS s
+  FROM sent WHERE masked GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+    CAST(COUNT(DISTINCT CASE WHEN masked THEN b END) AS BIGINT) AS n_spans
+  FROM sent GROUP BY doc_id)
+SELECT agg.doc_id, n_tokens, n_masked, n_spans,
+  substr(md5(COALESCE(inp.s, '')), 1, 16) AS inp_sig,
+  substr(md5(COALESCE(tgt.s, '')), 1, 16) AS tgt_sig
+FROM agg
+LEFT JOIN inp ON inp.doc_id = agg.doc_id
+LEFT JOIN tgt ON tgt.doc_id = agg.doc_id
+ORDER BY agg.doc_id
+""",
+)
+def td_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption training-example generation: 3-token blocks
+    masked at a deterministic 15% rate (md5 of doc_id:block — the
+    hash-as-RNG discipline every sampling operator here uses, so the
+    pipeline is replayable and both engines agree without a seed
+    protocol), masked spans collapsing to <extra_id_k> sentinels in the
+    encoder input and expanding after their sentinel in the decoder
+    target.  Per-doc windows only (position, sentinel rank) — no joins,
+    no model relation, corpus-linear; the generated input/target pair
+    is pinned byte-for-byte by md5 signatures against the oracle's
+    independent string assembly."""
+    docs = table(spark, sf_dir, "documents")
+    toks0 = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("i", "w"),
+    ).where(F.col("w") != "")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    toks = toks0.withColumn(
+        "p", (F.row_number().over(w_doc) - 1).cast("long")
+    )
+    b = F.expr("p div 3")
+    h = F.conv(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), b.cast("string")
+            )
+        ).substr(1, 15),
+        16,
+        10,
+    ).cast("long")
+    blk = toks.select(
+        "doc_id", "i", "w", "p", b.alias("b"), (h % 20 < 3).alias("masked")
+    )
+    # Sentinel rank k = running count of masked span HEADS minus one —
+    # over the SAME (doc_id, order-by-position) window that produced p,
+    # so Catalyst fuses both window functions into one sort; a
+    # dense_rank over (doc_id, masked, b) would force a second
+    # exchange+sort of the full token stream.
+    w_run = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    head_flag = F.when(
+        F.col("masked") & (F.col("p") % 3 == 0), 1
+    ).otherwise(0)
+    sent = blk.withColumn(
+        "k", F.when(F.col("masked"), F.sum(head_flag).over(w_run) - 1)
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
+    )
+    head = F.col("p") % 3 == 0
+
+    def _assembled(item) -> "F.Column":
+        # collect_list skips NULLs, so the when() acts as the filter;
+        # array_sort on (p, s) structs orders by position.
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)), lambda x: x["s"]
+            ),
+            " ",
+        )
+
+    inp_item = F.when(
+        ~F.col("masked") | head,
+        F.struct(
+            F.col("p").alias("p"),
+            F.when(~F.col("masked"), F.col("w")).otherwise(sentinel)
+            .alias("s"),
+        ),
+    )
+    tgt_item = F.when(
+        F.col("masked"),
+        F.struct(
+            F.col("p").alias("p"),
+            F.when(head, F.concat(sentinel, F.lit(" "), F.col("w")))
+            .otherwise(F.col("w"))
+            .alias("s"),
+        ),
+    )
+    # ONE hash aggregate assembles both strings and all counts — no
+    # re-shuffles, no joins; n_spans counts masked span HEADS (every
+    # masked block contains its p%3==0 head because positions are
+    # contiguous), which avoids a countDistinct Expand.
+    return (
+        sent.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("masked"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_masked"),
+            F.sum(F.when(F.col("masked") & head, 1).otherwise(0))
+            .cast("long")
+            .alias("n_spans"),
+            _assembled(inp_item).alias("inp_s"),
+            _assembled(tgt_item).alias("tgt_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            F.substring(
+                F.md5(F.coalesce("inp_s", F.lit(""))), 1, 16
+            ).alias("inp_sig"),
+            F.substring(
+                F.md5(F.coalesce("tgt_s", F.lit(""))), 1, 16
+            ).alias("tgt_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "td_ngram_novelty",
+    # Trigram novelty vs the even-doc train half: the decontamination /
+    # memorization probe — what fraction of a doc's trigrams the train
+    # corpus has never seen.  Trigrams, not bigrams: this corpus's
+    # small vocabulary saturates the bigram space (measured 7/26,665
+    # novel at sf0.01 — degenerate), while the trigram space keeps a
+    # real ~30% signal.  One left join against the train trigram set.
+    oracle="""
+WITH """ + _TOKS_CTE + """,
+tri AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+ttri AS (
+  SELECT DISTINCT w1, w2, w3 FROM tri WHERE doc_id % 2 = 0)
+SELECT tri.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+  CAST(SUM(CASE WHEN t.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  ROUND(CAST(SUM(CASE WHEN t.w1 IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS novelty
+FROM tri
+LEFT JOIN ttri t
+  ON t.w1 = tri.w1 AND t.w2 = tri.w2 AND t.w3 = tri.w3
+GROUP BY tri.doc_id
+ORDER BY tri.doc_id
+""",
+)
+def td_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty against the even-doc train half — the
+    eval-set decontamination metric inverted: 0.0 means every trigram
+    of the doc already exists in training data (memorization risk for
+    generated evals; exact-overlap leakage for held-out splits).  Same
+    shuffle shape as the LM scorers: corpus-sized trigram stream built
+    with two leads over ONE per-doc window sort, a broadcast left join
+    against the DISTINCT train trigram set (n-gram-type-bounded, which
+    at web scale becomes the sharded join td_contamination documents),
+    one per-doc hash aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    toks0 = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("i", "w"),
+    ).where(F.col("w") != "")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    tri = (
+        toks0.withColumn("w2", F.lead("w", 1).over(w_doc))
+        .withColumn("w3", F.lead("w", 2).over(w_doc))
+        .where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2", "w3")
+    )
+    ttri = (
+        tri.where(F.col("doc_id") % 2 == 0)
+        .select("w1", "w2", "w3")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    novel = F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+    return (
+        tri.join(F.broadcast(ttri), ["w1", "w2", "w3"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

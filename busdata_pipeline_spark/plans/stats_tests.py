@@ -382,3 +382,91 @@ def etl_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionAll, frames).orderBy("edge")
+
+
+@query(
+    "rel_theil_sen",
+    # Theil-Sen slope of the daily revenue series: median over all
+    # C(n,2) pairwise slopes (x_j-x_i)/(j-i), x in exact whole-thousand
+    # units, positions as day ranks — every slope is a quotient of
+    # small integers, so both engines divide identical operands; the
+    # lower-median pick (k = (c+1)//2 in slope order) is positional,
+    # not arithmetic.
+    oracle="""
+WITH day_rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      // 100000 AS x
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+  FROM day_rev),
+p AS (
+  SELECT b.rn AS brn,
+    CAST(b.x - a.x AS DOUBLE) / CAST(b.rn - a.rn AS DOUBLE) AS slope
+  FROM s a JOIN s b ON a.rn < b.rn),
+r AS (
+  SELECT slope, brn,
+    ROW_NUMBER() OVER (ORDER BY slope) AS k,
+    COUNT(*) OVER () AS c
+  FROM p)
+SELECT CAST(MAX(brn) AS BIGINT) AS n_days,
+  CAST(MAX(c) AS BIGINT) AS n_pairs,
+  ROUND(MAX(CASE WHEN k = (c + 1) // 2 THEN slope END), 6) AS sen_slope
+FROM r
+""",
+)
+def rel_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily revenue series —
+    the outlier-immune alternative to OLS slope (breakdown point 29%):
+    the median of all pairwise slopes between days.  The series is
+    calendar-bounded (~2,400 points regardless of corpus size), so the
+    all-pairs self-join is a CONSTANT ~2.9M-row relation at any SF —
+    the one deliberate nested-loop join in the registry, documented in
+    the plan-lint whitelist; the corpus-sized work remains the single
+    groupBy(day) scan.  Revenue uses the same exact whole-thousand
+    quantization as rel_autocorr_daily; the median is picked by
+    position, never averaged."""
+    o = table(spark, sf_dir, "orders")
+    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
+        )
+        .cast("long")
+        .alias("x")
+    )
+    s = day_rev.select(
+        "x",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("rn"),
+    )
+    a = s.select(F.col("x").alias("ax"), F.col("rn").alias("arn"))
+    b = s.select(F.col("x").alias("bx"), F.col("rn").alias("brn"))
+    p = a.join(b, F.col("arn") < F.col("brn")).select(
+        "brn",
+        (
+            (F.col("bx") - F.col("ax")).cast("double")
+            / (F.col("brn") - F.col("arn")).cast("double")
+        ).alias("slope"),
+    )
+    w_slope = Window.orderBy("slope")
+    w_all = Window.orderBy("slope").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = p.select(
+        "slope",
+        "brn",
+        F.row_number().over(w_slope).alias("k"),
+        F.count(F.lit(1)).over(w_all).alias("c"),
+    )
+    return r.agg(
+        F.max("brn").cast("long").alias("n_days"),
+        F.max("c").cast("long").alias("n_pairs"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("k") == F.expr("(c + 1) div 2"), F.col("slope")
+                )
+            ),
+            6,
+        ).alias("sen_slope"),
+    )

@@ -106,6 +106,10 @@ SCALAR_EXPANSION_BNLJ = {
     "rel_blocking_quality",           # bounded 200-id labeled-sample
                                       # all-pairs ground truth + 1-row
                                       # metric-count recombination
+    "rel_theil_sen",                  # calendar-bounded daily series
+                                      # (~2.4k rows at ANY corpus size):
+                                      # the all-pairs slope join is a
+                                      # constant ~2.9M-row relation
 }
 
 
