@@ -574,3 +574,67 @@ def td_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.min("group_n").alias("min_group_size"),
     )
+
+
+@query(
+    "td_dp_laplace_release",
+    # ε-differential-privacy Laplace mechanism over the (lang, source)
+    # release that td_k_anonymity audits: noise = -b·sgn(u-½)·ln(1-2|u-½|)
+    # (the Laplace inverse-CDF), u derived from the 60-bit md5 hash of
+    # the group key so the release is REPLAYABLE and both engines add
+    # the identical noise.  Hash-derived noise is the deterministic-
+    # pipeline variant, not cryptographic DP — the sampling seam is the
+    # one line computing u (documented swap point for production).
+    oracle=f"""
+WITH g AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM documents GROUP BY lang, source),
+u AS (
+  SELECT lang, source, n_true,
+    CAST({_DUCK_H60.format(x="lang || '|' || source")} % 999998 + 1
+         AS DOUBLE) / 1000000.0 AS u
+  FROM g)
+SELECT lang, source, n_true,
+  CAST(1.0 AS DOUBLE) AS epsilon,
+  ROUND(-(sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noise,
+  ROUND(CAST(n_true AS DOUBLE)
+        + -(sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS n_released
+FROM u ORDER BY lang, source
+""",
+)
+def td_dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP Laplace count release for the (lang, source) corpus
+    breakdown — the privacy-preserving publication step after
+    td_pii_redact masks direct identifiers and td_k_anonymity audits
+    quasi-identifiers: each released count gets Laplace(1/ε) noise
+    (ε=1, sensitivity 1 for counting queries).  Noise comes from the
+    Laplace inverse-CDF applied to u ∈ [1e-6, 0.999998] derived from
+    the group key's md5 — deterministic and replayable (the established
+    hash-as-RNG discipline; u's derivation is the single documented
+    seam to swap for real randomness in production).  One hash
+    aggregate over the corpus, then O(groups) scalar math — the
+    mechanism costs nothing at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = (
+        (_h60(F.concat_ws("|", "lang", "source")) % 999998 + 1).cast(
+            "double"
+        )
+        / F.lit(1000000.0)
+    )
+    noise = -(
+        F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_true",
+        F.lit(1.0).alias("epsilon"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true").cast("double") + noise, 6).alias(
+            "n_released"
+        ),
+    ).orderBy("lang", "source")

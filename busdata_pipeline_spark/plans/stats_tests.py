@@ -470,3 +470,165 @@ def rel_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sen_slope"),
     )
+
+
+@query(
+    "rel_welch_bh_fdr",
+    # Multiple-testing control: per-event-type Welch z vs the rest of
+    # the corpus (exact-cents integer moments, one conditional scan),
+    # two-sided normal p via the Abramowitz-Stegun 7.1.26 erf
+    # polynomial (Horner form, identical op order on both engines),
+    # then Benjamini-Hochberg at alpha=0.05: significant iff
+    # rank <= max{k : p_(k) <= k*alpha/m}.
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q
+  FROM v GROUP BY event_type),
+t AS (
+  SELECT event_type, n, s, q,
+    CAST(SUM(n) OVER () AS BIGINT) AS tn,
+    CAST(SUM(s) OVER () AS BIGINT) AS ts,
+    CAST(SUM(q) OVER () AS BIGINT) AS tq
+  FROM g),
+w AS (
+  SELECT event_type, n,
+    CAST(s AS DOUBLE) / (100.0 * n) AS mean_g,
+    CAST(ts - s AS DOUBLE) / (100.0 * (tn - n)) AS mean_r,
+    (CAST(q AS DOUBLE) / 10000.0
+     - n * ((CAST(s AS DOUBLE) / (100.0 * n))
+            * (CAST(s AS DOUBLE) / (100.0 * n)))) / (n - 1) AS var_g,
+    (CAST(tq - q AS DOUBLE) / 10000.0
+     - (tn - n) * ((CAST(ts - s AS DOUBLE) / (100.0 * (tn - n)))
+                   * (CAST(ts - s AS DOUBLE) / (100.0 * (tn - n)))))
+      / (tn - n - 1) AS var_r,
+    tn - n AS n_r
+  FROM t),
+z AS (
+  SELECT event_type, n,
+    (mean_g - mean_r) / sqrt(var_g / n + var_r / n_r) AS t_stat
+  FROM w),
+p AS (
+  SELECT event_type, n, t_stat,
+    ((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))))
+        - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))))
+       + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))))
+      - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))))
+     + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))))
+    * exp(-(abs(t_stat) / sqrt(2.0)) * (abs(t_stat) / sqrt(2.0))) AS p_raw
+  FROM z),
+r AS (
+  SELECT event_type, n, t_stat, p_raw,
+    CAST(ROW_NUMBER() OVER (ORDER BY p_raw, event_type) AS BIGINT) AS k,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p),
+cut AS (
+  SELECT *, MAX(CASE WHEN p_raw <= k * 0.05 / m THEN k END) OVER () AS kmax
+  FROM r)
+SELECT event_type, n,
+  ROUND(t_stat, 6) AS t_stat,
+  ROUND(p_raw, 6) AS p_approx,
+  k AS bh_rank,
+  COALESCE(k <= kmax, FALSE) AS significant
+FROM cut ORDER BY event_type
+""",
+)
+def rel_welch_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a family of Welch tests —
+    each event type's value distribution vs the rest of the corpus,
+    the screening pattern behind every metrics-regression dashboard.
+    One conditional-aggregation scan builds exact-cents integer moments
+    per type (rel_ab_welch_ttest's discipline); the complement arm is
+    total-minus-group via an unbounded window over the TYPE-cardinality
+    relation, so the corpus is scanned exactly once.  Two-sided p uses
+    the Abramowitz-Stegun 7.1.26 erfc polynomial in strict Horner form
+    — both engines evaluate the identical expression tree, and exp/ln
+    agree on this platform (established).  BH then ranks the m=5 raw
+    p-values and flags ranks up to the largest k with p_(k) <= k*α/m
+    (α=0.05)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    c = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    g = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    w_all = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = g.select(
+        "event_type", "n", "s", "q",
+        F.sum("n").over(w_all).cast("long").alias("tn"),
+        F.sum("s").over(w_all).cast("long").alias("ts"),
+        F.sum("q").over(w_all).cast("long").alias("tq"),
+    )
+    mean_g = F.col("s").cast("double") / (F.lit(100.0) * F.col("n"))
+    mean_r = (F.col("ts") - F.col("s")).cast("double") / (
+        F.lit(100.0) * (F.col("tn") - F.col("n"))
+    )
+    var_g = (
+        F.col("q").cast("double") / F.lit(10000.0)
+        - F.col("n") * (mean_g * mean_g)
+    ) / (F.col("n") - 1)
+    var_r = (
+        (F.col("tq") - F.col("q")).cast("double") / F.lit(10000.0)
+        - (F.col("tn") - F.col("n")) * (mean_r * mean_r)
+    ) / (F.col("tn") - F.col("n") - 1)
+    n_r = F.col("tn") - F.col("n")
+    t_stat = (mean_g - mean_r) / F.sqrt(
+        var_g / F.col("n") + var_r / n_r
+    )
+    z = t.select("event_type", "n", t_stat.alias("t_stat"))
+    x = F.abs(F.col("t_stat")) / F.sqrt(F.lit(2.0))
+    tp = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    p_raw = (
+        (
+            (
+                (
+                    (F.lit(1.061405429) * tp - F.lit(1.453152027)) * tp
+                    + F.lit(1.421413741)
+                )
+                * tp
+                - F.lit(0.284496736)
+            )
+            * tp
+            + F.lit(0.254829592)
+        )
+        * tp
+        * F.exp(-x * x)
+    )
+    p = z.select("event_type", "n", "t_stat", p_raw.alias("p_raw"))
+    w_rank = Window.orderBy("p_raw", "event_type")
+    w_m = Window.orderBy("p_raw", "event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = p.select(
+        "event_type", "n", "t_stat", "p_raw",
+        F.row_number().over(w_rank).cast("long").alias("k"),
+        F.count(F.lit(1)).over(w_m).cast("long").alias("m"),
+    )
+    kmax = F.max(
+        F.when(
+            F.col("p_raw") <= F.col("k") * F.lit(0.05) / F.col("m"),
+            F.col("k"),
+        )
+    ).over(w_m)
+    return (
+        r.withColumn("kmax", kmax)
+        .select(
+            "event_type",
+            "n",
+            F.round("t_stat", 6).alias("t_stat"),
+            F.round("p_raw", 6).alias("p_approx"),
+            F.col("k").alias("bh_rank"),
+            F.coalesce(
+                F.col("k") <= F.col("kmax"), F.lit(False)
+            ).alias("significant"),
+        )
+        .orderBy("event_type")
+    )

@@ -11,6 +11,7 @@ import math
 
 import pyspark.sql.functions as F
 
+import busdata_pipeline_spark.plans.sketch_filters  # noqa: F401  (registers)
 import busdata_pipeline_spark.plans.stats_tests  # noqa: F401  (registers)
 from busdata_pipeline_spark.plans.registry import QUERIES
 
@@ -145,3 +146,50 @@ def test_fk_audit_catches_planted_orphans(spark, sf_dir, tmp_path):
     rec = {r["edge"]: r for r in rows}["lineitem.l_orderkey->orders"]
     assert rec["orphan_rows"] == 3
     assert rec["orphan_keys"] == n_bad_keys
+
+
+def test_bh_fdr_flags_are_prefix_monotone(spark, sf_dir):
+    rows = QUERIES["rel_welch_bh_fdr"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    by_rank = sorted(rows, key=lambda r: r["bh_rank"])
+    # BH significance is a prefix of the p-ranked list
+    flags = [r["significant"] for r in by_rank]
+    assert flags == sorted(flags, reverse=True)
+    # ranks are a permutation of 1..m
+    assert sorted(r["bh_rank"] for r in rows) == [1, 2, 3, 4, 5]
+    for r in rows:
+        assert 0.0 <= r["p_approx"] <= 1.0000001
+
+
+def test_bh_p_matches_erfc_reference(spark, sf_dir):
+    """The A&S 7.1.26 polynomial is within 1.5e-7 of true erfc — pin
+    the query's p against Python's math.erfc."""
+    rows = QUERIES["rel_welch_bh_fdr"](spark, sf_dir).collect()
+    for r in rows:
+        true_p = math.erfc(abs(r["t_stat"]) / math.sqrt(2.0))
+        assert abs(r["p_approx"] - true_p) < 2e-6
+
+
+def test_dp_release_replays_laplace_inverse_cdf(spark, sf_dir):
+    import hashlib
+
+    rows = QUERIES["td_dp_laplace_release"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{r['lang']}|{r['source']}".encode())
+            .hexdigest()[:15],
+            16,
+        )
+        u = (h % 999998 + 1) / 1000000.0
+        w = u - 0.5
+        noise = -(
+            (0.0 if w == 0 else math.copysign(1.0, w))
+            * math.log(1.0 - 2.0 * abs(w))
+        )
+        assert abs(r["noise"] - round(noise, 6)) < 2e-6
+        assert abs(r["n_released"] - round(r["n_true"] + noise, 6)) < 2e-6
+        assert r["epsilon"] == 1.0
+    # Laplace(b=1): mean absolute noise is b — loose corpus-level check
+    mean_abs = sum(abs(r["noise"]) for r in rows) / len(rows)
+    assert 0.4 < mean_abs < 2.5
