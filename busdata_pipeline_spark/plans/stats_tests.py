@@ -632,3 +632,296 @@ def rel_welch_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rel_runs_test",
+    # Wald-Wolfowitz runs test on the daily revenue up/down sequence:
+    # signs from exact whole-thousand diffs (zero diffs dropped, the
+    # textbook treatment), R = sign changes + 1 via one lag, z closed
+    # form from BIGINT counts only.
+    oracle="""
+WITH day_rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      // 100000 AS x
+  FROM orders GROUP BY 1),
+diffs AS (
+  SELECT d, x - LAG(x) OVER (ORDER BY d) AS dx FROM day_rev),
+signs AS (
+  SELECT d, CASE WHEN dx > 0 THEN 1 ELSE 0 END AS s
+  FROM diffs WHERE dx IS NOT NULL AND dx <> 0),
+runs AS (
+  SELECT s,
+    CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+           OR LAG(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS brk
+  FROM signs),
+a AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+    CAST(SUM(1 - s) AS BIGINT) AS n2,
+    CAST(SUM(brk) AS BIGINT) AS r
+  FROM runs)
+SELECT n1, n2, r AS n_runs,
+  ROUND((CAST(r AS DOUBLE)
+         - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            / CAST(n1 + n2 AS DOUBLE) + 1.0))
+    / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+         * CAST(n1 + n2 - 1 AS DOUBLE))), 6) AS z_score
+FROM a
+""",
+)
+def rel_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    direction sequence — too few runs means momentum/trend, too many
+    means oscillation; the nonparametric sanity check a forecast
+    pipeline runs before trusting rel_seasonal_decompose.  Signs come
+    from exact whole-thousand diffs (ties dropped, textbook), the run
+    count is one lag over the calendar-bounded series, and the z
+    closed form touches doubles only at the end."""
+    o = table(spark, sf_dir, "orders")
+    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
+        )
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    signs = (
+        day_rev.withColumn("dx", F.col("x") - F.lag("x").over(w))
+        .where(F.col("dx").isNotNull() & (F.col("dx") != 0))
+        .select("d", F.when(F.col("dx") > 0, 1).otherwise(0).alias("s"))
+    )
+    runs = signs.withColumn(
+        "brk",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        ).otherwise(0),
+    )
+    a = runs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum("brk").cast("long").alias("r"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    sig = F.sqrt(
+        (F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - n1d - n2d))
+        / (nd * nd * (F.col("n1") + F.col("n2") - 1).cast("double"))
+    )
+    return a.select(
+        "n1",
+        "n2",
+        F.col("r").alias("n_runs"),
+        F.round((F.col("r").cast("double") - mu) / sig, 6).alias("z_score"),
+    )
+
+
+@query(
+    "rel_cramers_v",
+    # Chi-square independence on the event_type × day-of-week
+    # contingency table + Cramér's V effect size.  Row/col/grand totals
+    # ride windows over the 35-cell relation (no joins); expected
+    # counts are doubles of BIGINT products, identical op order both
+    # engines.  DOW convention: DuckDB EXTRACT(dow) = Sunday 0 ==
+    # Spark dayofweek - 1 (the F5 convention table).
+    oracle="""
+WITH c AS (
+  SELECT event_type, EXTRACT(dow FROM CAST(ts AS DATE)) AS dow,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, dow, n,
+    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+    CAST(SUM(n) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+    CAST(SUM(n) OVER () AS BIGINT) AS tot,
+    CAST(COUNT(DISTINCT event_type) OVER () AS BIGINT) AS nr,
+    CAST(COUNT(DISTINCT dow) OVER () AS BIGINT) AS nc
+  FROM c),
+x AS (
+  SELECT
+    CAST(SUM(CAST(floor(
+      (CAST(n AS DOUBLE)
+         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE))
+      * (CAST(n AS DOUBLE)
+         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE))
+      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE))
+      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chi2_micro,
+    CAST(MAX(tot) AS BIGINT) AS n_obs,
+    CAST(MAX((nr - 1) * (nc - 1)) AS BIGINT) AS dof,
+    CAST(MAX(CASE WHEN nr < nc THEN nr ELSE nc END - 1) AS BIGINT) AS mindim
+  FROM t)
+SELECT n_obs, dof,
+  ROUND(CAST(chi2_micro AS DOUBLE) / 1000000.0, 6) AS chi2,
+  ROUND(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+             / (CAST(n_obs AS DOUBLE) * CAST(mindim AS DOUBLE))), 6)
+    AS cramers_v
+FROM x
+""",
+)
+def rel_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and day of
+    week, with Cramér's V effect size — the categorical-association
+    audit (is traffic mix weekday-dependent?) complementing the
+    goodness-of-fit chi-square in etl_benford_audit.  One hash
+    aggregate collapses the corpus to the ≤|types|×7 contingency
+    relation; marginals ride windows over those 35 rows.  The 35-term
+    chi2 sum is over identical doubles on both engines (products of
+    BIGINT marginals), summed by DuckDB and Spark in different orders —
+    35 same-sign terms keep that order-stable at ROUND 6."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("date")) - 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    t = c.select(
+        "event_type", "dow", "n",
+        F.sum("n").over(w_r).cast("long").alias("rt"),
+        F.sum("n").over(w_c).cast("long").alias("ct"),
+        F.sum("n").over(w_all).cast("long").alias("tot"),
+        F.size(F.collect_set("event_type").over(w_all)).cast("long")
+        .alias("nr"),
+        F.size(F.collect_set("dow").over(w_all)).cast("long").alias("nc"),
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("tot").cast("double")
+    )
+    # Per-cell chi2 terms micro-quantized to BIGINT BEFORE the sum —
+    # the 35 same-sign terms would otherwise be summed in engine-
+    # specific order (the established order-free-sum discipline).
+    term_micro = F.floor(
+        (F.col("n").cast("double") - exp)
+        * (F.col("n").cast("double") - exp)
+        / exp
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    x = t.agg(
+        F.sum(term_micro).cast("long").alias("chi2_micro"),
+        F.max("tot").cast("long").alias("n_obs"),
+        F.max((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long")
+        .alias("dof"),
+        F.max(
+            F.when(F.col("nr") < F.col("nc"), F.col("nr")).otherwise(
+                F.col("nc")
+            )
+            - 1
+        ).cast("long").alias("mindim"),
+    )
+    chi2d = F.col("chi2_micro").cast("double") / F.lit(1000000.0)
+    return x.select(
+        "n_obs",
+        "dof",
+        F.round(chi2d, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2d
+                / (
+                    F.col("n_obs").cast("double")
+                    * F.col("mindim").cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "rel_spearman_rho",
+    # Spearman rank correlation between daily revenue and daily order
+    # count: tie-averaged ranks carried as 2r = 2*rank + ties - 1
+    # (BIGINT-exact), Pearson closed form over the doubled ranks —
+    # scale-invariant, so rho is unchanged.  Series is calendar-bounded.
+    oracle="""
+WITH day_rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      // 100000 AS x,
+    CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT
+    CAST(2 * RANK() OVER (ORDER BY x)
+         + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+    CAST(2 * RANK() OVER (ORDER BY y)
+         + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+  FROM day_rev),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+    CAST(SUM(ry * ry) AS BIGINT) AS syy,
+    CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM r)
+SELECT n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+FROM m
+""",
+)
+def rel_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily revenue and daily order
+    count — the monotone-association measure immune to the revenue
+    distribution's heavy tail (Pearson's blind spot).  Tie-averaged
+    ranks are exact: avg_rank = rank + (ties-1)/2, carried doubled so
+    every moment sum is BIGINT; the Pearson closed form over doubled
+    ranks equals rho (affine invariance).  Everything after the one
+    groupBy(day) scan happens on the calendar-bounded series."""
+    o = table(spark, sf_dir, "orders")
+    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
+        )
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    rx = (
+        2 * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    ).cast("long")
+    ry = (
+        2 * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    ).cast("long")
+    r = day_rev.select(rx.alias("rx"), ry.alias("ry"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxxd, syyd, sxyd = (
+        F.col(c).cast("double") for c in ("sxx", "syy", "sxy")
+    )
+    return m.select(
+        "n",
+        F.round(
+            (nd * sxyd - sxd * syd)
+            / (
+                F.sqrt(nd * sxxd - sxd * sxd)
+                * F.sqrt(nd * syyd - syd * syd)
+            ),
+            6,
+        ).alias("rho"),
+    )

@@ -193,3 +193,98 @@ def test_dp_release_replays_laplace_inverse_cdf(spark, sf_dir):
     # Laplace(b=1): mean absolute noise is b — loose corpus-level check
     mean_abs = sum(abs(r["noise"]) for r in rows) / len(rows)
     assert 0.4 < mean_abs < 2.5
+
+
+def _daily(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.expr(
+                "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+                " div 100000"
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    return [r["x"] for r in rows], [r["y"] for r in rows]
+
+
+def test_runs_test_matches_replay(spark, sf_dir):
+    row = QUERIES["rel_runs_test"](spark, sf_dir).collect()[0]
+    x, _ = _daily(spark, sf_dir)
+    signs = [1 if b > a else 0 for a, b in zip(x, x[1:]) if b != a]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert row["n1"] == n1 and row["n2"] == n2 and row["n_runs"] == runs
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1.0
+    sig = math.sqrt(
+        (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / (n * n * (n - 1))
+    )
+    assert abs(row["z_score"] - round((runs - mu) / sig, 6)) < 2e-6
+
+
+def _avg_ranks(v):
+    order = sorted(range(len(v)), key=lambda i: v[i])
+    ranks = [0.0] * len(v)
+    i = 0
+    while i < len(v):
+        j = i
+        while j < len(v) and v[order[j]] == v[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    return ranks
+
+
+def test_spearman_matches_replay(spark, sf_dir):
+    row = QUERIES["rel_spearman_rho"](spark, sf_dir).collect()[0]
+    x, y = _daily(spark, sf_dir)
+    rx, ry = _avg_ranks(x), _avg_ranks(y)
+    n = len(x)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    assert row["n"] == n
+    assert abs(row["rho"] - round(num / den, 6)) < 5e-6
+    assert -1.0 <= row["rho"] <= 1.0
+
+
+def test_cramers_v_matches_replay(spark, sf_dir):
+    row = QUERIES["rel_cramers_v"](spark, sf_dir).collect()[0]
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    cells = Counter((r["event_type"], r["dow"]) for r in ev)
+    rt = Counter()
+    ct = Counter()
+    for (t, d), n in cells.items():
+        rt[t] += n
+        ct[d] += n
+    tot = sum(cells.values())
+    chi2 = 0.0
+    for (t, d), n in cells.items():
+        e = rt[t] * ct[d] / tot
+        chi2 += math.floor((n - e) * (n - e) / e * 1e6 + 0.5) / 1e6
+    v = math.sqrt(chi2 / (tot * (min(len(rt), len(ct)) - 1)))
+    assert row["n_obs"] == tot
+    assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(row["chi2"] - round(chi2, 6)) < 5e-6
+    assert abs(row["cramers_v"] - round(v, 6)) < 5e-6
+    assert 0.0 <= row["cramers_v"] <= 1.0
