@@ -82,6 +82,11 @@ HEADLINERS = [
     "etl_warc_roundtrip",          # WARC container write + binaryFile parse
     "td_ccnet_perplexity_buckets", # per-lang perplexity tercile split
     "td_multimodal_resize",        # real NN pixel resample (mapInPandas)
+    # round-8 wave 3-6 (earlier keys unchanged for deltas)
+    "td_kn_bigram_logprob",        # Kneser-Ney LM scoring (broadcast model)
+    "td_span_corruption",          # T5 span-mask example generation
+    "etl_fk_integrity_audit",      # 7-edge referential orphan audit
+    "rel_welch_bh_fdr",            # moment-scan Welch family + BH FDR
 ]
 
 
