@@ -450,3 +450,97 @@ def rel_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("s_suppkey"), F.col("lab").cast("long").alias("community")
     ).orderBy("s_suppkey")
+
+
+#: h-index coreness iteration depth (the oracle unrolls exactly this
+#: many rounds; convergence to exact coreness on this graph takes ~38
+#: rounds — the fixed-round value is the documented monotone upper
+#: bound, exact after enough rounds).
+_HIDX_ITERS = 5
+
+
+def _hindex_oracle(iters: int = _HIDX_ITERS) -> str:
+    """Unrolled h-index coreness replay over the part co-occurrence
+    graph.  H(v) = max_j min(j, x_j) over v's neighbor values sorted
+    descending — tie-order-invariant, so ROW_NUMBER needs no tiebreak.
+    ``pairs`` is MATERIALIZED (referenced once per unrolled round)."""
+    steps = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT u AS v, CAST(MAX(LEAST(rn, c)) AS BIGINT) AS c
+  FROM (
+    SELECT p.u, {prev}.c,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.u
+             ORDER BY {prev}.c DESC) AS BIGINT) AS rn
+    FROM pairs p JOIN {prev} ON {prev}.v = p.v) q{i}
+  GROUP BY u)""")
+        prev = f"c{i}"
+    return f"""
+WITH e0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM e0 a JOIN e0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY u, v),
+c0 AS (SELECT u AS v, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pairs GROUP BY u){"".join(steps)}
+SELECT c0.v AS p_partkey, c0.c AS degree, {prev}.c AS core_ub
+FROM c0 JOIN {prev} ON {prev}.v = c0.v
+ORDER BY p_partkey
+"""
+
+
+@query("rel_kcore_hindex", oracle=_hindex_oracle())
+def rel_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by h-index iteration (Lü et al. 2016,
+    "The H-index of a network node") over the part co-occurrence graph:
+    c_0(v) = deg(v); c_{t+1}(v) = H-index of v's neighbors' values;
+    the sequence decreases monotonically to the exact coreness.  Fixed
+    5 rounds emit the bounded-latency UPPER BOUND (the early-
+    stopping form used in practice; exact peeling on this graph needs
+    ~38 rounds — raise the loop bound for exactness, same plan per
+    round).  Per round: one equi-join of the checkpointed edge list
+    against the |V|-sized value relation + one window per destination
+    node + one hash aggregate — the bounded-plan discipline of the
+    PageRank/LPA loops; all state is BIGINT, no float drift possible.
+    Scale: the part-co-occurrence edge list is catalog-bounded (parts ×
+    avg co-order partners) — measured constant across the 10×/100×
+    replicas, so the 5 iteration rounds cost the same at any SF; only
+    the one-pass edge DERIVATION (per-order collect_set over the fact)
+    scales with the corpus."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        per_order.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    c = pairs.groupBy(F.col("u").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    deg = c.select(F.col("v"), F.col("c").alias("degree"))
+    win = Window.partitionBy("u").orderBy(F.desc("c"))
+    for _ in range(_HIDX_ITERS):
+        c = (
+            pairs.join(c, "v")
+            .select("u", "c", F.row_number().over(win).cast("long").alias("rn"))
+            .groupBy(F.col("u").alias("v"))
+            .agg(F.max(F.least("rn", "c")).cast("long").alias("c"))
+        )
+    return (
+        deg.join(c, "v")
+        .select(
+            F.col("v").alias("p_partkey"),
+            "degree",
+            F.col("c").alias("core_ub"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -6,6 +6,7 @@ import duckdb
 import pytest
 
 from busdata_pipeline_spark.plans.graph import _DAMPING, _QUANT, pagerank_frame
+from busdata_pipeline_spark.plans.registry import QUERIES
 from tests.conftest import SF001
 
 
@@ -143,3 +144,60 @@ def test_bfs_hand_checked_distances(spark):
         dist = dist.unionByName(ext).groupBy("node").agg(F.min("d").alias("d"))
     got = {r["node"]: r["d"] for r in dist.collect()}
     assert got == {1: 0, 2: 1, 3: 2}  # 4 is 3 hops away; 9/10 disconnected
+
+
+def test_kcore_hindex_matches_replay_and_bounds(spark, sf_dir):
+    """Pure-Python h-index replay: the query's 5-round values match
+    exactly, decrease monotonically from the degree, and stay >= the
+    true coreness (fixpoint of the same iteration)."""
+    import collections
+
+    import busdata_pipeline_spark.plans.graph as g
+
+    rows = QUERIES["rel_kcore_hindex"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    by_order = collections.defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    adj = collections.defaultdict(set)
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    adj[u].add(v)
+
+    def h_round(c):
+        nc = {}
+        for u, ns in adj.items():
+            vals = sorted((c[v] for v in ns), reverse=True)
+            h = 0
+            for r, x in enumerate(vals, 1):
+                if x >= r:
+                    h = r
+                else:
+                    break
+            nc[u] = h
+        return nc
+
+    c = {u: len(ns) for u, ns in adj.items()}
+    seq = [c]
+    for _ in range(g._HIDX_ITERS):
+        seq.append(h_round(seq[-1]))
+    want = seq[-1]
+    # fixpoint for the true coreness lower bound
+    fix = dict(seq[-1])
+    while True:
+        nxt = h_round(fix)
+        if nxt == fix:
+            break
+        fix = nxt
+
+    assert len(rows) == len(adj)
+    for r in rows:
+        v = r["p_partkey"]
+        assert r["degree"] == len(adj[v])
+        assert r["core_ub"] == want[v]
+        # monotone upper bound: degree >= round-5 value >= coreness
+        assert r["degree"] >= r["core_ub"] >= fix[v] > 0
