@@ -497,3 +497,78 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "etl_schema_evolution_read",
+    oracle="""
+WITH flagged AS (
+  SELECT CAST(ts AS DATE) AS d, value,
+    CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02'
+         THEN CASE WHEN value IS NOT NULL AND value >= 50.0
+                   THEN 1 ELSE 0 END
+    END AS quality_flag
+  FROM events
+  -- explicit ORs: DuckDB 1.0.0 mis-evaluates DATE IN-lists (returns
+  -- empty where the equivalent equality matches)
+  WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+     OR CAST(ts AS DATE) = DATE '2024-01-02')
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN quality_flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_flag_null,
+  CAST(COALESCE(SUM(quality_flag), 0) AS BIGINT) AS n_flag_set,
+  ROUND(SUM(value), 6) AS total_value
+FROM flagged GROUP BY d ORDER BY d
+""",
+)
+def etl_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake path: day-1 files land with the v1
+    schema, day-2 files add a ``quality_flag`` column (the classic
+    additive evolution), and ONE mergeSchema read unions both vintages
+    — old rows surface the new column as NULL, which the profile pins
+    (n_flag_null = all of day 1, none of day 2).  The oracle derives
+    the same flag from the original parquet, so any loss in the
+    write→merge→read loop breaks the hash.  Scale note: mergeSchema
+    costs a footer read per file at planning time — production tables
+    pin the merged schema in the catalog instead (spark.read.schema),
+    which this query documents as the 100 TB path; the data-plane union
+    itself is ordinary split-parallel parquet."""
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events")
+    d1 = ev.where(F.col("ts").cast("date") == F.lit("2024-01-01").cast("date"))
+    d2 = ev.where(
+        F.col("ts").cast("date") == F.lit("2024-01-02").cast("date")
+    ).withColumn(
+        "quality_flag",
+        F.when(
+            F.col("value").isNotNull() & (F.col("value") >= 50.0), 1
+        ).otherwise(0).cast("int"),
+    )
+    path = tempfile.mkdtemp(prefix="schevo_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        d1.select("event_id", "ts", "user_id", "event_type", "value") \
+            .write.mode("overwrite").parquet(path)
+        d2.select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            "quality_flag",
+        ).write.mode("append").parquet(path)
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        return (
+            back.groupBy(F.col("ts").cast("date").alias("d"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.when(F.col("quality_flag").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_flag_null"),
+                F.coalesce(F.sum("quality_flag"), F.lit(0)).cast("long")
+                .alias("n_flag_set"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+            .orderBy("d")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

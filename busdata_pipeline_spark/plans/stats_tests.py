@@ -925,3 +925,131 @@ def rel_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho"),
     )
+
+
+#: bootstrap replica count (fixed → the 2.5%/97.5% picks are the
+#: literal order statistics 5 and 195).
+_BOOT_B = 200
+
+
+@query(
+    "rel_bootstrap_ci",
+    # Percentile bootstrap CI for the mean daily revenue: B=200
+    # hash-deterministic resamples (draw j of replica b reads the
+    # series at index md5-hash(b:j) % n — the replayable hash-as-RNG
+    # discipline), replica means ORDERED BY THEIR EXACT BIGINT SUMS so
+    # the percentile picks never compare floats.
+    oracle="""
+WITH day_rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      // 100000 AS x
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT x,
+    CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS i,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM day_rev),
+draws AS (
+  SELECT b.b, s.i,
+    CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+      CAST(s.i AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % s.n AS idx
+  FROM s CROSS JOIN (SELECT UNNEST(range(0, 200)) AS b) b),
+sums AS (
+  SELECT d.b, CAST(SUM(s2.x) AS BIGINT) AS sx,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM draws d JOIN s s2 ON s2.i = d.idx
+  GROUP BY d.b),
+ranked AS (
+  SELECT sx, n, ROW_NUMBER() OVER (ORDER BY sx, b) AS k FROM sums),
+obs AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s)
+SELECT obs.n AS n_days,
+  CAST(200 AS BIGINT) AS n_boot,
+  ROUND(CAST(obs.sx AS DOUBLE) / CAST(obs.n AS DOUBLE), 6) AS mean_obs,
+  ROUND((SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+         FROM ranked WHERE k = 5), 6) AS ci_lo,
+  ROUND((SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+         FROM ranked WHERE k = 195), 6) AS ci_hi
+FROM obs
+""",
+)
+def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% confidence interval for mean daily
+    revenue — the distribution-free uncertainty quantification every
+    metrics report should carry.  B=200 resamples are hash-
+    deterministic (draw j of replica b indexes the series at
+    md5(b:j) % n), so the 'random' bootstrap replays identically on
+    both engines and across runs.  Replica means are ranked by their
+    EXACT BIGINT sums (the series is whole-thousands), so the 2.5%/97.5%
+    order-statistic picks involve no float comparison; doubles appear
+    only in the final divisions.  Scale: the draw matrix is B × n_days
+    (~480k rows) — calendar-bounded, corpus-independent; the corpus
+    cost stays the one groupBy(day) scan."""
+    o = table(spark, sf_dir, "orders")
+    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
+        )
+        .cast("long")
+        .alias("x")
+    )
+    w_i = Window.orderBy("d")
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = day_rev.select(
+        "x",
+        (F.row_number().over(w_i) - 1).cast("long").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    bs = spark.range(0, _BOOT_B).select(F.col("id").cast("long").alias("b"))
+    idx = (
+        F.conv(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("b").cast("string"), F.col("i").cast("string")
+                )
+            ).substr(1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n")
+    )
+    draws = s.join(F.broadcast(bs)).select("b", idx.alias("idx"))
+    sums = (
+        draws.join(
+            s.select(F.col("i").alias("idx"), F.col("x")), "idx"
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("x").cast("long").alias("sx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    ranked = sums.select(
+        "sx",
+        "n",
+        F.row_number().over(Window.orderBy("sx", "b")).alias("k"),
+    )
+    mean_at = lambda k: F.max(  # noqa: E731
+        F.when(F.col("k") == k, F.col("sx").cast("double") / F.col("n").cast("double"))
+    )
+    picks = ranked.agg(
+        F.round(mean_at(5), 6).alias("ci_lo"),
+        F.round(mean_at(195), 6).alias("ci_hi"),
+    )
+    obs = s.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(
+            F.sum("x").cast("double") / F.max("n").cast("double"), 6
+        ).alias("mean_obs"),
+    )
+    return obs.join(picks).select(
+        "n_days",
+        F.lit(200).cast("long").alias("n_boot"),
+        "mean_obs",
+        "ci_lo",
+        "ci_hi",
+    )

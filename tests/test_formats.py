@@ -42,3 +42,17 @@ def test_orc_scan_pushes_date_filter(spark, tmp_path):
     )
     assert [tuple(r) for r in df.collect()] == \
         [tuple(r) for r in day1.collect()]
+
+
+def test_schema_evolution_read_null_backfill(spark, sf_dir):
+    from busdata_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["etl_schema_evolution_read"](spark, sf_dir).collect()
+    assert [str(r["d"]) for r in rows] == ["2024-01-01", "2024-01-02"]
+    d1, d2 = rows
+    # v1 files: the evolved column is NULL for every row
+    assert d1["n_flag_null"] == d1["n"] > 0
+    assert d1["n_flag_set"] == 0
+    # v2 files: the column is populated on every row
+    assert d2["n_flag_null"] == 0
+    assert 0 < d2["n_flag_set"] <= d2["n"]

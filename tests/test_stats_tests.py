@@ -288,3 +288,26 @@ def test_cramers_v_matches_replay(spark, sf_dir):
     assert abs(row["chi2"] - round(chi2, 6)) < 5e-6
     assert abs(row["cramers_v"] - round(v, 6)) < 5e-6
     assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_bootstrap_ci_replays_hash_draws(spark, sf_dir):
+    import hashlib
+
+    row = QUERIES["rel_bootstrap_ci"](spark, sf_dir).collect()[0]
+    x, _ = _daily(spark, sf_dir)
+    n = len(x)
+    sums = []
+    for b in range(200):
+        sx = 0
+        for j in range(n):
+            h = int(
+                hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:15], 16
+            )
+            sx += x[h % n]
+        sums.append(sx)
+    sums.sort()
+    assert row["n_days"] == n and row["n_boot"] == 200
+    assert abs(row["mean_obs"] - round(sum(x) / n, 6)) < 2e-6
+    assert abs(row["ci_lo"] - round(sums[4] / n, 6)) < 2e-6
+    assert abs(row["ci_hi"] - round(sums[194] / n, 6)) < 2e-6
+    assert row["ci_lo"] < row["mean_obs"] < row["ci_hi"]
