@@ -487,3 +487,114 @@ def td_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "td_dataset_card",
+    # The release "dataset card" numbers in one query: volume, language
+    # spread, length profile (exact lower-median), exact-dup rate,
+    # whitespace token budget, dominant-language share.  Every value is
+    # a DOUBLE built from exact integer aggregates; the one division
+    # per metric is deterministic.
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+    md5(text) AS h,
+    len(list_filter(string_split(TRIM(text), ' '), x -> x <> ''))
+      AS n_toks
+  FROM documents),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+    CAST(SUM(n_toks) AS BIGINT) AS total_toks
+  FROM base),
+med AS (
+  SELECT CAST(n_chars AS BIGINT) AS p50
+  FROM (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS k,
+               COUNT(*) OVER () AS c
+        FROM base) q
+  WHERE k = (c + 1) // 2),
+toplang AS (
+  SELECT CAST(MAX(cnt) AS BIGINT) AS top_n
+  FROM (SELECT COUNT(*) AS cnt FROM base GROUP BY lang) q)
+SELECT 'docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+UNION ALL SELECT 'langs', CAST(n_langs AS DOUBLE) FROM a
+UNION ALL SELECT 'sources', CAST(n_sources AS DOUBLE) FROM a
+UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM a
+UNION ALL SELECT 'mean_chars',
+  ROUND(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'p50_chars', CAST(p50 AS DOUBLE) FROM med
+UNION ALL SELECT 'exact_dup_rate',
+  ROUND(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'mean_ws_tokens',
+  ROUND(CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'top_lang_share',
+  ROUND(CAST(toplang.top_n AS DOUBLE) / CAST(a.n_docs AS DOUBLE), 6)
+  FROM a, toplang
+ORDER BY metric
+""",
+)
+def td_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary a corpus release ships (volume,
+    language/source spread, length profile, exact-dup rate, token
+    budget, dominant-language share) as ONE oracle-checked query — the
+    capstone report over the curation tier, so a release pipeline gets
+    its headline numbers from the same engine that built the corpus.
+    Two corpus passes (one hash aggregate incl. distinct-md5 dedup
+    count, one median window over the doc-count-sized length relation)
+    plus a lang group — all map-side-combinable or |langs|-bounded;
+    every metric is a DOUBLE derived from exact BIGINT aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+            )
+        ).cast("long").alias("n_toks"),
+    )
+    a = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("h").cast("long").alias("n_unique"),
+        F.sum("n_toks").cast("long").alias("total_toks"),
+    ).collect()[0]
+    med = (
+        base.select(
+            "n_chars",
+            F.row_number()
+            .over(Window.orderBy("n_chars", "doc_id"))
+            .alias("k"),
+        )
+        .where(F.col("k") == (a["n_docs"] + 1) // 2)
+        .collect()[0]["n_chars"]
+    )
+    top_n = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt").alias("m"))
+        .collect()[0]["m"]
+    )
+    # Assemble the 9-row report from the bounded driver scalars (the
+    # aggregates above are 1-row / |langs|-row collects).
+    rows = [
+        ("docs", float(a["n_docs"])),
+        ("exact_dup_rate", round(1.0 - a["n_unique"] / a["n_docs"], 6)),
+        ("langs", float(a["n_langs"])),
+        ("mean_chars", round(a["total_chars"] / a["n_docs"], 6)),
+        ("mean_ws_tokens", round(a["total_toks"] / a["n_docs"], 6)),
+        ("p50_chars", float(med)),
+        ("sources", float(a["n_sources"])),
+        ("top_lang_share", round(top_n / a["n_docs"], 6)),
+        ("total_chars", float(a["total_chars"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")

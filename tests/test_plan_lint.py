@@ -106,6 +106,9 @@ SCALAR_EXPANSION_BNLJ = {
     "rel_blocking_quality",           # bounded 200-id labeled-sample
                                       # all-pairs ground truth + 1-row
                                       # metric-count recombination
+    "rel_bootstrap_ci",               # 200-row literal replica-id range
+                                      # × calendar-bounded series; 1-row
+                                      # obs × picks recombination
     "rel_theil_sen",                  # calendar-bounded daily series
                                       # (~2.4k rows at ANY corpus size):
                                       # the all-pairs slope join is a
