@@ -176,3 +176,39 @@ def test_csv_roundtrip_row_level_lossless(spark, sf_dir, tmp_path):
         if ra["props"] and '"' in ra["props"]:
             n_quoted += 1
     assert n_quoted > 0  # the hostile rows were actually exercised
+
+
+def test_lr_trainer_loss_decreases_and_learns(spark, sf_dir):
+    """The trained-ness invariants: logistic loss strictly decreases
+    across all 10 GD rounds, and the learned weights actually separate
+    the classes (accuracy above the majority baseline)."""
+    import math
+
+    rows = sorted(
+        QUERIES["td_quality_lr_train"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(range(1, 11))
+    losses = [r["loss"] for r in rows]
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+    w = rows[-1]
+    # replay features in python and score
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    good = 0
+    n = 0
+    n_pos = 0
+    for d in docs:
+        t = [x for x in d["text"].strip().split(" ") if x]
+        if not t:
+            continue
+        f1 = len(t) / 100.0
+        f2 = d["n_chars"] / len(t) / 10.0
+        f3 = sum(1 for x in t if x in ("a", "the")) / len(t)
+        y = 1.0 if d["n_chars"] >= 300 else 0.0
+        z = w["w0"] + w["w1"] * f1 + w["w2"] * f2 + w["w3"] * f3
+        p = 1.0 / (1.0 + math.exp(-z))
+        good += int((p >= 0.5) == (y == 1.0))
+        n_pos += int(y == 1.0)
+        n += 1
+    majority = max(n_pos, n - n_pos) / n
+    assert good / n > majority  # learned signal beyond the base rate
