@@ -127,11 +127,18 @@ def td_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines; per-bigram ln(P) is quantized to micro-nats BEFORE the
     # per-doc sum so summation order can't skew the hash.
     oracle="""
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id, i, t[i] AS w
   FROM (SELECT doc_id, string_split(TRIM(text), ' ') AS t FROM documents),
        UNNEST(range(1, len(t) + 1)) r(i)
   WHERE t[i] <> ''),
+toks AS (
+  -- re-rank positions AFTER the empty-token filter so adjacency is
+  -- contiguous (raw split indices leave gaps at consecutive spaces,
+  -- where Spark's lead() over the filtered stream WOULD form a bigram)
+  SELECT doc_id, w,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS i
+  FROM toks0),
 big AS (
   SELECT a.doc_id, a.w AS w1, b.w AS w2
   FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
@@ -525,14 +532,18 @@ UNION ALL SELECT 'langs', CAST(n_langs AS DOUBLE) FROM a
 UNION ALL SELECT 'sources', CAST(n_sources AS DOUBLE) FROM a
 UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM a
 UNION ALL SELECT 'mean_chars',
-  ROUND(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+  floor(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 FROM a
 UNION ALL SELECT 'p50_chars', CAST(p50 AS DOUBLE) FROM med
 UNION ALL SELECT 'exact_dup_rate',
-  ROUND(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+  floor((1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 FROM a
 UNION ALL SELECT 'mean_ws_tokens',
-  ROUND(CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+  floor(CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 FROM a
 UNION ALL SELECT 'top_lang_share',
-  ROUND(CAST(toplang.top_n AS DOUBLE) / CAST(a.n_docs AS DOUBLE), 6)
+  floor(CAST(toplang.top_n AS DOUBLE) / CAST(a.n_docs AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0
   FROM a, toplang
 ORDER BY metric
 """,
@@ -584,17 +595,25 @@ def td_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cnt").alias("m"))
         .collect()[0]["m"]
     )
+    def _q6(x: float) -> float:
+        # identical half-up quantization to the oracle's floor form
+        # (Python round() is banker's — the wrong tie rule here)
+        import math
+
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
     # Assemble the 9-row report from the bounded driver scalars (the
     # aggregates above are 1-row / |langs|-row collects).
     rows = [
         ("docs", float(a["n_docs"])),
-        ("exact_dup_rate", round(1.0 - a["n_unique"] / a["n_docs"], 6)),
+        ("exact_dup_rate",
+         _q6(1.0 - a["n_unique"] / a["n_docs"])),
         ("langs", float(a["n_langs"])),
-        ("mean_chars", round(a["total_chars"] / a["n_docs"], 6)),
-        ("mean_ws_tokens", round(a["total_toks"] / a["n_docs"], 6)),
+        ("mean_chars", _q6(a["total_chars"] / a["n_docs"])),
+        ("mean_ws_tokens", _q6(a["total_toks"] / a["n_docs"])),
         ("p50_chars", float(med)),
         ("sources", float(a["n_sources"])),
-        ("top_lang_share", round(top_n / a["n_docs"], 6)),
+        ("top_lang_share", _q6(top_n / a["n_docs"])),
         ("total_chars", float(a["total_chars"])),
     ]
     return spark.createDataFrame(rows, "metric string, value double")

@@ -57,6 +57,37 @@ def _ranked_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAY_REV_CTE = """
+day_rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      // 100000 AS x
+  FROM orders GROUP BY 1)
+"""
+
+
+def _day_rev(spark: SparkSession, sf_dir: str, with_count: bool = False):
+    """Daily revenue in exact whole thousands (per-row cents
+    quantization, integer division) — the shared series every
+    calendar-bounded statistic in this module consumes.  Mirrors
+    _DAY_REV_CTE exactly; change BOTH or parity breaks."""
+    aggs = [
+        F.expr(
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+            " div 100000"
+        )
+        .cast("long")
+        .alias("x")
+    ]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).cast("long").alias("y"))
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(*aggs)
+    )
+
+
 _TWO_SAMPLE_CTE = """
 ev AS (
   SELECT event_type, value FROM events
@@ -89,7 +120,7 @@ a AS (
   SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(n2v) AS BIGINT) AS n2,
     CAST(SUM(n1v * (2 * lt + nv + 1)) AS BIGINT) AS two_r1,
     CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tie_t
-  FROM a_src)
+  FROM r)
 SELECT n1, n2,
   CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
   ROUND(
@@ -101,7 +132,7 @@ SELECT n1, n2,
             / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),
     6) AS z_score
 FROM a
-""".replace("FROM a_src", "FROM r"),
+""",
 )
 def rel_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test (tie-corrected normal approximation)
@@ -222,11 +253,7 @@ def rel_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row quantization) so every lag-L moment sum is BIGINT-exact;
     # the Pearson closed form is the only double arithmetic.
     oracle="""
-WITH day_rev AS (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-      // 100000 AS x
-  FROM orders GROUP BY 1),
+WITH """ + _DAY_REV_CTE + """,
 lagged AS (
   SELECT l.lag, x,
     LAG(x, l.lag) OVER (PARTITION BY l.lag ORDER BY d) AS y
@@ -257,14 +284,7 @@ def rel_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     to whole thousands via exact integer arithmetic so all moment sums
     are BIGINT and both engines feed identical doubles to the Pearson
     closed form."""
-    o = table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000")
-        .cast("long")
-        .alias("x")
-    )
-    _ = cents  # per-row quantization documented above; inlined in expr
+    day_rev = _day_rev(spark, sf_dir)
     # Spark's lag() needs a literal offset — build the 7 series as
     # explicit per-lag columns over ONE window sort, then stack.
     w1 = Window.orderBy("d")
@@ -393,11 +413,7 @@ def etl_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lower-median pick (k = (c+1)//2 in slope order) is positional,
     # not arithmetic.
     oracle="""
-WITH day_rev AS (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-      // 100000 AS x
-  FROM orders GROUP BY 1),
+WITH """ + _DAY_REV_CTE + """,
 s AS (
   SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
   FROM day_rev),
@@ -427,14 +443,7 @@ def rel_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(day) scan.  Revenue uses the same exact whole-thousand
     quantization as rel_autocorr_daily; the median is picked by
     position, never averaged."""
-    o = table(spark, sf_dir, "orders")
-    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.expr(
-            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
-        )
-        .cast("long")
-        .alias("x")
-    )
+    day_rev = _day_rev(spark, sf_dir)
     s = day_rev.select(
         "x",
         F.row_number().over(Window.orderBy("d")).cast("long").alias("rn"),
@@ -641,11 +650,7 @@ def rel_welch_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # textbook treatment), R = sign changes + 1 via one lag, z closed
     # form from BIGINT counts only.
     oracle="""
-WITH day_rev AS (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-      // 100000 AS x
-  FROM orders GROUP BY 1),
+WITH """ + _DAY_REV_CTE + """,
 diffs AS (
   SELECT d, x - LAG(x) OVER (ORDER BY d) AS dx FROM day_rev),
 signs AS (
@@ -681,14 +686,7 @@ def rel_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact whole-thousand diffs (ties dropped, textbook), the run
     count is one lag over the calendar-bounded series, and the z
     closed form touches doubles only at the end."""
-    o = table(spark, sf_dir, "orders")
-    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.expr(
-            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
-        )
-        .cast("long")
-        .alias("x")
-    )
+    day_rev = _day_rev(spark, sf_dir)
     w = Window.orderBy("d")
     signs = (
         day_rev.withColumn("dx", F.col("x") - F.lag("x").over(w))
@@ -882,15 +880,7 @@ def rel_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     every moment sum is BIGINT; the Pearson closed form over doubled
     ranks equals rho (affine invariance).  Everything after the one
     groupBy(day) scan happens on the calendar-bounded series."""
-    o = table(spark, sf_dir, "orders")
-    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.expr(
-            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
-        )
-        .cast("long")
-        .alias("x"),
-        F.count(F.lit(1)).cast("long").alias("y"),
-    )
+    day_rev = _day_rev(spark, sf_dir, with_count=True)
     rx = (
         2 * F.rank().over(Window.orderBy("x"))
         + F.count(F.lit(1)).over(Window.partitionBy("x"))
@@ -940,11 +930,7 @@ _BOOT_B = 200
     # discipline), replica means ORDERED BY THEIR EXACT BIGINT SUMS so
     # the percentile picks never compare floats.
     oracle="""
-WITH day_rev AS (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-      // 100000 AS x
-  FROM orders GROUP BY 1),
+WITH """ + _DAY_REV_CTE + """,
 s AS (
   SELECT x,
     CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS i,
@@ -987,14 +973,7 @@ def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     only in the final divisions.  Scale: the draw matrix is B × n_days
     (~480k rows) — calendar-bounded, corpus-independent; the corpus
     cost stays the one groupBy(day) scan."""
-    o = table(spark, sf_dir, "orders")
-    day_rev = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.expr(
-            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
-        )
-        .cast("long")
-        .alias("x")
-    )
+    day_rev = _day_rev(spark, sf_dir)
     w_i = Window.orderBy("d")
     w_all = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

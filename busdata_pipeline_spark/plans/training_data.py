@@ -2065,11 +2065,18 @@ def td_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count (the same float discipline as td_unigram_logprob), summed
     # per doc and rounded to 6.
     oracle="""
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id, i, t[i] AS w
   FROM (SELECT doc_id, string_split(TRIM(text), ' ') AS t FROM documents),
        UNNEST(range(1, len(t) + 1)) r(i)
   WHERE t[i] <> ''),
+toks AS (
+  -- re-rank positions AFTER the empty-token filter: raw split indices
+  -- leave gaps at consecutive spaces, where Spark's lead() over the
+  -- filtered stream WOULD form a bigram
+  SELECT doc_id, w,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS i
+  FROM toks0),
 train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
 big AS (
   SELECT a.doc_id, a.i, a.w AS w1, b.w AS w2

@@ -212,3 +212,44 @@ def test_lr_trainer_loss_decreases_and_learns(spark, sf_dir):
         n += 1
     majority = max(n_pos, n - n_pos) / n
     assert good / n > majority  # learned signal beyond the base rate
+
+
+def test_kn_bigram_adjacency_survives_consecutive_spaces(spark, tmp_path):
+    """Regression pin for the raw-split-index adjacency bug: a doc with
+    consecutive spaces ('x  y') must form the (x, y) bigram on BOTH
+    engines — the oracle re-ranks positions after the empty-token
+    filter, matching Spark's lead() over the filtered stream."""
+    import shutil
+
+    from busdata_pipeline_spark.plans.registry import ORACLES
+    from tests.conftest import SF0001
+    from tests.oracle_check import compare, duckdb_con
+
+    d = str(tmp_path / "sfspacing")
+    shutil.copytree(SF0001, d)
+    docs = [
+        (0, "x  y x", "en", "s", 6),          # double space mid-doc
+        (1, " a  the  a ", "en", "s", 11),    # leading/trailing + doubles
+        (2, "x y the a x y", "en", "s", 13),
+        (3, "a the a the a", "en", "s", 13),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents_new.parquet")
+    import os
+
+    os.remove(f"{d}/documents.parquet")
+    shutil.move(f"{d}/documents_new.parquet", f"{d}/documents.parquet")
+
+    out = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in QUERIES["td_kn_bigram_logprob"](spark, d).collect()
+    }
+    # filtered-token adjacency: 'x  y x' → [x, y, x] → 2 bigrams
+    assert out == {0: 2, 1: 2, 2: 5, 3: 4}
+    ok, msg = compare(
+        QUERIES["td_kn_bigram_logprob"](spark, d),
+        duckdb_con(d),
+        ORACLES["td_kn_bigram_logprob"],
+    )
+    assert ok, msg

@@ -124,8 +124,13 @@ def test_fk_audit_catches_planted_orphans(spark, sf_dir, tmp_path):
     d = str(tmp_path / "sfcorrupt")
     shutil.copytree(sf_dir, d)
     li = spark.read.parquet(f"{d}/lineitem.parquet")
-    bad = li.limit(3).withColumn(
-        "l_orderkey", F.col("l_orderkey") + F.lit(10**12)
+    # deterministic row pick + eager materialization: a bare limit(3)
+    # gives no cross-action row guarantee, so the count below could see
+    # different rows than the write
+    bad = (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(3)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(10**12))
     )
     # two rows share one bogus key, one row gets another
     bad = bad.withColumn(
@@ -133,7 +138,7 @@ def test_fk_audit_catches_planted_orphans(spark, sf_dir, tmp_path):
         F.when(
             F.col("l_linenumber") % 2 == 0, F.col("l_orderkey") + 1
         ).otherwise(F.col("l_orderkey")),
-    )
+    ).localCheckpoint(eager=True)
     planted = li.unionAll(bad)
     # materialize BEFORE replacing the file the lazy plans read
     n_bad_keys = bad.select("l_orderkey").distinct().count()
