@@ -576,3 +576,71 @@ def synth_y4m_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]),
     )
+
+
+WAV_DOC_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("peak_abs", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def wav_doc_features(media: DataFrame) -> DataFrame:
+    """Doc-level audio feature extraction over the REAL RIFF/PCM parse
+    (same chunk walk as decode_wav_items): peak |amplitude|, strict
+    zero-crossing count (s_j * s_{j-1} < 0 — int-exact), and RMS — the
+    clip-level stats an audio curation pipeline filters on (silence /
+    clipping / noise gates).  Arrow-batched ``mapInPandas``; per item
+    the reductions are numpy ops over the int16 plane.  RMS is the only
+    float: sqrt((Σs²)/n) from an exact int64 square-sum, deterministic
+    on both engines, rounded to 6 at the edge."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        import numpy as np
+
+        for pdf in it:
+            ids, ns, peak, zc, rms = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE file")
+                pos, data = 12, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    if cid == b"data":
+                        data = np.frombuffer(
+                            buf[pos + 8 : pos + 8 + size], dtype="<i2"
+                        )
+                    pos += 8 + size + (size % 2)
+                if data is None:
+                    raise ValueError("missing data chunk")
+                d = data.astype(np.int64)
+                ids.append(int(doc_id))
+                ns.append(int(d.size))
+                peak.append(int(np.abs(d).max()) if d.size else 0)
+                zc.append(int(np.sum(d[1:] * d[:-1] < 0)))
+                sq = int(np.dot(d, d))
+                # half-up quantization (NOT Python round(): banker's)
+                # — mirrors the oracle's floor(x*1e6+0.5)/1e6
+                rms.append(
+                    math.floor(math.sqrt(sq / d.size) * 1e6 + 0.5) / 1e6
+                    if d.size
+                    else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "peak_abs": peak,
+                    "zero_crossings": zc,
+                    "rms": rms,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=WAV_DOC_FEATURES_SCHEMA)

@@ -630,13 +630,13 @@ _LR_QUANT = 1e9
 
 _LR_FEATS_SQL = """
 feats AS MATERIALIZED (
-  SELECT
+  SELECT doc_id,
     CAST(len(t) AS DOUBLE) / 100.0 AS f1,
     CAST(n_chars AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0 AS f2,
     CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE)
       / CAST(len(t) AS DOUBLE) AS f3,
     CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
-  FROM (SELECT n_chars,
+  FROM (SELECT doc_id, n_chars,
           list_filter(string_split(TRIM(text), ' '), x -> x <> '') AS t
         FROM documents)
   WHERE len(t) > 0),
@@ -692,33 +692,18 @@ FROM ({rows}) q ORDER BY round
 """
 
 
-@query("td_quality_lr_train", oracle=_lr_oracle())
-def td_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic-regression quality classifier TRAINED inside the engine
-    (the fasttext-style quality-filter shape, gradient-descent edition
-    of td_naive_bayes_quality): full-batch GD on three cheap text
-    features (token count, mean word length, stopword ratio) against a
-    length-threshold label, 10 rounds, lr=2.0 (measured: 89% accuracy vs the 51% base rate at sf0.001).  Determinism is the
-    PageRank/unigram discipline composed: per-doc gradient AND loss
-    contributions are micro-quantized to BIGINT before the order-free
-    sums, and weights are re-quantized to 9 decimals after every update
-    — both engines carry bit-identical model state into each round, so
-    the oracle replays all 10 rounds exactly.  Scale shape per round:
-    one map-side-combinable aggregate over the corpus (the model is 4
-    scalars collected per round — bounded driver traffic, the fused-
-    trainer pattern of the k-means/PQ loops); the loss column's visible
-    round-over-round decrease is the trained-ness proof."""
-    import math
 
+
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f1, f2, f3, y) — mirrors _LR_FEATS_SQL exactly; change
+    BOTH or parity breaks.  Checkpointed: every GD round re-scans it."""
     docs = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
-    feats = (
-        docs.select(
-            "n_chars",
-            toks.alias("t"),
-        )
+    return (
+        docs.select("doc_id", "n_chars", toks.alias("t"))
         .where(F.size("t") > 0)
         .select(
+            "doc_id",
             (F.size("t").cast("double") / F.lit(100.0)).alias("f1"),
             (
                 F.col("n_chars").cast("double")
@@ -740,6 +725,14 @@ def td_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _lr_fit(feats: DataFrame) -> tuple[list, list[float]]:
+    """Run the quantized GD loop; returns (per-round history rows,
+    final weights).  Update arithmetic is written identically to the
+    oracle's w{i}_ CTEs (IEEE doubles, same op order)."""
+    import math
+
     n = feats.count()
     w = [0.0, 0.0, 0.0, 0.0]
     hist = []
@@ -771,8 +764,6 @@ def td_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("sl")
         ]
         g = feats.agg(*aggs).collect()[0]
-        # identical update expression to the oracle, evaluated in
-        # IEEE doubles driver-side
         w = [
             math.floor(
                 (w[j] - _LR_RATE * (g[f"s{j}"] / 1000000.0 / n))
@@ -784,7 +775,128 @@ def td_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         loss = math.floor(g["sl"] / n + 0.5) / 1000000.0
         hist.append((r, loss, w[0], w[1], w[2], w[3]))
+    return hist, w
+
+
+@query("td_quality_lr_train", oracle=_lr_oracle())
+def td_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality classifier TRAINED inside the engine
+    (the fasttext-style quality-filter shape, gradient-descent edition
+    of td_naive_bayes_quality): full-batch GD on three cheap text
+    features (token count, mean word length, stopword ratio) against a
+    length-threshold label, 10 rounds, lr=2.0 (measured: 89% accuracy vs the 51% base rate at sf0.001).  Determinism is the
+    PageRank/unigram discipline composed: per-doc gradient AND loss
+    contributions are micro-quantized to BIGINT before the order-free
+    sums, and weights are re-quantized to 9 decimals after every update
+    — both engines carry bit-identical model state into each round, so
+    the oracle replays all 10 rounds exactly.  Scale shape per round:
+    one map-side-combinable aggregate over the corpus (the model is 4
+    scalars collected per round — bounded driver traffic, the fused-
+    trainer pattern of the k-means/PQ loops); the loss column's visible
+    round-over-round decrease is the trained-ness proof."""
+    feats = _lr_features(spark, sf_dir)
+    hist, _w = _lr_fit(feats)
     return spark.createDataFrame(
         hist,
         "round int, loss double, w0 double, w1 double, w2 double, w3 double",
     )
+
+
+def _lr_lift_oracle(rounds: int = _LR_ROUNDS) -> str:
+    """Train (same unrolled rounds as td_quality_lr_train) then score
+    every doc and bucket into 10 score deciles: per decile the label
+    rate and the cumulative lift over the base rate — the gain chart a
+    quality-filter threshold is picked from."""
+    body = ",".join(_lr_round_sql(i) for i in range(1, rounds + 1))
+    return f"""
+WITH {_LR_FEATS_SQL.strip()},{body},
+scored AS (
+  SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+    1.0 / (1.0 + exp(-(w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))) AS p
+  FROM feats f CROSS JOIN w{rounds}_ w),
+dec AS (
+  SELECT y, NTILE(10) OVER (ORDER BY p DESC, doc_id) AS decile
+  FROM scored),
+g AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS BIGINT) AS pos
+  FROM dec GROUP BY decile),
+c AS (
+  SELECT decile, n, pos,
+    CAST(SUM(n) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+    CAST(SUM(pos) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+    CAST(SUM(n) OVER () AS BIGINT) AS tn,
+    CAST(SUM(pos) OVER () AS BIGINT) AS tp
+  FROM g)
+SELECT CAST(decile AS INTEGER) AS decile, n, pos,
+  ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+  ROUND((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS cum_lift
+FROM c ORDER BY decile
+"""
+
+
+@query("td_quality_lr_lift", oracle=_lr_lift_oracle())
+def td_quality_lr_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gain/lift table for the in-engine-trained quality
+    classifier — the APPLY half of td_quality_lr_train and the chart a
+    filtering threshold is actually picked from: docs ranked by
+    predicted quality, cut into 10 equal buckets (NTILE over score DESC
+    with doc_id tie-break — deterministic), per-decile label rate and
+    cumulative lift over the base rate.  Training replays the same 10
+    quantized GD rounds (identical weights by construction); scoring is
+    one codegen'd projection; the decile sort is the one extra exchange
+    (same caveat as rel_equidepth_histogram — the 100 TB variant cuts
+    on approx-quantile boundaries instead of a total NTILE sort).
+    A working classifier shows lift >1 in decile 1 monotonically
+    decaying toward 1 — pinned in pytest."""
+    feats = _lr_features(spark, sf_dir)
+    _hist, w = _lr_fit(feats)
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("f1")
+        + F.lit(w[2]) * F.col("f2")
+        + F.lit(w[3]) * F.col("f3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = feats.select(
+        "doc_id", F.col("y").cast("long").alias("y"), p.alias("p")
+    )
+    dec = scored.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("p"), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "decile", "n", "pos",
+        F.sum("n").over(w_cum).cast("long").alias("cn"),
+        F.sum("pos").over(w_cum).cast("long").alias("cp"),
+        F.sum("n").over(w_all).cast("long").alias("tn"),
+        F.sum("pos").over(w_all).cast("long").alias("tp"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        "pos",
+        F.round(
+            F.col("pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pos_rate"),
+        F.round(
+            (F.col("cp").cast("double") / F.col("cn").cast("double"))
+            / (F.col("tp").cast("double") / F.col("tn").cast("double")),
+            6,
+        ).alias("cum_lift"),
+    ).orderBy("decile")

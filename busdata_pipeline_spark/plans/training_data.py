@@ -2623,3 +2623,41 @@ def td_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = multimodal.synth_ppm_media(docs)
     return multimodal.resize_ppm_items(media, max_side=4).orderBy("doc_id")
+
+
+@query(
+    "td_audio_doc_features",
+    # Doc-level clip stats over the REAL RIFF/PCM parse, replayed by the
+    # oracle from the synth closed form s_j = (id*13 + j*7) % 4001 - 2000:
+    # peak |s|, strict zero crossings (s_j*s_{j-1} < 0, int-exact), and
+    # RMS = sqrt(Σs²/n) with the same floor(x*1e6+0.5)/1e6 half-up
+    # quantization on both engines.
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+    list_transform(range(0, 16 + doc_id % 17),
+                   j -> (doc_id * 13 + j * 7) % 4001 - 2000) AS v
+  FROM documents)
+SELECT doc_id,
+  CAST(len(v) AS BIGINT) AS n_samples,
+  CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak_abs,
+  CAST(len(list_filter(range(1, len(v)),
+       j -> v[j + 1] * v[j] < 0)) AS BIGINT) AS zero_crossings,
+  floor(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)
+             / CAST(len(v) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+    AS rms
+FROM s ORDER BY doc_id
+""",
+)
+def td_audio_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level audio curation features through the real codec path:
+    synth WAV → binary column → RIFF/PCM chunk walk → numpy reductions
+    (operators/multimodal.wav_doc_features) — peak for clipping gates,
+    zero-crossing rate for noise/tonality screens, RMS for silence
+    filters.  Embarrassingly parallel mapInPandas over the payload
+    column, no shuffle; the oracle replays the decoded plane from the
+    synth closed form, so what's verified end-to-end is the encode →
+    binary → parse → feature loop."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.wav_doc_features(media).orderBy("doc_id")

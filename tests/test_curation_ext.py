@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 
 import busdata_pipeline_spark.plans.curation_ext as cx  # noqa: F401
 import busdata_pipeline_spark.plans.formats  # noqa: F401
+import busdata_pipeline_spark.plans.training_data  # noqa: F401
 from busdata_pipeline_spark.plans.registry import QUERIES
 
 
@@ -253,3 +254,42 @@ def test_kn_bigram_adjacency_survives_consecutive_spaces(spark, tmp_path):
         ORACLES["td_kn_bigram_logprob"],
     )
     assert ok, msg
+
+
+def test_lr_lift_is_a_working_gain_chart(spark, sf_dir):
+    rows = sorted(
+        QUERIES["td_quality_lr_lift"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # NTILE: bucket sizes differ by at most 1 and cover the corpus
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # a working classifier concentrates positives up front
+    assert rows[0]["cum_lift"] > 1.2
+    assert rows[0]["pos_rate"] > rows[-1]["pos_rate"]
+    # cumulative lift over ALL deciles is the base rate: exactly 1
+    assert rows[-1]["cum_lift"] == 1.0
+    # cum_lift is monotonically non-increasing down the ranking
+    lifts = [r["cum_lift"] for r in rows]
+    assert all(a >= b for a, b in zip(lifts, lifts[1:]))
+
+
+def test_audio_doc_features_replay(spark, sf_dir):
+    import math as m
+
+    rows = QUERIES["td_audio_doc_features"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs
+    for r in rows[:50]:
+        i = r["doc_id"]
+        n = 16 + i % 17
+        v = [(i * 13 + j * 7) % 4001 - 2000 for j in range(n)]
+        assert r["n_samples"] == n
+        assert r["peak_abs"] == max(abs(x) for x in v)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(v, v[1:]) if a * b < 0
+        )
+        rms = m.floor(m.sqrt(sum(x * x for x in v) / n) * 1e6 + 0.5) / 1e6
+        assert abs(r["rms"] - rms) < 1e-9
+        assert 0 <= r["peak_abs"] <= 2000
