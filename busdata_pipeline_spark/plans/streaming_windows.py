@@ -655,3 +655,124 @@ def st_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "user_id")
     )
+
+
+def _lr_gate_oracle() -> str:
+    """Batch replay of the streaming quality gate: the same unrolled
+    10-round LR training (curation_ext._lr_round_sql), then score every
+    doc and keep p >= 0.5, score half-up-quantized to 6 decimals."""
+    from busdata_pipeline_spark.plans.curation_ext import (
+        _LR_FEATS_SQL,
+        _LR_ROUNDS,
+        _lr_round_sql,
+    )
+
+    body = ",".join(_lr_round_sql(i) for i in range(1, _LR_ROUNDS + 1))
+    return f"""
+WITH {_LR_FEATS_SQL.strip()},{body},
+scored AS (
+  SELECT f.doc_id,
+    1.0 / (1.0 + exp(-(w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))) AS p
+  FROM feats f CROSS JOIN w{_LR_ROUNDS}_ w)
+SELECT doc_id,
+  floor(p * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM scored WHERE p >= 0.5 ORDER BY doc_id
+"""
+
+
+@query("st_stream_quality_gate", oracle=_lr_gate_oracle())
+def st_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-the-loop streaming ingestion: the LR quality classifier
+    is trained batch-side (curation_ext._lr_fit — same 10 quantized GD
+    rounds the oracle replays), its 4 weights become broadcast literals
+    in a REAL readStream over the doc corpus staged as two micro-
+    batches, and only docs scoring p >= 0.5 pass the gate — the
+    streaming quality-filter every continuously-ingesting training-data
+    pipeline runs between crawl and warehouse.  Scoring is a stateless
+    codegen'd projection per micro-batch (no state store, no shuffle);
+    the kept set is hash-checked against the batch replay, so the
+    stream path provably drops exactly the docs batch training would."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from busdata_pipeline_spark.plans.curation_ext import (
+        _lr_features,
+        _lr_fit,
+    )
+    from busdata_pipeline_spark.streaming.replay import _stage_single_file
+
+    feats = _lr_features(spark, sf_dir)
+    _hist, w = _lr_fit(feats)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    scratch = tempfile.mkdtemp(prefix="st_gate_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_dir = os.path.join(scratch, "stream")
+        ckpt = os.path.join(scratch, "ckpt")
+        os.makedirs(stream_dir)
+        _stage_single_file(
+            docs.where(F.col("doc_id") % 2 == 0), scratch, stream_dir, 0
+        )
+        _stage_single_file(
+            docs.where(F.col("doc_id") % 2 == 1), scratch, stream_dir, 1
+        )
+        src = (
+            spark.readStream
+            .schema("doc_id bigint, text string, n_chars bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        toks = F.filter(
+            F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+        )
+        s = src.select("doc_id", "n_chars", toks.alias("t")).where(
+            F.size("t") > 0
+        )
+        f1 = F.size("t").cast("double") / F.lit(100.0)
+        f2 = (
+            F.col("n_chars").cast("double")
+            / F.size("t").cast("double")
+            / F.lit(10.0)
+        )
+        f3 = (
+            F.size(
+                F.filter(
+                    F.col("t"),
+                    lambda x: (x == F.lit("a")) | (x == F.lit("the")),
+                )
+            ).cast("double")
+            / F.size("t").cast("double")
+        )
+        z = (
+            F.lit(w[0]) + F.lit(w[1]) * f1 + F.lit(w[2]) * f2
+            + F.lit(w[3]) * f3
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        gated = s.select(
+            "doc_id",
+            (
+                F.floor(p * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+            ).alias("score"),
+            p.alias("_p"),
+        ).where(F.col("_p") >= 0.5).drop("_p")
+        name = "st_gate_" + uuid.uuid4().hex
+        q = (
+            gated.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).orderBy("doc_id").localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -293,3 +293,16 @@ def test_audio_doc_features_replay(spark, sf_dir):
         rms = m.floor(m.sqrt(sum(x * x for x in v) / n) * 1e6 + 0.5) / 1e6
         assert abs(r["rms"] - rms) < 1e-9
         assert 0 <= r["peak_abs"] <= 2000
+
+
+def test_stream_quality_gate_filters_both_ways(spark, sf_dir):
+    """The gate is a real filter: some docs pass, some are dropped, and
+    every emitted score clears the threshold.  (Stream==batch equality
+    is the registered oracle's job — driver_sim hash-checks it.)"""
+    import busdata_pipeline_spark.plans.streaming_windows  # noqa: F401
+
+    rows = QUERIES["st_stream_quality_gate"](spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0 < len(rows) < total
+    assert all(r["score"] >= 0.5 for r in rows)
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # exactly-once
