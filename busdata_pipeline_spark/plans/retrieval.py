@@ -17,7 +17,7 @@ cannot diverge from Spark's double path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.operators import retrieval, setsim, similarity
@@ -187,3 +187,117 @@ def td_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold keeps every comparison in exact integer arithmetic — no
     float boundary, no n² scan, no false negatives."""
     return setsim.jaccard_pairs_prefix(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "td_hard_negatives",
+    # Hard-negative mining for retrieval-model training: BM25 top-20
+    # lexical neighbors per query doc (hard: they share vocabulary),
+    # MINUS near-positives (exact token-set Jaccard >= 0.5 — a near-dup
+    # must never be labeled negative), cut to the 10 highest-ranked
+    # survivors.  Jaccard is |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT
+    # token sets — integers until the one division.
+    oracle=_bm25_ctes()
+    + f""",
+cset AS (SELECT doc_id, tok FROM tf),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM cset GROUP BY doc_id),
+cand20 AS (SELECT qid, doc_id, bm25, rank FROM ranked WHERE rank <= 20),
+inter AS (
+  SELECT c.qid, c.doc_id, CAST(COUNT(*) AS BIGINT) AS ix
+  FROM cand20 c
+  JOIN cset a ON a.doc_id = c.qid
+  JOIN cset b ON b.doc_id = c.doc_id AND b.tok = a.tok
+  GROUP BY c.qid, c.doc_id),
+jac AS (
+  SELECT c.qid, c.doc_id, c.bm25, c.rank,
+    CAST(COALESCE(i.ix, 0) AS DOUBLE)
+      / CAST(sa.sz + sb.sz - COALESCE(i.ix, 0) AS DOUBLE) AS j
+  FROM cand20 c
+  LEFT JOIN inter i ON i.qid = c.qid AND i.doc_id = c.doc_id
+  JOIN sizes sa ON sa.doc_id = c.qid
+  JOIN sizes sb ON sb.doc_id = c.doc_id),
+hard AS (
+  SELECT qid, doc_id, bm25, ROUND(j, 6) AS jaccard,
+    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rank) AS INT)
+      AS neg_rank
+  FROM jac WHERE j < 0.75)
+SELECT qid, doc_id AS neg_id, bm25, jaccard, neg_rank
+FROM hard WHERE neg_rank <= 10
+ORDER BY qid, neg_rank
+""",
+)
+def td_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the training-pair generator for embedding
+    /reranker models (DPR/Contriever recipe): per query doc, take the
+    lexically-confusable BM25 top-20, EXCLUDE near-positives (exact
+    token-set Jaccard >= 0.5 — labeling a near-dup as negative poisons
+    contrastive training), keep the 10 highest-ranked survivors with
+    their scores and Jaccards.  Scale shape: the BM25 probe is the
+    bounded-query-set join td_bm25_search documents; the Jaccard
+    verification touches only the ≤ queries×20 candidate pairs — the
+    corpus token relation is pre-filtered by a BROADCAST of the
+    candidate id set before the intersection join, so the exact-verify
+    cost is candidate-bounded, not corpus-bounded."""
+    docs = table(spark, sf_dir, "documents")
+    qpred = (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000)
+    cand20 = retrieval.bm25_topk(docs, qpred, k=20).select(
+        "qid", F.col("doc_id").alias("nid"), "bm25", "rank"
+    )
+    cset = retrieval.corpus_tokens(docs).distinct()
+    sizes = cset.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    ids = (
+        cand20.select(F.col("qid").alias("doc_id"))
+        .union(cand20.select(F.col("nid").alias("doc_id")))
+        .distinct()
+    )
+    # candidate-bounded token relation: corpus tokens semi-joined to
+    # the <= queries*21 candidate ids (broadcast)
+    ctok = cset.join(F.broadcast(ids), "doc_id", "left_semi")
+    qtok = ctok.select(F.col("doc_id").alias("qid"), "tok")
+    ntok = ctok.select(F.col("doc_id").alias("nid"), "tok")
+    inter = (
+        cand20.select("qid", "nid")
+        .join(qtok, "qid")
+        .join(ntok, ["nid", "tok"])
+        .groupBy("qid", "nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("ix"))
+    )
+    jac = (
+        cand20.join(inter, ["qid", "nid"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("qid"),
+                                     F.col("sz").alias("sza"))),
+            "qid",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("nid"),
+                                     F.col("sz").alias("szb"))),
+            "nid",
+        )
+        .select(
+            "qid", "nid", "bm25", "rank",
+            (
+                F.coalesce("ix", F.lit(0)).cast("double")
+                / (
+                    F.col("sza") + F.col("szb")
+                    - F.coalesce("ix", F.lit(0))
+                ).cast("double")
+            ).alias("j"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("rank")
+    hard = (
+        jac.where(F.col("j") < 0.75)
+        .select(
+            "qid", "nid", "bm25",
+            F.round("j", 6).alias("jaccard"),
+            F.row_number().over(w).cast("int").alias("neg_rank"),
+        )
+        .where(F.col("neg_rank") <= 10)
+    )
+    return hard.select(
+        "qid", F.col("nid").alias("neg_id"), "bm25", "jaccard", "neg_rank"
+    ).orderBy("qid", "neg_rank")

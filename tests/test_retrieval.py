@@ -18,6 +18,9 @@ from busdata_pipeline_spark.operators.retrieval import (
     rrf_fuse,
 )
 from busdata_pipeline_spark.operators.setsim import jaccard_pairs_prefix
+
+import busdata_pipeline_spark.plans.retrieval  # noqa: E402, F401  (registers)
+from busdata_pipeline_spark.plans.registry import QUERIES  # noqa: E402
 from busdata_pipeline_spark.operators.temporal import ewma_smooth
 from tests.conftest import SF0001
 
@@ -314,3 +317,29 @@ def test_seasonal_decompose_identity_and_nulls(spark):
     for r in rows:
         seas.setdefault(r["d"].weekday(), set()).add(r["seasonal"])
     assert all(len(v) == 1 for v in seas.values())
+
+
+def test_hard_negatives_exclude_near_positives(spark, sf_dir):
+    """Every mined negative clears the Jaccard near-positive bar, ranks
+    are dense per query, and the exclusion actually bites (some BM25
+    top-20 candidates were rejected)."""
+    import pyspark.sql.functions as F
+
+    from busdata_pipeline_spark.operators import retrieval as ret
+
+    rows = QUERIES["td_hard_negatives"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["jaccard"] < 0.75
+        assert r["neg_id"] != r["qid"]
+        by_q.setdefault(r["qid"], []).append(r["neg_rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
+    # the near-positive exclusion removed candidates: fewer negatives
+    # than the raw BM25 shortlist provides
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qpred = (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000)
+    raw = ret.bm25_topk(docs, qpred, k=20).count()
+    assert len(rows) < raw
