@@ -99,6 +99,7 @@ SCALAR_EXPANSION_BNLJ = {
     "etl_benford_audit",              # 1-row digit-total broadcast
     "td_bm25_search",                 # 1-row (N, avgdl) corpus stats broadcast
     "td_rrf_hybrid_search",           # inherits the BM25 stats broadcast
+    "td_hard_negatives",              # inherits the BM25 stats broadcast
     "rel_triangle_count",             # 1-row tri/wedge/count aggregates joined
     "td_temperature_mix",             # 1-row (Σweights, budget) broadcast
     "rel_spatial_hotspots",           # 1-row global cell moments broadcast
