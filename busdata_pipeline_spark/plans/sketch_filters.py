@@ -638,3 +638,71 @@ def td_dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_released"
         ),
     ).orderBy("lang", "source")
+
+
+@query(
+    "td_embed_whitening",
+    # Whitening fit for the embedding space: per-dimension mean/std
+    # from 2^20-quantized BIGINT moments (the td_random_projection
+    # quantization), sums combined in DOUBLE only at the closed form
+    # (the rel_autocorr_daily overflow lesson).  The transform these
+    # stats define (x-mean)/std is the standard retrieval preprocessing
+    # before cosine ANN.
+    oracle="""
+WITH q AS (
+  SELECT t.j,
+         CAST(FLOOR(CAST(embedding[t.j + 1] AS DOUBLE) * 1048576.0 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings, range(64) t(j)),
+m AS (
+  SELECT j, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS BIGINT) AS sx,
+         CAST(SUM(qv * qv) AS BIGINT) AS sxx
+  FROM q GROUP BY j)
+SELECT CAST(j AS INTEGER) AS dim, n,
+  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0, 6) AS mean,
+  ROUND(sqrt(((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE))
+             / (1048576.0 * 1048576.0)), 6) AS std
+FROM m ORDER BY dim
+""",
+)
+def td_embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening-transform fit over the embedding corpus: per-dimension
+    mean and std — the (x-mean)/std preprocessing that removes the
+    anisotropy hurting cosine retrieval (Su et al. 2021's whitening
+    trick, the diagonal variant).  One posexplode pass + a 64-group
+    hash aggregate: map-side combinable, corpus-linear, no shuffle
+    beyond the 64-key exchange.  Values quantize to 2^20 BIGINT units
+    per element so the moment sums are exact; the mean/std closed form
+    combines the exact sums in DOUBLE with the identical op order on
+    both engines."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(F.posexplode("embedding").alias("j", "v")).select(
+        "j",
+        F.floor(F.col("v").cast("double") * F.lit(1048576.0) + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    m = q.groupBy("j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("sx"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    return m.select(
+        F.col("j").cast("int").alias("dim"),
+        "n",
+        F.round(sxd / nd / F.lit(1048576.0), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                ((sxxd - sxd * sxd / nd) / (F.col("n") - 1).cast("double"))
+                / F.lit(1048576.0 * 1048576.0)
+            ),
+            6,
+        ).alias("std"),
+    ).orderBy("dim")

@@ -188,3 +188,25 @@ def test_k_anonymity_audit_consistent(spark, sf_dir):
     assert row["n_exposed_docs"] == sum(viol)
     # exposed docs are exactly the members of sub-k groups
     assert row["n_exposed_docs"] <= row["n_violating_groups"] * 4
+
+
+def test_embed_whitening_matches_numpy(spark, sf_dir):
+    """Per-dim mean/std against numpy over the same 2^20 quantization."""
+    import numpy as np
+
+    rows = QUERIES["td_embed_whitening"](spark, sf_dir).collect()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    M = np.array([r["embedding"] for r in embs], dtype=np.float64)
+    Q = np.floor(M * 1048576.0 + 0.5)
+    assert len(rows) == M.shape[1]
+    for r in rows:
+        col = Q[:, r["dim"]]
+        n = len(col)
+        mean = col.sum() / n / 1048576.0
+        var = (
+            (col * col).sum() - col.sum() * col.sum() / n
+        ) / (n - 1) / (1048576.0 * 1048576.0)
+        assert r["n"] == n
+        assert abs(r["mean"] - round(mean, 6)) < 2e-6
+        assert abs(r["std"] - round(var ** 0.5, 6)) < 2e-6
+        assert r["std"] > 0
