@@ -91,14 +91,16 @@ def cosine_topk_vectorized(embeddings: DataFrame, queries: DataFrame,
                            qid_col, qvec_col)
     Q = np.array([r[qvec_col] for r in qrows], dtype=np.float64)
     qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    _qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(_qn == 0, 1.0, _qn)  # zero vec -> cos 0, never NaN
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            _vn = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.where(_vn == 0, 1.0, _vn)  # zero vec -> cos 0
             S = Vn @ Qn.T  # (n, q)
             n = len(pdf)
             ids = pdf[id_col].values
@@ -291,7 +293,8 @@ def _assign_gemm(df: DataFrame, centroids: list[list[float]],
     import pandas as pd
 
     C = np.array(centroids, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    _cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(_cn == 0, 1.0, _cn)  # zero vec -> cos 0
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} int"
@@ -301,7 +304,8 @@ def _assign_gemm(df: DataFrame, centroids: list[list[float]],
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            _vn = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.where(_vn == 0, 1.0, _vn)  # zero vec -> cos 0
             pdf = pdf.copy()
             pdf[out_col] = np.argmax(Vn @ Cn.T, axis=1).astype("int32")
             yield pdf
@@ -554,7 +558,8 @@ def semdedup_flags(corpus: DataFrame, threshold: float = 0.98,
         order = np.argsort(ids)
         ids = ids[order]
         V = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        _vn = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(_vn == 0, 1.0, _vn)  # zero vec -> cos 0
         S = Vn @ Vn.T
         iu, ju = np.triu_indices(len(ids), k=1)
         removed = np.unique(ju[S[iu, ju] >= threshold])
@@ -961,7 +966,8 @@ def knn_graph(embeddings: DataFrame, k: int = 5, n_clusters: int = 8,
                 "rank": np.array([], dtype=np.int32),
             })
         V = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        _vn = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(_vn == 0, 1.0, _vn)  # zero vec -> cos 0
         S = Vn @ Vn.T
         np.fill_diagonal(S, -np.inf)
         # columns are in ascending-id order, so a STABLE argsort on

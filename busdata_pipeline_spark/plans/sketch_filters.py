@@ -43,17 +43,16 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from busdata_pipeline_spark.functions.hashing import DUCK_H60, h60
 from busdata_pipeline_spark.operators import quantize
 from busdata_pipeline_spark.plans.registry import query
 from busdata_pipeline_spark.sources import table
 
 
-def _h60(col: Column) -> Column:
-    """Portable 60-bit hash: first 15 hex digits of md5, as BIGINT."""
-    return F.conv(F.md5(col).substr(1, 15), 16, 10).cast("long")
-
-
-_DUCK_H60 = "CAST(('0x' || substr(md5({x}), 1, 15))::UBIGINT AS BIGINT)"
+# Shared house hash (functions/hashing.py) — local aliases keep the
+# module's call sites unchanged.
+_h60 = h60
+_DUCK_H60 = DUCK_H60
 
 
 # ---------------------------------------------------------------------------

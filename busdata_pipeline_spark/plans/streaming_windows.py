@@ -540,7 +540,7 @@ SELECT event_id, user_id,
           (acc, x) -> 0.7 * acc + 0.3 * x) * 1000000.0 + 0.5)
     / 1000000.0 AS ewma
 FROM events
-WHERE value IS NOT NULL
+WHERE value IS NOT NULL AND ts IS NOT NULL
 """,
 )
 def st_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,7 +552,14 @@ def st_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful operator, driver-checked strictly."""
     from busdata_pipeline_spark.streaming.replay import ewma_stream_replay
 
-    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    # ts IS NOT NULL is part of the contract on BOTH engines: the
+    # day-bounded batch split would silently drop NULL-ts rows, and the
+    # engines disagree on NULL placement in the recurrence's ORDER BY.
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .withColumn("d", F.to_date("ts"))
+    )
     cut1, cut2 = F.lit("2024-01-10").cast("date"), F.lit("2024-01-20").cast("date")
     batches = [
         ev.where(F.col("d") <= cut1),
@@ -626,8 +633,12 @@ def st_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cut1 = F.lit("2024-01-10").cast("date")
     cut2 = F.lit("2024-01-20").cast("date")
+    # NULL-ts rows ride batch 1: the three predicates must PARTITION the
+    # non-null-user stream (the oracle counts every such event; a
+    # NULL date failing all three bounds would silently vanish from the
+    # merged sketch).
     batches = [
-        ev.where(F.col("d") <= cut1),
+        ev.where((F.col("d") <= cut1) | F.col("d").isNull()),
         ev.where((F.col("d") > cut1) & (F.col("d") <= cut2)),
         ev.where(F.col("d") > cut2),
     ]

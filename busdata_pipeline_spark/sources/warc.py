@@ -37,16 +37,33 @@ _READ_SCHEMA = (
 )
 
 
+def _hval(v) -> str:
+    """Header-safe, exactly-reversible value encoding: percent-encode
+    everything outside [A-Za-z0-9_.~-] so CR/LF/colon injection cannot
+    corrupt record framing and leading/trailing whitespace survives the
+    reader's strip (one hostile metadata row must not poison the
+    partition file)."""
+    from urllib.parse import quote
+
+    return quote(str(v), safe="")
+
+
 def _encode_record(doc_id, text, lang, source) -> bytes:
     payload = ("" if text is None else str(text)).encode("utf-8")
-    head = (
-        f"WARC-Type: resource\r\n"
-        f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
-        f"WARC-X-Lang: {lang}\r\n"
-        f"WARC-X-Source: {source}\r\n"
-        f"Content-Length: {len(payload)}\r\n"
-        "\r\n"
-    ).encode("utf-8")
+    lines = [
+        "WARC-Type: resource",
+        f"WARC-Record-ID: <urn:doc:{doc_id}>",
+    ]
+    # NULL metadata = header absent (NOT the string 'None'); NULL text
+    # is flagged so '' and NULL round-trip distinctly.
+    if lang is not None:
+        lines.append(f"WARC-X-Lang: {_hval(lang)}")
+    if source is not None:
+        lines.append(f"WARC-X-Source: {_hval(source)}")
+    if text is None:
+        lines.append("WARC-X-Text-Null: 1")
+    lines.append(f"Content-Length: {len(payload)}")
+    head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
     return _VERSION + head + payload + b"\r\n\r\n"
 
 
@@ -75,11 +92,16 @@ def parse_warc_bytes(blob: bytes):
         rid = headers["WARC-Record-ID"]
         if not (rid.startswith("<urn:doc:") and rid.endswith(">")):
             raise ValueError(f"unexpected record id {rid!r}")
+        from urllib.parse import unquote
+
+        lang = headers.get("WARC-X-Lang")
+        source = headers.get("WARC-X-Source")
         yield (
             int(rid[len("<urn:doc:"):-1]),
-            blob[body_start:body_end].decode("utf-8"),
-            headers.get("WARC-X-Lang"),
-            headers.get("WARC-X-Source"),
+            None if "WARC-X-Text-Null" in headers
+            else blob[body_start:body_end].decode("utf-8"),
+            None if lang is None else unquote(lang),
+            None if source is None else unquote(source),
             clen,
         )
         pos = body_end + 4

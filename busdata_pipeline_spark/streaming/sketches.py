@@ -18,12 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from busdata_pipeline_spark.functions.hashing import h60
+
 CMS_DEPTH = 4
 CMS_WIDTH = 64
 
 
-def _h60(col: Column) -> Column:
-    return F.conv(F.md5(col).substr(1, 15), 16, 10).cast("long")
+_h60 = h60  # shared house hash (functions/hashing.py)
 
 
 def cms_slots(items: DataFrame, item_col: str,

@@ -423,36 +423,55 @@ class TripTimeoutProcessor(StatefulProcessor):
         self._st = handle.getValueState("first", _TIMEOUT_STATE)
 
     def handleInputRows(self, key, rows, timer_values):
+        # Walk the batch's pings in EVENT-time order through the same
+        # per-ping state machine a one-ping-per-batch replay would run:
+        # verdicts then depend only on event times, never on how the
+        # engine split files into micro-batches (a min-of-batch
+        # shortcut here silently missed same-batch follow-ups and
+        # emitted false timed_out verdicts).  Deadline comparison is
+        # ts - first >= gap — the SAME boundary as the timer's
+        # watermark >= expiry, so an exact-deadline follow-up gets the
+        # identical verdict on both paths.
         (trip_id,) = key
-        pdfs = [pdf for pdf in rows]
-        n_new = sum(len(pdf) for pdf in pdfs)
-        ts_ms = min(
-            int(pdf["tstamp"].min().value // 1_000_000) for pdf in pdfs
-        )
-        first_act = min(int(pdf["ACT_TIME"].min()) for pdf in pdfs)
-        if not self._st.exists():
-            self._st.update((ts_ms, first_act, n_new))
-            self._handle.registerTimer(ts_ms + self._gap_ms)
-            return
-        first_ms, f_act, n = (int(v) for v in self._st.get())
-        self._handle.deleteTimer(first_ms + self._gap_ms)
-        if ts_ms - first_ms > self._gap_ms:
-            # the follow-up itself proves the deadline passed (EVENT
-            # time) — verdict by data, not by which batch the watermark
-            # advanced in, so replays with different batch splits agree;
-            # the late ping opens a fresh episode.
-            self._st.update((ts_ms, first_act, n_new))
-            self._handle.registerTimer(ts_ms + self._gap_ms)
-            yield pd.DataFrame({
-                "trip_id": [trip_id], "first_time": [f_act],
-                "n_pings": [n], "outcome": ["timed_out"],
-            })
-            return
-        self._st.clear()
-        yield pd.DataFrame({
-            "trip_id": [trip_id], "first_time": [f_act],
-            "n_pings": [n + n_new], "outcome": ["completed"],
-        })
+        pings = []
+        for pdf in rows:
+            for t, a in zip(pdf["tstamp"], pdf["ACT_TIME"]):
+                pings.append((int(t.value // 1_000_000), int(a)))
+        pings.sort()
+        if self._st.exists():
+            first_ms, f_act, n = (int(v) for v in self._st.get())
+            self._handle.deleteTimer(first_ms + self._gap_ms)
+            open_ep = (first_ms, f_act, n)
+        else:
+            open_ep = None
+        out = []
+        for ts_ms, act in pings:
+            if open_ep is None:
+                open_ep = (ts_ms, act, 1)
+                continue
+            first_ms, f_act, n = open_ep
+            if ts_ms - first_ms >= self._gap_ms:
+                # the follow-up itself proves the deadline passed; the
+                # late ping opens a fresh episode
+                out.append((trip_id, f_act, n, "timed_out"))
+                open_ep = (ts_ms, act, 1)
+            else:
+                out.append((trip_id, f_act, n + 1, "completed"))
+                open_ep = None
+        if open_ep is not None:
+            self._st.update(open_ep)
+            self._handle.registerTimer(open_ep[0] + self._gap_ms)
+        else:
+            self._st.clear()
+        if out:
+            yield pd.DataFrame(
+                {
+                    "trip_id": [o[0] for o in out],
+                    "first_time": [o[1] for o in out],
+                    "n_pings": [o[2] for o in out],
+                    "outcome": [o[3] for o in out],
+                }
+            )
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         (trip_id,) = key

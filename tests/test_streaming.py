@@ -959,10 +959,17 @@ def test_tws_event_time_timer_timeouts(spark, tmp_path):
 
     src = str(tmp_path / "to_src")
     os.makedirs(src)
-    # batch 0: trips 1 and 2 start at t=1000
+    # batch 0: trips 1 and 2 start at t=1000; trip 4's follow-up lands
+    # in the SAME batch (must complete, not time out — the min-of-batch
+    # regression); trip 5 has two pings 700 s apart in one batch: the
+    # first episode times out by data, the second (t=1700) by timer.
     f0 = os.path.join(src, "a0.jsonl")
     with open(f0, "w") as fh:
-        fh.write(rec(1, 1000) + "\n" + rec(2, 1000) + "\n")
+        fh.write(
+            rec(1, 1000) + "\n" + rec(2, 1000) + "\n"
+            + rec(4, 1000) + "\n" + rec(4, 1100) + "\n"
+            + rec(5, 1000) + "\n" + rec(5, 1700) + "\n"
+        )
     # batch 1: trip 1 follows up at +120 s (completes); trip 3's ping at
     # t=4600 advances the watermark to 4590 — past trip 2's 1600
     # deadline (timed_out fires) but inside trip 3's own window.
@@ -998,14 +1005,23 @@ def test_tws_event_time_timer_timeouts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        _drain_tws(q, rows, min_rows=2, min_input=4)
-        verdicts = {
-            r["trip_id"]: (r["n_pings"], r["outcome"]) for r in rows
-        }
-        assert verdicts == {1: (2, "completed"), 2: (1, "timed_out")}
-        # first_time carries the opening ping's ACT_TIME
-        firsts = {r["trip_id"]: r["first_time"] for r in rows}
-        assert firsts == {1: 1000, 2: 1000}
+        _drain_tws(q, rows, min_rows=5, min_input=8)
+        verdicts = {}
+        for r in rows:
+            verdicts.setdefault(r["trip_id"], []).append(
+                (r["first_time"], r["n_pings"], r["outcome"])
+            )
+        assert verdicts[1] == [(1000, 2, "completed")]
+        assert verdicts[2] == [(1000, 1, "timed_out")]
+        # same-batch follow-up completes (regression: a min-of-batch
+        # shortcut used to flag this trip timed_out)
+        assert verdicts[4] == [(1000, 2, "completed")]
+        # two pings 700 s apart: first episode timed out by the data
+        # path, the reopened one by the watermark timer
+        assert sorted(verdicts[5]) == [
+            (1000, 1, "timed_out"), (1700, 1, "timed_out")
+        ]
+        assert 3 not in verdicts  # still inside its window
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev is None:

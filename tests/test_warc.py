@@ -68,3 +68,30 @@ def test_spark_roundtrip_exact(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, back.collect()))
     want = sorted(map(tuple, docs.collect()))
     assert got == want
+
+
+def test_warc_roundtrips_nulls_and_hostile_metadata(spark, tmp_path):
+    """NULL text/lang/source survive distinctly from ''/'None', and
+    CR/LF/colon/whitespace-laden metadata cannot corrupt framing."""
+    from busdata_pipeline_spark.sources.warc import read_warc, write_warc
+
+    rows = [
+        (1, None, None, "s", None),
+        (2, "", "en", None, None),
+        (3, "body", "a\r\nContent-Length: 999", "  padded  ", None),
+        (4, "x", "None", "colon:host", None),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1)
+    path = str(tmp_path / "hostile_warc")
+    assert write_warc(df, path) == 4
+    back = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"])
+        for r in read_warc(spark, path).collect()
+    }
+    assert back[1] == (None, None, "s")
+    assert back[2] == ("", "en", None)  # '' stays '', NULL stays NULL
+    assert back[3] == ("body", "a\r\nContent-Length: 999", "  padded  ")
+    assert back[4] == ("x", "None", "colon:host")  # literal 'None' kept
