@@ -900,3 +900,96 @@ def td_quality_lr_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     ).orderBy("decile")
+
+
+@query(
+    "td_corpus_snapshot_diff",
+    # Release-to-release corpus diff: v2 is derived deterministically
+    # (every 10th doc edited, every 17th removed, one new doc per
+    # removed), then a full-outer md5 comparison classifies every
+    # doc_id — the etl_snapshot_diff CDC shape applied to the corpus
+    # release workflow td_dataset_card reports on.
+    oracle="""
+WITH v1 AS (SELECT doc_id, md5(text) AS h, n_chars FROM documents),
+v2 AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS h,
+    CASE WHEN doc_id % 10 = 0 THEN n_chars + 3 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5('replacement for ' || CAST(doc_id AS VARCHAR)),
+    CAST(16 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+  FROM documents WHERE doc_id % 17 = 0),
+d AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+    a.h AS h1, b.h AS h2,
+    COALESCE(b.n_chars, 0) - COALESCE(a.n_chars, 0) AS dc
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+SELECT
+  CAST(SUM(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+  CAST(SUM(dc) AS BIGINT) AS chars_delta
+FROM d
+""",
+)
+def td_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff — the change audit between two dataset
+    versions (the documents table and a deterministically-derived v2:
+    10% edited, 1/17 removed and replaced): full-outer join on doc_id
+    comparing content md5, classifying every doc as added / removed /
+    changed / unchanged, plus the net character delta.  One
+    co-partitioned full-outer join on the id (the etl_snapshot_diff CDC
+    shape) + one scalar aggregate — linear, AQE-splittable, no
+    driver-side state."""
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"), "n_chars")
+    kept = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+        F.when(F.col("doc_id") % 10 == 0, F.col("n_chars") + 3)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    repl = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(
+            F.concat(F.lit("replacement for "), F.col("doc_id").cast("string"))
+        ).alias("h"),
+        (16 + F.length(F.col("doc_id").cast("string"))).cast("long")
+        .alias("n_chars"),
+    )
+    v2 = kept.unionByName(repl)
+    a = v1.select(
+        F.col("doc_id"), F.col("h").alias("h1"), F.col("n_chars").alias("c1")
+    )
+    b = v2.select(
+        F.col("doc_id"), F.col("h").alias("h2"), F.col("n_chars").alias("c2")
+    )
+    d = a.join(b, "doc_id", "full_outer").select(
+        "h1", "h2",
+        (F.coalesce("c2", F.lit(0)) - F.coalesce("c1", F.lit(0))).alias("dc"),
+    )
+    return d.agg(
+        F.sum(F.when(F.col("h1").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_added"),
+        F.sum(F.when(F.col("h2").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("h1").isNotNull()
+                & F.col("h2").isNotNull()
+                & (F.col("h1") != F.col("h2")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_changed"),
+        F.sum(F.when(F.col("h1") == F.col("h2"), 1).otherwise(0))
+        .cast("long").alias("n_unchanged"),
+        F.sum("dc").cast("long").alias("chars_delta"),
+    )

@@ -306,3 +306,19 @@ def test_stream_quality_gate_filters_both_ways(spark, sf_dir):
     assert 0 < len(rows) < total
     assert all(r["score"] >= 0.5 for r in rows)
     assert len({r["doc_id"] for r in rows}) == len(rows)  # exactly-once
+
+
+def test_corpus_snapshot_diff_accounting(spark, sf_dir):
+    """The diff classes partition both versions exactly: v1 = removed +
+    changed + unchanged; v2 = added + changed + unchanged."""
+    row = QUERIES["td_corpus_snapshot_diff"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    n_removed_expect = docs.where(F.col("doc_id") % 17 == 0).count()
+    n_changed_expect = docs.where(
+        (F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 10 == 0)
+    ).count()
+    assert row["n_removed"] == n_removed_expect == row["n_added"]
+    assert row["n_changed"] == n_changed_expect
+    assert row["n_removed"] + row["n_changed"] + row["n_unchanged"] == n
+    assert row["n_added"] > 0 and row["n_changed"] > 0
