@@ -1032,3 +1032,107 @@ def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+@query(
+    "rel_market_basket_lift",
+    # Association rules over order baskets: directed part pairs with
+    # support / confidence / lift from exact BIGINT basket counts
+    # (support(A,B)=n_AB/N, confidence=n_AB/n_A, lift=conf/supp(B)) —
+    # top-20 by lift with a total-order tiebreak.  The rule metrics are
+    # ratios of integers, so ROUND 6 sees identical doubles.
+    oracle="""
+WITH e0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM e0),
+ca AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS c
+       FROM e0 GROUP BY 1),
+cab AS (
+  SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM e0 a JOIN e0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2),
+m AS (
+  SELECT cab.ant, cab.cons, cab.n_both,
+    CAST(cab.n_both AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS supp,
+    CAST(cab.n_both AS DOUBLE) / CAST(a.c AS DOUBLE) AS conf,
+    (CAST(cab.n_both AS DOUBLE) / CAST(a.c AS DOUBLE))
+      / (CAST(b.c AS DOUBLE) / CAST(n.n_orders AS DOUBLE)) AS lift
+  FROM cab
+  JOIN ca a ON a.p = cab.ant
+  JOIN ca b ON b.p = cab.cons
+  CROSS JOIN n),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, ant, cons) AS rk
+  FROM m)
+SELECT ant, cons, n_both,
+  ROUND(supp, 6) AS support,
+  ROUND(conf, 6) AS confidence,
+  ROUND(lift, 6) AS lift,
+  CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 20 ORDER BY rank
+""",
+)
+def rel_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the retail
+    market-basket classic): directed part-pair rules A→B scored by
+    support, confidence, and lift from exact basket counts, top-20 by
+    lift under a total order.  The pair derivation is the same
+    per-order collect_set + double-explode shape as the co-occurrence
+    graph (two narrow shuffles, no SMJ of the fact against itself);
+    the per-part counts broadcast into the rule join; N is a bounded
+    1-row scalar.  Lift > 1 means B is over-represented in A's baskets
+    — ties broken (ant, cons) so the cut is deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = e0.select("l_orderkey").distinct().count()  # 1 scalar
+    ca = e0.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_order = e0.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    cab = (
+        per_order.select(F.explode("ps").alias("ant"), "ps")
+        .select("ant", F.explode("ps").alias("cons"))
+        .where(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    nd = F.lit(float(n_orders))
+    m = (
+        cab.join(
+            F.broadcast(ca.select(F.col("p").alias("ant"),
+                                  F.col("c").alias("ca"))),
+            "ant",
+        )
+        .join(
+            F.broadcast(ca.select(F.col("p").alias("cons"),
+                                  F.col("c").alias("cb"))),
+            "cons",
+        )
+        .select(
+            "ant", "cons", "n_both",
+            (F.col("n_both").cast("double") / nd).alias("supp"),
+            (F.col("n_both").cast("double") / F.col("ca").cast("double"))
+            .alias("conf"),
+            (
+                (F.col("n_both").cast("double") / F.col("ca").cast("double"))
+                / (F.col("cb").cast("double") / nd)
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "ant", "cons")
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select(
+            "ant", "cons", "n_both",
+            F.round("supp", 6).alias("support"),
+            F.round("conf", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -316,3 +316,32 @@ def test_bootstrap_ci_replays_hash_draws(spark, sf_dir):
     assert abs(row["ci_lo"] - round(sums[4] / n, 6)) < 2e-6
     assert abs(row["ci_hi"] - round(sums[194] / n, 6)) < 2e-6
     assert row["ci_lo"] < row["mean_obs"] < row["ci_hi"]
+
+
+def test_market_basket_lift_metrics_are_consistent(spark, sf_dir):
+    rows = QUERIES["rel_market_basket_lift"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    e0 = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = e0.select("l_orderkey").distinct().count()
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows[:5]:
+        # replay the rule's counts exactly
+        both = (
+            e0.where(F.col("l_partkey") == r["ant"])
+            .select("l_orderkey")
+            .intersect(
+                e0.where(F.col("l_partkey") == r["cons"]).select("l_orderkey")
+            )
+            .count()
+        )
+        ca = e0.where(F.col("l_partkey") == r["ant"]).count()
+        cb = e0.where(F.col("l_partkey") == r["cons"]).count()
+        assert r["n_both"] == both
+        assert abs(r["support"] - round(both / n_orders, 6)) < 2e-6
+        assert abs(r["confidence"] - round(both / ca, 6)) < 2e-6
+        assert abs(r["lift"] - round((both / ca) / (cb / n_orders), 6)) < 2e-6
