@@ -201,3 +201,28 @@ def _register_shared_text(name: str) -> None:
 for _name in ("rel_q1_pricing_summary", "rel_q5_region_revenue",
               "rel_q18_large_orders"):
     _register_shared_text(_name)
+
+
+# --- Shared-text twins over the events fact: the nonparametric rank
+# tests' oracle strings are pure ANSI (windows + isnan + sqrt), so the
+# identical text runs on both engines — front-end parity for the
+# statistics tier.
+
+import busdata_pipeline_spark.plans.stats_tests  # noqa: E402,F401
+
+
+def _register_shared_text_events(name: str) -> None:
+    @query(f"sql_{name}", oracle=ORACLES[name])
+    def twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(ORACLES[name])
+
+    twin.__name__ = f"sql_{name}"
+    twin.__doc__ = (
+        f"Shared-text SQL twin of {name}: the DuckDB oracle string "
+        f"itself runs through spark.sql."
+    )
+
+
+for _name in ("rel_mannwhitney_value", "rel_ks_2sample"):
+    _register_shared_text_events(_name)
