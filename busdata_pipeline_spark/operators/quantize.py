@@ -139,6 +139,14 @@ def sign_projection_signatures(embeddings: DataFrame,
                 raise ValueError("ragged embedding column")
             if signs is None:
                 signs = _sign_matrix(dim, out_dim)
+            elif signs.shape[0] != dim:
+                # a later batch that is internally uniform but at a
+                # different width would otherwise die inside q @ signs
+                # with an opaque shape error (ADVICE r8)
+                raise ValueError(
+                    "ragged embedding column: batch dim "
+                    f"{dim} != first batch dim {signs.shape[0]}"
+                )
             flat = emb.values.to_numpy(zero_copy_only=False)
             x = flat[offs[0]:offs[-1]].astype(np.float64).reshape(n, dim)
 

@@ -257,6 +257,65 @@ def vacuum_versions(path: str) -> list[int]:
     return gone
 
 
+#: Spark simpleString -> pyarrow type, for rebuilding a partition
+#: column in the footer-derived vacuum marker below.  Types outside
+#: this map fall back to the (slower) Spark read path.
+_PA_PARTITION_TYPES = {
+    "string": "string",
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool_",
+    "date": "date32",
+}
+
+
+def _footer_row_count(parquet_files: list[str]) -> int:
+    """Sum row counts from parquet FOOTERS — the erasure audit needs
+    the doomed-row count, and the footer already holds it; a Spark
+    count() job here re-reads data the pass is about to delete (the
+    round-8 etl_gdpr_erasure regression)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in parquet_files)
+
+
+def _write_footer_marker(d: str, doomed_files: list[str], col: str,
+                         ptype_name: str | None) -> bool:
+    """Build the empty schema-marker dir ``d + '.marker'`` straight
+    from a doomed file's parquet footer (+ the manifest-recorded
+    partition column), with no Spark job.  Returns False when the
+    partition type isn't in the footer map — caller falls back to the
+    Spark read path."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_name = _PA_PARTITION_TYPES.get(ptype_name or "")
+    if pa_name is None or not doomed_files:
+        return False
+    # drop the Spark-written schema metadata
+    # (org.apache.spark.sql.parquet.row.metadata): it lists only the
+    # IN-FILE columns, survives pq.write_table, and Spark trusts it
+    # over the physical footer — the appended partition column would
+    # silently vanish on read
+    schema = pq.ParquetFile(doomed_files[0]).schema_arrow.remove_metadata()
+    if col not in schema.names:
+        # partition-laid-out files never carry the partition column
+        # in-file; Spark appends it LAST on read — match that order
+        schema = schema.append(pa.field(col, getattr(pa, pa_name)()))
+    marker_tmp = d + ".marker"
+    shutil.rmtree(marker_tmp, ignore_errors=True)
+    os.makedirs(marker_tmp)
+    pq.write_table(schema.empty_table(),
+                   os.path.join(marker_tmp, "part-00000.parquet"))
+    return True
+
+
 def vacuum_replaced(spark: SparkSession, path: str) -> dict:
     """Physically purge masked rows from history — the retention pass
     that completes an erasure.  For every commit directory holding
@@ -311,37 +370,44 @@ def vacuum_replaced(spark: SparkSession, path: str) -> dict:
                    if os.path.isdir(os.path.join(d, f"{col}={v}"))]
         if subdirs:
             sub_paths = [os.path.join(d, f"{col}={v}") for v in subdirs]
-            doomed = spark.read.parquet(*sub_paths).count()
-            # will the delete leave the commit dir without any parquet
-            # file?  Capture the schema marker BEFORE deleting — after
-            # the rmtree there is nothing left to infer it from (the
-            # old read_version fallback crashed with
-            # UNABLE_TO_INFER_SCHEMA on the emptied dir, taking the
-            # whole table down), and write it aside + swap like the
-            # unpartitioned branch so a crash mid-pass never leaves a
-            # half-empty commit dir
             masked_prefixes = tuple(f"{col}={v}" + os.sep for v in subdirs)
-            survivors = [
-                p for p in glob.glob(os.path.join(d, "**", "*.parquet"),
-                                     recursive=True)
-                if not os.path.relpath(p, d).startswith(masked_prefixes)
+            all_files = glob.glob(os.path.join(d, "**", "*.parquet"),
+                                  recursive=True)
+            doomed_files = [
+                p for p in all_files
+                if os.path.relpath(p, d).startswith(masked_prefixes)
             ]
+            # the audit's doomed-row count comes from the parquet
+            # FOOTERS — metadata-only, no Spark job over bytes the pass
+            # is about to delete (r8's measured erasure regression)
+            doomed = _footer_row_count(doomed_files)
+            survivors = [p for p in all_files if p not in set(doomed_files)]
             if not survivors:
-                # fully masked: swap FIRST (marker write-aside, two
-                # renames), delete LAST, so no crash point leaves the
-                # live dir half-empty — after the marker rename the
-                # masked subdirs live inside .purged, and every crash
-                # window is healed by the loop-top .purged recovery on
-                # the next run.
-                snap = spark.read.parquet(d).limit(0)
-                if c.get("pcol_type") and col in snap.columns:
-                    snap = snap.withColumn(
-                        col, F.col(col).cast(c["pcol_type"]))
-                marker_tmp = d + ".marker"
-                snap.repartition(1).write.mode("overwrite").parquet(marker_tmp)
+                # will the delete leave the commit dir without any
+                # parquet file?  Capture the schema marker BEFORE
+                # deleting — after the rmtree there is nothing left to
+                # infer it from (the old read_version fallback crashed
+                # with UNABLE_TO_INFER_SCHEMA on the emptied dir,
+                # taking the whole table down).  Swap FIRST (marker
+                # write-aside, two renames), delete LAST, so no crash
+                # point leaves the live dir half-empty — after the
+                # marker rename the masked subdirs live inside .purged,
+                # and every crash window is healed by the loop-top
+                # .purged recovery on the next run.  The marker schema
+                # comes from a doomed file's footer + the manifest's
+                # partition type; exotic partition types fall back to a
+                # Spark limit(0) read.
+                if not _write_footer_marker(d, doomed_files, col,
+                                            c.get("pcol_type")):
+                    snap = spark.read.parquet(d).limit(0)
+                    if c.get("pcol_type") and col in snap.columns:
+                        snap = snap.withColumn(
+                            col, F.col(col).cast(c["pcol_type"]))
+                    snap.repartition(1).write.mode("overwrite").parquet(
+                        d + ".marker")
                 old = d + ".purged"
                 os.rename(d, old)
-                os.rename(marker_tmp, d)
+                os.rename(d + ".marker", d)
                 shutil.rmtree(old)
             else:
                 for p in sub_paths:

@@ -189,14 +189,21 @@ def td_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim.jaccard_pairs_prefix(table(spark, sf_dir, "documents"))
 
 
+#: near-positive exclusion cutoff for hard-negative mining — a
+#: candidate whose token-set Jaccard with its query is >= this is too
+#: close to a duplicate to label negative.  Shared by the Spark plan
+#: and the oracle string below so the two sides can't drift.
+_NEAR_POS_J = 0.75
+
+
 @query(
     "td_hard_negatives",
     # Hard-negative mining for retrieval-model training: BM25 top-20
     # lexical neighbors per query doc (hard: they share vocabulary),
-    # MINUS near-positives (exact token-set Jaccard >= 0.5 — a near-dup
-    # must never be labeled negative), cut to the 10 highest-ranked
-    # survivors.  Jaccard is |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT
-    # token sets — integers until the one division.
+    # MINUS near-positives (exact token-set Jaccard >= _NEAR_POS_J —
+    # a near-dup must never be labeled negative), cut to the 10
+    # highest-ranked survivors.  Jaccard is |A∩B| / (|A|+|B|-|A∩B|)
+    # over DISTINCT token sets — integers until the one division.
     oracle=_bm25_ctes()
     + f""",
 cset AS (SELECT doc_id, tok FROM tf),
@@ -221,7 +228,7 @@ hard AS (
   SELECT qid, doc_id, bm25, ROUND(j, 6) AS jaccard,
     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rank) AS INT)
       AS neg_rank
-  FROM jac WHERE j < 0.75)
+  FROM jac WHERE j < {_NEAR_POS_J})
 SELECT qid, doc_id AS neg_id, bm25, jaccard, neg_rank
 FROM hard WHERE neg_rank <= 10
 ORDER BY qid, neg_rank
@@ -231,8 +238,9 @@ def td_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining — the training-pair generator for embedding
     /reranker models (DPR/Contriever recipe): per query doc, take the
     lexically-confusable BM25 top-20, EXCLUDE near-positives (exact
-    token-set Jaccard >= 0.5 — labeling a near-dup as negative poisons
-    contrastive training), keep the 10 highest-ranked survivors with
+    token-set Jaccard >= _NEAR_POS_J = 0.75 — labeling a near-dup as
+    negative poisons contrastive training), keep the 10 highest-ranked
+    survivors with
     their scores and Jaccards.  Scale shape: the BM25 probe is the
     bounded-query-set join td_bm25_search documents; the Jaccard
     verification touches only the ≤ queries×20 candidate pairs — the
@@ -290,7 +298,7 @@ def td_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy("rank")
     hard = (
-        jac.where(F.col("j") < 0.75)
+        jac.where(F.col("j") < F.lit(_NEAR_POS_J))
         .select(
             "qid", "nid", "bm25",
             F.round("j", 6).alias("jaccard"),

@@ -590,7 +590,9 @@ WITH g AS (
   FROM documents GROUP BY lang, source),
 u AS (
   SELECT lang, source, n_true,
-    CAST({_DUCK_H60.format(x="lang || '|' || source")} % 999998 + 1
+    CAST({_DUCK_H60.format(
+        x="coalesce(lang, '<NULL>') || '|' || coalesce(source, '<NULL>')"
+    )} % 999998 + 1
          AS DOUBLE) / 1000000.0 AS u
   FROM g)
 SELECT lang, source, n_true,
@@ -617,11 +619,17 @@ def td_dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_true")
     )
+    # NULL-safe key hash: concat_ws SKIPS nulls while DuckDB's ||
+    # propagates them, so both sides coalesce each key column to the
+    # same sentinel before concatenation (ADVICE r8) — a NULL lang or
+    # source gets identical noise on both engines.
+    key = F.concat_ws(
+        "|",
+        F.coalesce(F.col("lang"), F.lit("<NULL>")),
+        F.coalesce(F.col("source"), F.lit("<NULL>")),
+    )
     u = (
-        (_h60(F.concat_ws("|", "lang", "source")) % 999998 + 1).cast(
-            "double"
-        )
-        / F.lit(1000000.0)
+        (_h60(key) % 999998 + 1).cast("double") / F.lit(1000000.0)
     )
     noise = -(
         F.signum(u - F.lit(0.5))

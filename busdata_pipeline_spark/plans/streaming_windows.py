@@ -19,6 +19,18 @@ from busdata_pipeline_spark.streaming.windows import (
 )
 
 
+def _await_or_raise(q, timeout: int) -> None:
+    """awaitTermination returning False means the query is STILL
+    RUNNING — reading the sink then would return a partial result and
+    leak the query.  Stop it and fail loudly instead (ADVICE r8)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout}s; refusing to read a partially-filled sink"
+        )
+
+
 @query(
     "st_tumbling_hourly",
     oracle="""
@@ -287,7 +299,7 @@ def st_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for attempt in ("ck1", "ck2"):  # ck2 = fresh checkpoint: full redelivery
         q = stream_into_jdbc(stream, url, "day1_events",
                              checkpoint=f"{root}/{attempt}", key="event_id")
-        q.awaitTermination(120)
+        _await_or_raise(q, 120)
     return read_jdbc(spark, url, "day1_events").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
@@ -424,7 +436,7 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q, 300)
         out = spark.table(name).orderBy("event_id").localCheckpoint(eager=True)
         spark.catalog.dropTempView(name)
         return out
@@ -780,7 +792,7 @@ def st_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q, 300)
         out = spark.table(name).orderBy("doc_id").localCheckpoint(eager=True)
         spark.catalog.dropTempView(name)
         return out

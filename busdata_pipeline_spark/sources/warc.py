@@ -49,10 +49,16 @@ def _hval(v) -> str:
 
 
 def _encode_record(doc_id, text, lang, source) -> bytes:
+    if doc_id is None:
+        # a NULL id would write '<urn:doc:None>', which read_warc's
+        # int() then rejects — the write would succeed but every later
+        # read of the file fails.  Fail at write time instead
+        # (ADVICE r8).
+        raise ValueError("WARC record requires a non-null doc_id")
     payload = ("" if text is None else str(text)).encode("utf-8")
     lines = [
         "WARC-Type: resource",
-        f"WARC-Record-ID: <urn:doc:{doc_id}>",
+        f"WARC-Record-ID: <urn:doc:{int(doc_id)}>",
     ]
     # NULL metadata = header absent (NOT the string 'None'); NULL text
     # is flagged so '' and NULL round-trip distinctly.
