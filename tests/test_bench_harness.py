@@ -88,3 +88,28 @@ def test_gate_flags_missing_and_errored_queries():
     cur2 = {"queries": {"a": 1.0}}          # b silently vanished
     v2 = bench_gate.compare(cur2, prev)
     assert any(x.startswith("MISSING b") for x in v2)
+
+
+def test_merge_best_takes_per_query_minimum_and_labels_source():
+    best, src = bench_gate.merge_best([
+        ("r1", {"queries": {"a": 1.0, "b": 2.0}}),
+        ("r2", {"queries": {"a": 0.5, "c": 3.0}}),
+    ])
+    assert best == {"a": 0.5, "b": 2.0, "c": 3.0}
+    assert src == {"a": "r2", "b": "r1", "c": "r2"}
+
+
+def test_gate_best_ever_absorbs_one_noisy_round():
+    """r7/r8 incident shape: the single-previous-round diff flags a
+    query that only looks slow because the PREVIOUS round ran on a
+    noisy box; the best-ever baseline does not cry wolf, but a real
+    regression against the all-time best still flags."""
+    noisy_prev = {"queries": {"q": 3.0}}      # slow-box round
+    quiet_old = {"queries": {"q": 1.0}}       # best-ever
+    cur = {"queries": {"q": 1.05}}            # actually fine
+    best, src = bench_gate.merge_best([("old", quiet_old),
+                                       ("prev", noisy_prev)])
+    assert not bench_gate.compare(cur, {"queries": best}, prev_src=src)
+    really_slow = {"queries": {"q": 2.0}}
+    v = bench_gate.compare(really_slow, {"queries": best}, prev_src=src)
+    assert any("best: old" in s for s in v), v

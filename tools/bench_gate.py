@@ -9,8 +9,16 @@ Built after two real incidents this gate would have caught:
 Accepts either the raw one-line JSON bench.py prints or the driver's
 wrapper file ({"n", "rc", "tail", "parsed": {...}}).
 
-Usage:  python tools/bench_gate.py CURRENT.json PREVIOUS.json
+Usage:  python tools/bench_gate.py CURRENT.json BASELINE.json [...]
 Exit 0 = clean; exit 1 = violations (printed one per line).
+
+With multiple baselines the gate compares each query against its BEST
+(minimum) time across ALL of them and quotes which artifact holds that
+best — r7 (+11%) and r8 (+24%) were both slow-box regimes where the
+single-previous-round diff cried wolf; the best-ever baseline is
+stable against one noisy round.  Pass every BENCH_r*.json and
+BENCH_LOCAL_r*.json you have (a crashed/unparseable baseline is
+skipped with a warning, not fatal).
 
 Budget: a query regresses when cur > prev * BUDGET + FLOOR_SEC.  The
 multiplicative budget (default 1.25x) catches real plan regressions; the
@@ -48,9 +56,29 @@ def load_bench(path: str) -> dict:
     return parsed
 
 
+def merge_best(baselines: list[tuple[str, dict]]) -> tuple[dict, dict]:
+    """Per-query minimum across all baseline artifacts.
+
+    Returns ({name: best_sec}, {name: artifact_label}) so violation
+    lines can say WHICH round holds the best-ever time."""
+    best: dict[str, float] = {}
+    src: dict[str, str] = {}
+    for label, d in baselines:
+        for name, sec in d.get("queries", {}).items():
+            if name not in best or sec < best[name]:
+                best[name] = sec
+                src[name] = label
+    return best, src
+
+
 def compare(cur: dict, prev: dict,
-            budget: float = BUDGET, floor_sec: float = FLOOR_SEC) -> list[str]:
-    """Violation strings, empty when the current round is clean."""
+            budget: float = BUDGET, floor_sec: float = FLOOR_SEC,
+            prev_src: dict | None = None) -> list[str]:
+    """Violation strings, empty when the current round is clean.
+
+    ``prev`` may be a single round's dict or a merged best-ever dict
+    (see merge_best); ``prev_src`` optionally labels each baseline
+    query's source artifact for the violation message."""
     out: list[str] = []
     cq, pq = cur.get("queries", {}), prev.get("queries", {})
     for name, err in (cur.get("errors") or {}).items():
@@ -61,9 +89,11 @@ def compare(cur: dict, prev: dict,
     common = [n for n in pq if n in cq]
     for name in common:
         if cq[name] > pq[name] * budget + floor_sec:
+            where = f" [best: {prev_src[name]}]" if prev_src else ""
             out.append(
                 f"SLOW {name}: {pq[name]:.3f}s -> {cq[name]:.3f}s "
                 f"({cq[name] / pq[name]:.2f}x, budget {budget:.2f}x+{floor_sec}s)"
+                f"{where}"
             )
     # total over the COMMON subset only — new queries grow the headline
     # total legitimately every round
@@ -77,7 +107,7 @@ def compare(cur: dict, prev: dict,
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) != 3:
+    if len(argv) < 3:
         print(__doc__)
         return 2
     try:
@@ -85,17 +115,23 @@ def main(argv: list[str]) -> int:
     except ValueError as exc:
         print(f"CRASH current round: {exc}")
         return 1
-    try:
-        prev = load_bench(argv[2])
-    except ValueError as exc:
-        # previous round crashed: nothing sane to diff against; pass but say so
-        print(f"WARN previous round unusable ({exc}); gate vacuously clean")
+    baselines: list[tuple[str, dict]] = []
+    for path in argv[2:]:
+        try:
+            baselines.append((path, load_bench(path)))
+        except (ValueError, OSError, json.JSONDecodeError) as exc:
+            print(f"WARN baseline {path} unusable ({exc}); skipped")
+    if not baselines:
+        # every baseline crashed: nothing sane to diff against; pass but say so
+        print("WARN no usable baseline; gate vacuously clean")
         return 0
-    violations = compare(cur, prev)
+    best, src = merge_best(baselines)
+    violations = compare(cur, {"queries": best}, prev_src=src)
     for v in violations:
         print(v)
     if not violations:
-        print("bench gate: clean")
+        print(f"bench gate: clean (vs best-ever over {len(baselines)} "
+              f"artifact(s))")
     return 1 if violations else 0
 
 
