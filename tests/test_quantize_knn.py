@@ -207,3 +207,22 @@ def test_int8_quantization_model(vec):
     assert q.min() >= -127 and q.max() <= 127
     err = np.abs(x - q * scale / 127.0)
     assert (err <= scale / 127.0 / 2 + 1e-12).all()
+
+
+def test_sign_projection_cross_batch_dim_mismatch_diagnosed(spark):
+    """ADVICE r8: a later Arrow batch that is internally uniform but at
+    a DIFFERENT width than the first used to die inside q @ signs with
+    an opaque numpy shape error; it must raise the explicit ragged/dim
+    diagnostic.  maxRecordsPerBatch=1 forces each row into its own
+    batch within one partition."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1)
+        with pytest.raises(Exception, match="ragged embedding column"):
+            quantize.sign_projection_signatures(df, out_dim=4).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -210,3 +210,28 @@ def test_embed_whitening_matches_numpy(spark, sf_dir):
         assert abs(r["mean"] - round(mean, 6)) < 2e-6
         assert abs(r["std"] - round(var ** 0.5, 6)) < 2e-6
         assert r["std"] > 0
+
+
+def test_dp_laplace_null_group_keys_agree_cross_engine(spark, tmp_path):
+    """ADVICE r8: Spark concat_ws SKIPS NULLs while DuckDB || propagates
+    them, so a NULL lang/source group used to get DIFFERENT noise per
+    engine (silently — testdata has no NULL keys).  Both sides now
+    coalesce to a shared sentinel; pin the divergence case with a
+    corpus that has NULL lang, NULL source, and both."""
+    import os
+
+    from busdata_pipeline_spark.plans.registry import ORACLES
+    from tests.oracle_check import compare, duckdb_con
+
+    rows = [
+        (1, "en", "web"), (2, None, "web"), (3, "en", None),
+        (4, None, None), (5, "de", "web"),
+    ]
+    d = str(tmp_path / "dpnull")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    got = QUERIES["td_dp_laplace_release"](spark, d)
+    ok, msg = compare(got, duckdb_con(d), ORACLES["td_dp_laplace_release"])
+    assert ok, msg

@@ -95,3 +95,13 @@ def test_warc_roundtrips_nulls_and_hostile_metadata(spark, tmp_path):
     assert back[2] == ("", "en", None)  # '' stays '', NULL stays NULL
     assert back[3] == ("body", "a\r\nContent-Length: 999", "  padded  ")
     assert back[4] == ("x", "None", "colon:host")  # literal 'None' kept
+
+
+def test_null_doc_id_rejected_at_write():
+    """ADVICE r8: a NULL doc_id used to serialize as '<urn:doc:None>' —
+    the write succeeded but every later read of the file failed in
+    int().  Must fail at encode time instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="doc_id"):
+        _encode_record(None, "text", "en", "src")
