@@ -51,3 +51,18 @@ def test_all_queries_run(spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
+
+
+def test_no_date_in_lists_in_any_oracle():
+    """ORACLES.md rule 6: DuckDB 1.0.0 evaluates DATE IN-lists to EMPTY
+    (while the equivalent =/OR chain matches), so no registered oracle
+    may ever contain one — the failure mode is silent wrong-answers,
+    not an error."""
+    import re
+
+    hits = {
+        n: m.group(0)
+        for n, s in ORACLES.items()
+        if (m := re.search(r"IN\s*\(\s*DATE\s*'", s, re.I))
+    }
+    assert not hits, f"DATE IN-lists found (write OR chains): {hits}"
