@@ -87,6 +87,8 @@ HEADLINERS = [
     "td_span_corruption",          # T5 span-mask example generation
     "etl_fk_integrity_audit",      # 7-edge referential orphan audit
     "rel_welch_bh_fdr",            # moment-scan Welch family + BH FDR
+    # round-9 additions (earlier keys unchanged for cross-round deltas)
+    "td_ann_recall_eval",          # IVF recall@10 vs exact ground truth
 ]
 
 

@@ -40,7 +40,7 @@ from busdata_pipeline_spark.operators import (
     quantize,
     similarity,
 )
-from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.plans.registry import ORACLES, query
 from busdata_pipeline_spark.sources import table
 
 # ---------------------------------------------------------------------------
@@ -1307,6 +1307,70 @@ def td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.ivf_kmeans_ann_topk(
         emb, _queries_df(spark, sf_dir), k=10, n_clusters=8, n_iter=2, nprobe=3
+    )
+
+
+@query(
+    "td_ann_recall_eval",
+    # Recall@10 of the IVF scale path against the exact brute-force
+    # scorer — the ANN QUALITY number an index build must report before
+    # anyone trusts it for retrieval.  The oracle composes the two
+    # registered oracles verbatim as CTEs (ex = exact, ivf = the full
+    # Lloyd-replay chain), so the eval is hash-checked end to end:
+    # trained centroids, routing, rescoring AND the recall arithmetic.
+    # ex is referenced twice -> MATERIALIZED (ORACLES.md rule 7).
+    oracle=f"""
+WITH ex AS MATERIALIZED ({ORACLES["td_cosine_topk"]}),
+ivf AS ({ORACLES["td_ivf_ann"]}),
+hits AS (
+  SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ex JOIN ivf ON ivf.qid = ex.qid AND ivf.vec_id = ex.vec_id
+  GROUP BY ex.qid),
+qs AS (SELECT DISTINCT qid FROM ex)
+SELECT qs.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) + 0.0 AS recall_at_10
+FROM qs LEFT JOIN hits h ON h.qid = qs.qid
+ORDER BY qs.qid
+""",
+)
+def td_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of td_ivf_ann vs the exact scorer
+    (td_cosine_topk) — the index-quality eval that closes the ANN
+    ladder: brute force is the ground truth, IVF is the candidate, and
+    the intersection size per query is the recall numerator.  Both
+    paths break rank-10 ties identically (cosine DESC, vec_id), so the
+    top-10 SETS are deterministic and the recall is exact, not
+    approximate.  Scale shape: the two inputs are the existing
+    bounded-query-set pipelines (<= 20 queries at any corpus scale);
+    the eval itself joins two <= 200-row relations — free.  On this
+    near-random corpus the recall is structurally low (see td_ivf_ann's
+    docstring); the planted-cluster recall >= 0.9 assertion lives in
+    tests/test_training_data.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    exact = similarity.cosine_topk_vectorized(emb, qs, k=10).select(
+        "qid", "vec_id"
+    )
+    ivf = similarity.ivf_kmeans_ann_topk(
+        emb, qs, k=10, n_clusters=8, n_iter=2, nprobe=3
+    ).select("qid", "vec_id")
+    hits = (
+        exact.join(ivf, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        exact.select("qid").distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(10.0),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("qid")
     )
 
 

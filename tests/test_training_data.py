@@ -659,3 +659,27 @@ def test_ppm_nn_resize_matches_python_model(spark):
                 for c in range(3):
                     total += (i * 7 + 3 * si + c) % 256
         assert got[doc_id] == (ow, oh, total), doc_id
+
+
+def test_ann_recall_eval_matches_independent_intersection(spark):
+    """td_ann_recall_eval's recall numbers must equal an independently
+    computed |exact ∩ ivf| per query (the eval is itself evaluated),
+    and cover every query id exactly once with 0 <= n_hits <= 10."""
+    import __spark_entry__ as E
+    from tests.conftest import SF001
+
+    got = {r.qid: (r.n_hits, r.recall_at_10)
+           for r in E.queries()["td_ann_recall_eval"](spark, SF001).collect()}
+    exact = E.queries()["td_cosine_topk"](spark, SF001).collect()
+    ivf = E.queries()["td_ivf_ann"](spark, SF001).collect()
+    ex_sets, ivf_sets = {}, {}
+    for r in exact:
+        ex_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    assert set(got) == set(ex_sets)
+    for qid, (n, rec) in got.items():
+        want = len(ex_sets[qid] & ivf_sets.get(qid, set()))
+        assert n == want, (qid, n, want)
+        assert rec == round(want / 10.0, 6)
+        assert 0 <= n <= 10
