@@ -924,7 +924,7 @@ def td_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "td_jaccard_adjacent",
     oracle="""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id,
     list_distinct(list_transform(
       range(1, GREATEST(len(string_split(TRIM(text), ' ')) - 1, 1)),
@@ -932,6 +932,10 @@ WITH sh AS (
            string_split(TRIM(text), ' ')[i+1] || ' ' ||
            string_split(TRIM(text), ' ')[i+2])) AS shingles
   FROM documents)
+-- sh is self-joined (a, b): MATERIALIZED above keeps DuckDB from
+-- re-shingling the corpus per reference — the inlining slowness that
+-- kept this LINEAR (adjacent-pair) oracle on the 10x-replica skip
+-- list through r8 (ORACLES.md rule 7; 6.9 s at 10x once fixed)
 SELECT a.doc_id AS a, b.doc_id AS b,
   ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
@@ -1968,8 +1972,12 @@ def td_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Full SQL replay of winnowing: the same 60-bit md5-prefix gram hash
     # (the portable-hash discipline shared with SimHash's oracle), the
     # same w-window minima, the same distinct.  k=4 token-grams, w=5.
+    # toks MATERIALIZED: the gram explode references t per gram; inlined,
+    # DuckDB re-splits the document for every gram — the slowness that
+    # kept this linear oracle on the 10×-replica skip list through r8
+    # (3.2 s at 10× once fixed)
     oracle="""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE len(string_split(text, ' ')) >= 8),
 g AS (
