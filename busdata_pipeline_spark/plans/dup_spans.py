@@ -105,11 +105,16 @@ def duplicated_spans(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     # two distinct grams together, which the corpus size makes
     # vanishing.  Islands: same-length intervals sorted by start merge
     # iff next_start <= prev_start + n.
+    # toks/grams MATERIALIZED: the gram explode references t per gram
+    # and grams feeds both dup and dup_pos — inlined, DuckDB re-split/
+    # re-grammed the corpus per reference, which kept this LINEAR
+    # oracle on the 10×-replica skip list (ORACLES.md rule 7; 1.8 s at
+    # 10× once fixed)
     oracle=f"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE len(string_split(text, ' ')) >= {NGRAM}
-), grams AS (
+), grams AS MATERIALIZED (
   SELECT doc_id, i AS pos,
          array_to_string(t[i : i + {NGRAM} - 1], ' ') AS gram
   FROM toks, UNNEST(range(1, len(t) - {NGRAM} + 2)) AS r(i)
