@@ -22,18 +22,52 @@ from busdata_pipeline_spark.sources import table
 
 @query(
     "rel_q1_pricing_summary",
+    # Every input column is 2-decimal money (verified: max frac error
+    # ~1e-9 cents), so the per-row quantizations below are LOSSLESS and
+    # the BIGINT sums are exact in ANY summation order — the double-SUM
+    # form this replaces failed the strict 100×-replica differential
+    # (8.6M-row groups at ~1e10 magnitude accumulate more cross-engine
+    # order error than the final ROUND absorbs; ORACLES.md rule 4).
+    # Headroom: charge micro-units peak ~1e11/row → ~1e18 per 10M-row
+    # group — split hi/lo sums before going past ~80M rows per group.
+    # The derived products (disc_price 4-dec, charge 6-dec) are the
+    # identical IEEE multiplies on both engines, so their quantized
+    # BIGINTs agree bit-for-bit; averages divide the exact sums with
+    # the identical op order.
     oracle="""
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS q2,
+    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p2,
+    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+         AS BIGINT) AS d4,
+    CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               * 1000000.0 + 0.5) AS BIGINT) AS c6,
+    CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS dc2
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00')
+-- divisors as EXPONENT literals: Spark SQL parses 100.0 as DECIMAL
+-- (DuckDB as DOUBLE), and bigint/decimal is decimal — the shared-text
+-- twin would emit driver-unhashable dec(24,2) columns; 1.0e2 is
+-- DOUBLE in both dialects.  No ROUND on the sums: they are exact unit
+-- multiples, and ROUND-to-decimal picks a representable double
+-- differently per engine at 1e10 magnitude (1-ulp diff at the 100×
+-- rung); the single int->double division is the identical IEEE op.
+-- Averages use the FLOOR-quantize cut (both engines, same ops) for
+-- the same reason.
 SELECT l_returnflag, l_linestatus,
-  ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  ROUND(AVG(l_quantity), 6) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
+  CAST(SUM(q2) AS BIGINT) / 1.0e2 AS sum_qty,
+  CAST(SUM(p2) AS BIGINT) / 1.0e2 AS sum_base_price,
+  CAST(SUM(d4) AS BIGINT) / 1.0e4 AS sum_disc_price,
+  CAST(SUM(c6) AS BIGINT) / 1.0e6 AS sum_charge,
+  FLOOR(CAST(SUM(q2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
+    / 1.0e6 AS avg_qty,
+  FLOOR(CAST(SUM(p2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
+    / 1.0e6 AS avg_price,
+  FLOOR(CAST(SUM(dc2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
+    / 1.0e6 AS avg_disc,
   COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+FROM q
 GROUP BY l_returnflag, l_linestatus
 """,
 )
@@ -41,24 +75,48 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary: the canonical scan+agg stress test.  Whole plan is
     one WholeStageCodegen span over the parquet scan with a 6-group hash
     agg — map-side partial agg means the shuffle moves 6 rows per task
-    regardless of input size.  Money sums rounded where no tie edge exists: 4-decimal-exact
-    sums at 4; the 6-decimal charge at 2 (round-6 would expose real
-    summation noise at 1e9 magnitude, and half-cent ties there need a
-    1-in-10^4 coincidence instead of 1-in-10^2)."""
+    regardless of input size.  Money arithmetic is quantized per ROW to
+    exact integer cents / 1e-4 / 1e-6 units (lossless — the inputs are
+    2-decimal money) so the BIGINT sums are order-free exact and the
+    result is bit-stable at EVERY scale rung; the prior double-SUM form
+    diverged from the oracle at the 100× replica's 8.6M-row groups.
+    Averages divide the same exact sums (identical op order on both
+    engines)."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    def units(col, k):
+        # cast-to-long truncates toward zero == FLOOR for these
+        # positive money values (cheaper than floor(); the ORACLE keeps
+        # CAST(FLOOR(...) AS BIGINT) because DuckDB's double->int cast
+        # rounds to nearest instead of truncating)
+        return (col * F.lit(k) + F.lit(0.5)).cast("long")
+
+    n = F.count(F.lit(1))
+    sq2 = F.sum(units(F.col("l_quantity"), 100.0))
+    sp2 = F.sum(units(F.col("l_extendedprice"), 100.0))
+    sd4 = F.sum(units(disc_price, 10000.0))
+    sc6 = F.sum(units(charge, 1000000.0))
+    sdc2 = F.sum(units(F.col("l_discount"), 100.0))
+
+    def cut6(x):
+        # the FLOOR-quantize half-up cut — ROUND-to-decimal picks the
+        # representable double differently per engine at 1-ulp level
+        return F.floor(x * F.lit(1.0e6) + F.lit(0.5)) / F.lit(1.0e6)
+
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (sq2 / F.lit(100.0)).alias("sum_qty"),
+            (sp2 / F.lit(100.0)).alias("sum_base_price"),
+            (sd4 / F.lit(10000.0)).alias("sum_disc_price"),
+            (sc6 / F.lit(1000000.0)).alias("sum_charge"),
+            cut6(sq2 / F.lit(100.0) / n).alias("avg_qty"),
+            cut6(sp2 / F.lit(100.0) / n).alias("avg_price"),
+            cut6(sdc2 / F.lit(100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 

@@ -9,11 +9,16 @@ from pyspark.sql import SparkSession
 # hostile driver session: non-UTC tz, NTZ-preferring timestamp semantics
 # (the round-3 driver read naive parquet as TIMESTAMP_NTZ and resolved the
 # bare "timestamp" type name to NTZ — reproduce both), no engine tuning.
+# DRIVER_SIM_MEM raises the driver heap for the big scale replicas (the
+# default 1g JVM cannot shuffle the 100x lineitem); heap size is
+# capacity, not part of the session-hostility contract (tz/conf are).
 spark = (SparkSession.builder.master("local[8]")
          .appName("driver-sim")
          .config("spark.sql.session.timeZone", "America/New_York")
          .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
          .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+         .config("spark.driver.memory",
+                 os.environ.get("DRIVER_SIM_MEM", "1g"))
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 
