@@ -446,8 +446,17 @@ def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "rel_q19_bracket_revenue",
+    # revenue sums in exact 1e-4 units (the rel_q1 discipline): the
+    # plain double SUM failed the strict 100×-replica differential —
+    # a single-group sum over the bracket subset of 60M rows
+    # accumulates more cross-engine order error than ROUND(…,4)
+    # absorbs.  disc_price is the identical IEEE multiply on both
+    # engines, so the quantized BIGINTs agree bit-for-bit; one
+    # int→double division at the end, no ROUND (exact unit multiple).
     oracle="""
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         / 1.0e4 AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -475,10 +484,12 @@ def rel_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
            & F.col("l_quantity").between(20, 30))
     )
+    d4 = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)
+        + F.lit(0.5)
+    ).cast("long")  # trunc == floor for positive money (rel_q1 note)
     return j.where(bracket).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue")
+        (F.sum(d4) / F.lit(10000.0)).alias("revenue")
     )
 
 
