@@ -63,11 +63,17 @@ def rel_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_grouping_sets_priority",
+    # revenue in exact integer cents (the rel_q1 discipline): the
+    # double SUM failed the strict 100×-replica differential — the
+    # grand-total grouping set sums 10M rows in one group, past what
+    # ROUND(…,2) absorbs.  o_totalprice is 2-decimal money, so the
+    # quantization is lossless; one int→double division, no ROUND.
     oracle="""
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) / 1.0e2 AS revenue
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
@@ -84,7 +90,13 @@ def rel_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (
+                F.sum(
+                    (F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                    .cast("long")  # trunc == floor for positive money
+                )
+                / F.lit(100.0)
+            ).alias("revenue"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -635,7 +647,14 @@ SELECT
   CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(COUNT(maybe_type) AS BIGINT) AS n_type_notnull,
   CAST(COUNT(big_value) AS BIGINT) AS n_big,
-  ROUND(SUM(COALESCE(big_value, 0.0)), 6) AS sum_big_coalesced,
+  -- sum of per-row 1e-6-quantized values: events.value is an arbitrary
+  -- double (not decimal-exact), so the quantization is a deliberate
+  -- semantic (sum-of-rounded), chosen because the raw double SUM over
+  -- 10M rows failed the strict 100x differential (order error beyond
+  -- ROUND(…,6)); FLOOR of the identical double is identical on both
+  -- engines, making the BIGINT sum exact in any order
+  CAST(SUM(CAST(FLOOR(COALESCE(big_value, 0.0) * 1000000.0 + 0.5)
+                AS BIGINT)) AS BIGINT) / 1.0e6 AS sum_big_coalesced,
   CAST(SUM(CASE WHEN maybe_type IS NOT DISTINCT FROM NULL
            THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_nullsafe,
   CAST(SUM(CASE WHEN (value > 100) IS NULL THEN 1 ELSE 0 END)
@@ -659,8 +678,15 @@ def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("maybe_type").alias("n_type_notnull"),
         F.count("big_value").alias("n_big"),
-        F.round(F.sum(F.coalesce("big_value", F.lit(0.0))), 6)
-        .alias("sum_big_coalesced"),
+        (
+            F.sum(
+                F.floor(
+                    F.coalesce("big_value", F.lit(0.0)) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long")  # value can be negative -> keep FLOOR
+            )
+            / F.lit(1000000.0)
+        ).alias("sum_big_coalesced"),
         F.sum(
             F.when(F.col("maybe_type").eqNullSafe(F.lit(None)), 1).otherwise(0)
         ).cast("long").alias("n_clicks_nullsafe"),
