@@ -92,6 +92,13 @@ HEADLINERS = [
 ]
 
 
+def _load_avg():
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def time_queries(run, names, repeats) -> tuple[dict, dict]:
     """Warm pass + min-of-N timed pass with per-query error isolation.
 
@@ -161,7 +168,9 @@ def main() -> None:
         # 1-min load average at finish: r7 (+11%) and r8 (+24%) both
         # turned out to be slow-box regimes the judge had to re-derive
         # — the stamp makes the run's noise context part of the record
-        "load_avg": round(os.getloadavg()[0], 2),
+        # best-effort: getloadavg raises OSError on platforms without
+        # load averages; a diagnostic field must not crash the run
+        "load_avg": _load_avg(),
         "repeats": repeats,
     }
     if errors:

@@ -475,13 +475,22 @@ def ivf_kmeans_ann_topk(embeddings: DataFrame, queries: DataFrame,
                         k: int = 10, n_clusters: int = 8, n_iter: int = 2,
                         nprobe: int = 3, id_col: str = "vec_id",
                         vec_col: str = "embedding", qid_col: str = "qid",
-                        qvec_col: str = "qvec") -> DataFrame:
+                        qvec_col: str = "qvec",
+                        centroids: list | None = None) -> DataFrame:
     """IVF with REAL Lloyd-trained centroids: train (kmeans_centroids),
     assign the corpus to the final centroids (projection, no shuffle),
     route each query to its ``nprobe`` nearest centroids, exact-rescore
     only those partitions.  Fully deterministic, so a SQL oracle can
-    replay training + routing + rescoring end to end."""
-    cents = kmeans_centroids(embeddings, n_clusters, n_iter, id_col, vec_col)
+    replay training + routing + rescoring end to end.
+
+    ``centroids`` short-circuits training with an already-trained
+    codebook (a bounded n_clusters×dim list) — training is
+    deterministic, so consumers that run the IVF chain more than once
+    per session (td_ivf_ann then td_ann_recall_eval in the same bench
+    run) share one Lloyd run instead of re-training identical
+    centroids."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        embeddings, n_clusters, n_iter, id_col, vec_col)
     emb = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )

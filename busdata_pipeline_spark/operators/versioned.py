@@ -302,8 +302,18 @@ def _write_footer_marker(d: str, doomed_files: list[str], col: str,
     # (org.apache.spark.sql.parquet.row.metadata): it lists only the
     # IN-FILE columns, survives pq.write_table, and Spark trusts it
     # over the physical footer — the appended partition column would
-    # silently vanish on read
-    schema = pq.ParquetFile(doomed_files[0]).schema_arrow.remove_metadata()
+    # silently vanish on read.  Unify across ALL doomed footers: a
+    # commit dir with per-file schema drift (column added mid-commit)
+    # must not write a marker narrowed to the first file's columns.
+    footer_schemas = [pq.ParquetFile(p).schema_arrow.remove_metadata()
+                      for p in doomed_files]
+    try:
+        schema = pa.unify_schemas(footer_schemas)
+    except pa.ArrowInvalid:
+        # irreconcilable footers (same column, conflicting types):
+        # fall back to the Spark limit(0) path, which resolves the
+        # merged schema the same way reads do
+        return False
     if col not in schema.names:
         # partition-laid-out files never carry the partition column
         # in-file; Spark appends it LAST on read — match that order
@@ -381,7 +391,8 @@ def vacuum_replaced(spark: SparkSession, path: str) -> dict:
             # FOOTERS — metadata-only, no Spark job over bytes the pass
             # is about to delete (r8's measured erasure regression)
             doomed = _footer_row_count(doomed_files)
-            survivors = [p for p in all_files if p not in set(doomed_files)]
+            doomed_set = set(doomed_files)
+            survivors = [p for p in all_files if p not in doomed_set]
             if not survivors:
                 # will the delete leave the commit dir without any
                 # parquet file?  Capture the schema marker BEFORE

@@ -17,6 +17,43 @@ from pyspark.sql import functions as F
 from busdata_pipeline_spark.plans.registry import query
 from busdata_pipeline_spark.sources import table
 
+
+def sum_exact_units(col, k) -> "F.Column":
+    """Order-free, overflow-safe SUM of ``col`` quantized to 1/k units,
+    returned in UNITS as DOUBLE.
+
+    Per ROW: quantize to BIGINT units (lossless — the true value is a
+    k-decimal multiple and the IEEE multiply error is ≪ half a unit;
+    Spark's cast-to-long truncates == FLOOR for positive money, while
+    DuckDB's double->int cast rounds, hence the explicit FLOOR on the
+    SQL side only).  The units are summed as a HI/LO pair
+    (u div 1e6, u mod 1e6): each half's BIGINT sum stays ~1e6× under
+    int64 overflow, so a single group can hold ~9e12 rows before
+    wrapping (a 100 TB lineitem is ~6e11 rows — >10× margin even for a
+    whole-table group; the unsplit BIGINT sum wrapped at ~8e7 rows for
+    charge-magnitude units).  The halves recombine in DOUBLE with the
+    identical cast + a*1e6+b op order on both engines — bit-identical
+    to the unsplit int→double result below 2^53, deterministic above
+    it.  Pinned by tests/test_overflow_headroom.py.
+
+    Oracle twin (u = CAST(FLOOR(expr * K + 0.5) AS BIGINT)):
+      CAST(CAST(SUM(u // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+      + CAST(CAST(SUM(u % 1000000) AS BIGINT) AS DOUBLE)
+    divided by 1.0eK at the end."""
+    u = (col * F.lit(k) + F.lit(0.5)).cast("long")
+    lo = u % F.lit(1000000)
+    hi = ((u - lo) / F.lit(1000000)).cast("long")  # exact: multiple/1e6 ≤ 2^53
+    return (F.sum(hi).cast("double") * F.lit(1000000.0)
+            + F.sum(lo).cast("double"))
+
+
+def sum_money4(col) -> "F.Column":
+    """sum_exact_units at 1e-4 money precision, divided back to the
+    natural scale — the revenue-sum recipe (SCALE.md round 9: the
+    double-SUM + ROUND form this replaces diverged from the oracle at
+    the 100× replica's multi-million-row groups)."""
+    return sum_exact_units(col, 10000.0) / F.lit(10000.0)
+
 # ---------------------------------------------------------------------------
 # TPC-H Q1 shape — scan-heavy partial+final hash aggregation.
 
@@ -28,12 +65,18 @@ from busdata_pipeline_spark.sources import table
     # form this replaces failed the strict 100×-replica differential
     # (8.6M-row groups at ~1e10 magnitude accumulate more cross-engine
     # order error than the final ROUND absorbs; ORACLES.md rule 4).
-    # Headroom: charge micro-units peak ~1e11/row → ~1e18 per 10M-row
-    # group — split hi/lo sums before going past ~80M rows per group.
-    # The derived products (disc_price 4-dec, charge 6-dec) are the
-    # identical IEEE multiplies on both engines, so their quantized
-    # BIGINTs agree bit-for-bit; averages divide the exact sums with
-    # the identical op order.
+    # Headroom: the high-magnitude unit columns (base price cents
+    # ~1e7/row, disc_price 1e-4 units ~1e9/row, charge 1e-6 units
+    # ~1e11/row) are summed as HI/LO pairs via sum_exact_units — each
+    # half's per-row peak is ≤1e6, so a group needs ~1e13 rows before
+    # either BIGINT sum wraps (vs ~8e7 rows for the unsplit charge sum
+    # — the round-9 docstring's own warning).  q2/dc2 stay unsplit
+    # (per-row ≤1e4 → ≥1e15-row headroom); the margin arithmetic is
+    # pinned by tests/test_overflow_headroom.py.  The derived products
+    # (disc_price 4-dec, charge 6-dec) are the identical IEEE
+    # multiplies on both engines, so their quantized BIGINTs agree
+    # bit-for-bit; averages divide the exact sums with the identical
+    # op order.
     oracle="""
 WITH q AS (
   SELECT l_returnflag, l_linestatus,
@@ -54,15 +97,24 @@ WITH q AS (
 -- differently per engine at 1e10 magnitude (1-ulp diff at the 100×
 -- rung); the single int->double division is the identical IEEE op.
 -- Averages use the FLOOR-quantize cut (both engines, same ops) for
--- the same reason.
+-- the same reason.  p2/d4/c6 sums are the hi/lo-split form (see
+-- sum_exact_units docstring for the op-order contract).
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(q2) AS BIGINT) / 1.0e2 AS sum_qty,
-  CAST(SUM(p2) AS BIGINT) / 1.0e2 AS sum_base_price,
-  CAST(SUM(d4) AS BIGINT) / 1.0e4 AS sum_disc_price,
-  CAST(SUM(c6) AS BIGINT) / 1.0e6 AS sum_charge,
+  (CAST(CAST(SUM(p2 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+   + CAST(CAST(SUM(p2 % 1000000) AS BIGINT) AS DOUBLE))
+    / 1.0e2 AS sum_base_price,
+  (CAST(CAST(SUM(d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+   + CAST(CAST(SUM(d4 % 1000000) AS BIGINT) AS DOUBLE))
+    / 1.0e4 AS sum_disc_price,
+  (CAST(CAST(SUM(c6 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+   + CAST(CAST(SUM(c6 % 1000000) AS BIGINT) AS DOUBLE))
+    / 1.0e6 AS sum_charge,
   FLOOR(CAST(SUM(q2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
     / 1.0e6 AS avg_qty,
-  FLOOR(CAST(SUM(p2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
+  FLOOR((CAST(CAST(SUM(p2 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+         + CAST(CAST(SUM(p2 % 1000000) AS BIGINT) AS DOUBLE))
+        / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
     / 1.0e6 AS avg_price,
   FLOOR(CAST(SUM(dc2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
     / 1.0e6 AS avg_disc,
@@ -95,9 +147,9 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = F.count(F.lit(1))
     sq2 = F.sum(units(F.col("l_quantity"), 100.0))
-    sp2 = F.sum(units(F.col("l_extendedprice"), 100.0))
-    sd4 = F.sum(units(disc_price, 10000.0))
-    sc6 = F.sum(units(charge, 1000000.0))
+    sp2 = sum_exact_units(F.col("l_extendedprice"), 100.0)
+    sd4 = sum_exact_units(disc_price, 10000.0)
+    sc6 = sum_exact_units(charge, 1000000.0)
     sdc2 = F.sum(units(F.col("l_discount"), 100.0))
 
     def cut6(x):
@@ -176,14 +228,27 @@ def rel_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_q5_region_revenue",
+    # revenue quantized per ROW to exact 1e-4 units and summed hi/lo
+    # (the sum_money4 recipe — see sum_exact_units): order-free exact
+    # at any group size, overflow-safe to ~9e12 rows per group.  The
+    # prior double-SUM + ROUND form was the same order-dependent class
+    # the 100× differential caught on Q1/Q19 (SCALE.md round 9), one
+    # magnitude of headroom later.
     oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+         AS BIGINT) AS d4
+  FROM lineitem)
 SELECT n.n_name AS n_name,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  (CAST(CAST(SUM(l.d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+   + CAST(CAST(SUM(l.d4 % 1000000) AS BIGINT) AS DOUBLE))
+    / 1.0e4 AS revenue
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
 JOIN orders o   ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN li l       ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
 WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -221,7 +286,7 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            sum_money4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("revenue")
         )
     )
@@ -511,10 +576,17 @@ def rel_q22_rich_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "rel_q7_nation_trade",
     oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+         AS BIGINT) AS d4
+  FROM lineitem)
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-FROM lineitem l
+       (CAST(CAST(SUM(l.d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+        + CAST(CAST(SUM(l.d4 % 1000000) AS BIGINT) AS DOUBLE))
+         / 1.0e4 AS revenue
+FROM li l
 JOIN orders o   ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -552,7 +624,7 @@ def rel_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            sum_money4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("revenue")
         )
     )

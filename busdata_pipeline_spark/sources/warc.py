@@ -55,6 +55,11 @@ def _encode_record(doc_id, text, lang, source) -> bytes:
         # read of the file fails.  Fail at write time instead
         # (ADVICE r8).
         raise ValueError("WARC record requires a non-null doc_id")
+    if int(doc_id) != doc_id:
+        # int() would silently truncate a non-integral numeric id
+        # (3.7 -> 3), corrupting the record id; fail at write time
+        # like the null-id guard (ADVICE r9).
+        raise ValueError(f"WARC doc_id must be integral, got {doc_id!r}")
     payload = ("" if text is None else str(text)).encode("utf-8")
     lines = [
         "WARC-Type: resource",

@@ -10,6 +10,7 @@ Accepts either the raw one-line JSON bench.py prints or the driver's
 wrapper file ({"n", "rc", "tail", "parsed": {...}}).
 
 Usage:  python tools/bench_gate.py CURRENT.json BASELINE.json [...]
+        [--retire LABEL ...]   # drop known-outlier artifacts by substring
 Exit 0 = clean; exit 1 = violations (printed one per line).
 
 With multiple baselines the gate compares each query against its BEST
@@ -57,17 +58,31 @@ def load_bench(path: str) -> dict:
 
 
 def merge_best(baselines: list[tuple[str, dict]]) -> tuple[dict, dict]:
-    """Per-query minimum across all baseline artifacts.
+    """Per-query ROBUST minimum across all baseline artifacts.
+
+    A plain minimum lets one lucky/noisy-fast outlier permanently
+    ratchet the bar (and the SLOW-TOTAL sum then compares against a
+    composite no single run ever achieved).  With >= 4 samples for a
+    query we therefore use the SECOND-smallest time — one outlier is
+    discarded, while genuinely repeatable speedups (which show up in
+    at least two rounds) still tighten the bar.  With < 4 samples the
+    plain minimum stands (too few points to call anything an outlier).
+
+    Known-bad artifacts can be retired outright with --retire LABEL
+    (substring match on the path) in main().
 
     Returns ({name: best_sec}, {name: artifact_label}) so violation
-    lines can say WHICH round holds the best-ever time."""
-    best: dict[str, float] = {}
-    src: dict[str, str] = {}
+    lines can say WHICH round holds the quoted baseline time."""
+    times: dict[str, list[tuple[float, str]]] = {}
     for label, d in baselines:
         for name, sec in d.get("queries", {}).items():
-            if name not in best or sec < best[name]:
-                best[name] = sec
-                src[name] = label
+            times.setdefault(name, []).append((sec, label))
+    best: dict[str, float] = {}
+    src: dict[str, str] = {}
+    for name, pairs in times.items():
+        pairs.sort()
+        pick = pairs[1] if len(pairs) >= 4 else pairs[0]
+        best[name], src[name] = pick
     return best, src
 
 
@@ -107,6 +122,11 @@ def compare(cur: dict, prev: dict,
 
 
 def main(argv: list[str]) -> int:
+    retired: list[str] = []
+    while "--retire" in argv:
+        i = argv.index("--retire")
+        retired.append(argv[i + 1])
+        del argv[i:i + 2]
     if len(argv) < 3:
         print(__doc__)
         return 2
@@ -117,6 +137,9 @@ def main(argv: list[str]) -> int:
         return 1
     baselines: list[tuple[str, dict]] = []
     for path in argv[2:]:
+        if any(r in path for r in retired):
+            print(f"RETIRED baseline {path} (--retire)")
+            continue
         try:
             baselines.append((path, load_bench(path)))
         except (ValueError, OSError, json.JSONDecodeError) as exc:
