@@ -27,23 +27,25 @@ def sum_exact_units(col, k) -> "F.Column":
     Spark's cast-to-long truncates == FLOOR for positive money, while
     DuckDB's double->int cast rounds, hence the explicit FLOOR on the
     SQL side only).  The units are summed as a HI/LO pair
-    (u div 1e6, u mod 1e6): each half's BIGINT sum stays ~1e6× under
-    int64 overflow, so a single group can hold ~9e12 rows before
-    wrapping (a 100 TB lineitem is ~6e11 rows — >10× margin even for a
-    whole-table group; the unsplit BIGINT sum wrapped at ~8e7 rows for
-    charge-magnitude units).  The halves recombine in DOUBLE with the
-    identical cast + a*1e6+b op order on both engines — bit-identical
-    to the unsplit int→double result below 2^53, deterministic above
-    it.  Pinned by tests/test_overflow_headroom.py.
+    (u >> 20, u & (2^20-1) — shift/mask, one ALU op each in the per-row
+    hot path): each half's BIGINT sum stays ~1e6× under int64 overflow,
+    so a single group can hold ~9e12 rows before wrapping (a 100 TB
+    lineitem is ~6e11 rows — >10× margin even for a whole-table group;
+    the unsplit BIGINT sum wrapped at ~8e7 rows for charge-magnitude
+    units).  The halves recombine in DOUBLE with the identical cast +
+    a*2^20+b op order on both engines — bit-identical to the unsplit
+    int→double result below 2^53, deterministic above it.  Pinned by
+    tests/test_overflow_headroom.py.
 
-    Oracle twin (u = CAST(FLOOR(expr * K + 0.5) AS BIGINT)):
-      CAST(CAST(SUM(u // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-      + CAST(CAST(SUM(u % 1000000) AS BIGINT) AS DOUBLE)
+    Oracle twin (u = CAST(FLOOR(expr * K + 0.5) AS BIGINT); // and %
+    on non-negative u are the same bits as the shift/mask):
+      CAST(CAST(SUM(u // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+      + CAST(CAST(SUM(u % 1048576) AS BIGINT) AS DOUBLE)
     divided by 1.0eK at the end."""
     u = (col * F.lit(k) + F.lit(0.5)).cast("long")
-    lo = u % F.lit(1000000)
-    hi = ((u - lo) / F.lit(1000000)).cast("long")  # exact: multiple/1e6 ≤ 2^53
-    return (F.sum(hi).cast("double") * F.lit(1000000.0)
+    lo = u.bitwiseAND(F.lit(1048575))
+    hi = F.shiftright(u, 20)
+    return (F.sum(hi).cast("double") * F.lit(1048576.0)
             + F.sum(lo).cast("double"))
 
 
@@ -101,19 +103,19 @@ WITH q AS (
 -- sum_exact_units docstring for the op-order contract).
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(q2) AS BIGINT) / 1.0e2 AS sum_qty,
-  (CAST(CAST(SUM(p2 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-   + CAST(CAST(SUM(p2 % 1000000) AS BIGINT) AS DOUBLE))
+  (CAST(CAST(SUM(p2 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+   + CAST(CAST(SUM(p2 % 1048576) AS BIGINT) AS DOUBLE))
     / 1.0e2 AS sum_base_price,
-  (CAST(CAST(SUM(d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-   + CAST(CAST(SUM(d4 % 1000000) AS BIGINT) AS DOUBLE))
+  (CAST(CAST(SUM(d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+   + CAST(CAST(SUM(d4 % 1048576) AS BIGINT) AS DOUBLE))
     / 1.0e4 AS sum_disc_price,
-  (CAST(CAST(SUM(c6 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-   + CAST(CAST(SUM(c6 % 1000000) AS BIGINT) AS DOUBLE))
+  (CAST(CAST(SUM(c6 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+   + CAST(CAST(SUM(c6 % 1048576) AS BIGINT) AS DOUBLE))
     / 1.0e6 AS sum_charge,
   FLOOR(CAST(SUM(q2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
     / 1.0e6 AS avg_qty,
-  FLOOR((CAST(CAST(SUM(p2 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-         + CAST(CAST(SUM(p2 % 1000000) AS BIGINT) AS DOUBLE))
+  FLOOR((CAST(CAST(SUM(p2 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+         + CAST(CAST(SUM(p2 % 1048576) AS BIGINT) AS DOUBLE))
         / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
     / 1.0e6 AS avg_price,
   FLOOR(CAST(SUM(dc2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
@@ -241,8 +243,8 @@ WITH li AS (
          AS BIGINT) AS d4
   FROM lineitem)
 SELECT n.n_name AS n_name,
-  (CAST(CAST(SUM(l.d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-   + CAST(CAST(SUM(l.d4 % 1000000) AS BIGINT) AS DOUBLE))
+  (CAST(CAST(SUM(l.d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+   + CAST(CAST(SUM(l.d4 % 1048576) AS BIGINT) AS DOUBLE))
     / 1.0e4 AS revenue
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -583,8 +585,8 @@ WITH li AS (
   FROM lineitem)
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
-       (CAST(CAST(SUM(l.d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-        + CAST(CAST(SUM(l.d4 % 1000000) AS BIGINT) AS DOUBLE))
+       (CAST(CAST(SUM(l.d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+        + CAST(CAST(SUM(l.d4 % 1048576) AS BIGINT) AS DOUBLE))
          / 1.0e4 AS revenue
 FROM li l
 JOIN orders o   ON o.o_orderkey = l.l_orderkey

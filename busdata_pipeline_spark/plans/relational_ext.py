@@ -88,8 +88,8 @@ WITH o AS (
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
        COUNT(*) AS n_orders,
-       (CAST(CAST(SUM(p2 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-        + CAST(CAST(SUM(p2 % 1000000) AS BIGINT) AS DOUBLE))
+       (CAST(CAST(SUM(p2 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+        + CAST(CAST(SUM(p2 % 1048576) AS BIGINT) AS DOUBLE))
          / 1.0e2 AS revenue
 FROM o
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -439,10 +439,10 @@ def rel_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part at any SF), not the unbounded-group class.
     oracle="""
 SELECT FLOOR((CAST(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5)
-                                 AS BIGINT) // 1000000) AS BIGINT)
-                   AS DOUBLE) * 1000000.0
+                                 AS BIGINT) // 1048576) AS BIGINT)
+                   AS DOUBLE) * 1048576.0
               + CAST(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5)
-                                   AS BIGINT) % 1000000) AS BIGINT)
+                                   AS BIGINT) % 1048576) AS BIGINT)
                      AS DOUBLE)) / 1.0e2 / 7.0
              * 1.0e4 + 0.5) / 1.0e4 AS avg_yearly
 FROM lineitem l
@@ -501,8 +501,8 @@ WITH li AS (
     CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
          AS BIGINT) AS d4
   FROM lineitem)
-SELECT (CAST(CAST(SUM(l.d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-        + CAST(CAST(SUM(l.d4 % 1000000) AS BIGINT) AS DOUBLE))
+SELECT (CAST(CAST(SUM(l.d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+        + CAST(CAST(SUM(l.d4 % 1048576) AS BIGINT) AS DOUBLE))
          / 1.0e4 AS revenue
 FROM li l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -557,8 +557,8 @@ WITH li AS (
     AND l_shipdate < TIMESTAMP '1996-04-01'),
 revenue AS (
   SELECT l_suppkey AS supplier_no,
-         (CAST(CAST(SUM(d4 // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
-          + CAST(CAST(SUM(d4 % 1000000) AS BIGINT) AS DOUBLE))
+         (CAST(CAST(SUM(d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+          + CAST(CAST(SUM(d4 % 1048576) AS BIGINT) AS DOUBLE))
            / 1.0e4 AS total_revenue
   FROM li
   GROUP BY l_suppkey)
@@ -917,14 +917,14 @@ WITH li AS (
   FROM lineitem)
 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
        FLOOR((CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
-                                 THEN l.d4 // 1000000 ELSE 0 END)
-                        AS BIGINT) AS DOUBLE) * 1000000.0
+                                 THEN l.d4 // 1048576 ELSE 0 END)
+                        AS BIGINT) AS DOUBLE) * 1048576.0
               + CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
-                                   THEN l.d4 % 1000000 ELSE 0 END)
+                                   THEN l.d4 % 1048576 ELSE 0 END)
                           AS BIGINT) AS DOUBLE))
-             / (CAST(CAST(SUM(l.d4 // 1000000) AS BIGINT) AS DOUBLE)
-                  * 1000000.0
-                + CAST(CAST(SUM(l.d4 % 1000000) AS BIGINT) AS DOUBLE))
+             / (CAST(CAST(SUM(l.d4 // 1048576) AS BIGINT) AS DOUBLE)
+                  * 1048576.0
+                + CAST(CAST(SUM(l.d4 % 1048576) AS BIGINT) AS DOUBLE))
              * 1.0e6 + 0.5) / 1.0e6 AS mkt_share
 FROM li l
 JOIN orders o ON o.o_orderkey = l.l_orderkey

@@ -799,3 +799,172 @@ def st_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas, driver-visible (VERDICT r9 task #7): the
+# event-time-timer timeout detector's verdict set as a registered query
+# the driver hash-checks directly — previously this tier was only
+# pytest/replay-pinned (tools/tws_scale_replay.py at the 100x rung).
+
+_TWS_GAP_MS = 28_800_000     # 8 h — near the median inter-ping gap, so
+_TWS_WM_MS = 10_000          # the verdict mix has both outcomes
+_TWS_BASE = "2024-01-01 00:00:00"
+_TWS_OPD = "01JAN2024:00:00:00"   # breadcrumb_timestamp -> _TWS_BASE day
+
+
+@query(
+    "st_trip_timeout_verdicts",
+    # The oracle replays the per-trip episode state machine (open at a
+    # ping; follow-up >= gap later -> timed_out + reopen; < gap ->
+    # completed + reset) as a RECURSIVE walk over the event-time-ordered
+    # pings — each level advances one trip's open-episode pointer by 1
+    # (timeout) or 2 (completed pair), exactly the sequential fold the
+    # stateful processor runs — then closes still-open episodes with
+    # the engine's final timer flush: timed_out iff final watermark
+    # (max event ms - delay) >= first_ms + gap, the same >= boundary
+    # the timer path uses (streaming/stateful.py TripTimeoutProcessor).
+    # Ties within a trip carry identical (act) tuples, so any tie order
+    # yields the same verdict multiset.  pings is referenced three
+    # times per level -> MATERIALIZED (ORACLES.md rule 7).
+    oracle=f"""
+WITH RECURSIVE pings AS MATERIALIZED (
+  SELECT user_id AS trip_id,
+         CAST(FLOOR(EPOCH(ts) - EPOCH(TIMESTAMP '{_TWS_BASE}')) AS BIGINT)
+           AS act,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+              AS BIGINT) AS i
+  FROM events WHERE ts IS NOT NULL),
+wm AS MATERIALIZED (
+  SELECT MAX(act) * 1000 - {_TWS_WM_MS} AS final_wm_ms FROM pings),
+rec AS (
+  SELECT trip_id, CAST(1 AS BIGINT) AS i
+  FROM (SELECT DISTINCT trip_id FROM pings)
+  UNION ALL
+  SELECT r.trip_id,
+         r.i + CASE WHEN (p2.act - p1.act) * 1000 >= {_TWS_GAP_MS}
+                    THEN 1 ELSE 2 END
+  FROM rec r
+  JOIN pings p1 ON p1.trip_id = r.trip_id AND p1.i = r.i
+  JOIN pings p2 ON p2.trip_id = r.trip_id AND p2.i = r.i + 1),
+v AS (
+  SELECT r.trip_id, p1.act AS first_time,
+         CASE WHEN p2.i IS NULL THEN
+                CASE WHEN (SELECT final_wm_ms FROM wm)
+                          >= p1.act * 1000 + {_TWS_GAP_MS}
+                     THEN 'timed_out' END
+              WHEN (p2.act - p1.act) * 1000 >= {_TWS_GAP_MS}
+                THEN 'timed_out'
+              ELSE 'completed' END AS outcome,
+         CASE WHEN p2.i IS NOT NULL
+                   AND (p2.act - p1.act) * 1000 < {_TWS_GAP_MS}
+              THEN 2 ELSE 1 END AS n_pings
+  FROM rec r
+  JOIN pings p1 ON p1.trip_id = r.trip_id AND p1.i = r.i
+  LEFT JOIN pings p2 ON p2.trip_id = r.trip_id AND p2.i = r.i + 1)
+SELECT trip_id, first_time, CAST(n_pings AS BIGINT) AS n_pings, outcome
+FROM v WHERE outcome IS NOT NULL
+ORDER BY trip_id, first_time
+""",
+)
+def st_trip_timeout_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL transformWithStateInPandas run, hash-checked: the events
+    table becomes a breadcrumb stream (three event-time-ordered JSONL
+    slices, strictly increasing mtimes, maxFilesPerTrigger=1 -> one
+    micro-batch per slice, so the per-batch event-time walk equals the
+    global walk and the 10 s watermark never drops data), and the
+    EVENT-TIME-timer timeout detector (streaming/stateful.py
+    TripTimeoutProcessor — RocksDB state store, per-key timers firing
+    on watermark advancement) emits the verdict set the oracle replays.
+    Deterministic end to end: timers are data-driven (never wall
+    clock), the processor walks each batch per-ping (batch-split
+    independent), and the availableNow drain fires the final-watermark
+    flush for still-open episodes.  Scale shape: per-key state is three
+    scalars cleared on verdict; throughput is bounded by the stream
+    scan, not the state store."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from busdata_pipeline_spark.streaming.ingest import stream_breadcrumbs
+    from busdata_pipeline_spark.streaming.stateful import (
+        detect_trip_timeouts,
+        ensure_protobuf_runtime,
+    )
+
+    ensure_protobuf_runtime(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    base = F.lit(_TWS_BASE).cast("timestamp")
+    crumbs = ev.select(
+        F.col("user_id").alias("EVENT_NO_TRIP"),
+        F.lit(1).cast("long").alias("EVENT_NO_STOP"),
+        F.lit(_TWS_OPD).alias("OPD_DATE"),
+        F.lit(1).cast("long").alias("VEHICLE_ID"),
+        F.lit(1.0).alias("METERS"),
+        F.floor(F.col("ts").cast("double") - base.cast("double"))
+        .cast("long").alias("ACT_TIME"),
+        F.lit(45.5).alias("GPS_LATITUDE"),
+        F.lit(-122.6).alias("GPS_LONGITUDE"),
+        F.ntile(3).over(Window.orderBy("ts")).alias("_slice"),
+    )
+    scratch = tempfile.mkdtemp(prefix="st_tws_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # transformWithState needs the multi-column-family store
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        drop = os.path.join(scratch, "drop")
+        os.makedirs(drop)
+        import glob as _glob
+        for i in (1, 2, 3):
+            stage = os.path.join(scratch, f"stage_{i}")
+            (crumbs.where(F.col("_slice") == i).drop("_slice")
+             .coalesce(1).write.mode("overwrite").json(stage))
+            src = _glob.glob(os.path.join(stage, "part-*.json"))[0]
+            dst = os.path.join(drop, f"slice_{i}.jsonl")
+            shutil.move(src, dst)
+            t = 1_000_000 + i * 1000   # FileStreamSource orders by mtime
+            os.utime(dst, (t, t))
+        out_dir = os.path.join(scratch, "verdicts")
+        q = (
+            detect_trip_timeouts(
+                stream_breadcrumbs(spark, drop, max_files_per_trigger=1),
+                gap_ms=_TWS_GAP_MS, watermark_delay="10 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, 600)
+        return (
+            spark.read.parquet(out_dir)
+            .select(
+                F.col("trip_id").cast("long").alias("trip_id"),
+                F.col("first_time").cast("long").alias("first_time"),
+                F.col("n_pings").cast("long").alias("n_pings"),
+                "outcome",
+            )
+            .orderBy("trip_id", "first_time")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 INT64_MAX = 2**63 - 1
 ROWS_100TB = 6.0e11          # whole-table single group at ~100 TB
 MARGIN = 10.0                # required safety factor at that scale
-HI_LO_DIV = 1_000_000        # sum_exact_units split divisor
+HI_LO_DIV = 1_048_576       # sum_exact_units split divisor (2^20 shift/mask)
 
 
 def _max_units():
