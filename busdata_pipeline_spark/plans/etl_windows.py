@@ -15,6 +15,13 @@ from pyspark.sql import functions as F
 from busdata_pipeline_spark.functions import epoch_seconds, service_key_for
 from busdata_pipeline_spark.functions.timestamps import breadcrumb_timestamp
 from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.plans.relational import (
+    D4_SQL,
+    V6_SQL,
+    hl_sum_sql,
+    sum_exact_units,
+    sum_money4,
+)
 from busdata_pipeline_spark.sources import table
 
 
@@ -453,11 +460,16 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_incremental_join_view",
-    oracle="""
+    # revenue via the hi/lo-split exact unit sum (sum_exact_units): the
+    # cents-ROUND double SUM failed the strict 100x differential at
+    # 12M-row priority groups.
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, {D4_SQL} AS d4 FROM lineitem)
 SELECT o.o_orderpriority,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {hl_sum_sql("l.d4", "1.0e4")} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+FROM orders o JOIN li l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """,
@@ -491,11 +503,11 @@ def etl_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         view2.groupBy("o_orderpriority")
         .agg(
-            # cents precision: at replica scale the per-group sum is
-            # ~1e10 and cross-engine summation-order drift exceeds 1e-4;
-            # round-2 keeps 100x headroom at the 10x rung
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact hi/lo unit sum — the cents-ROUND double SUM this
+            # replaces failed the strict 100x differential (order error
+            # beyond the ROUND at 12M-row groups)
+            sum_money4(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
@@ -565,11 +577,13 @@ def etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_compaction_roundtrip",
-    oracle="""
+    # total_value is the 1e-6-quantized hi/lo sum (sum-of-rounded
+    # semantic; the raw double SUM failed the 100x differential).
+    oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        TRUE AS files_reduced,
        TRUE AS single_file,
-       ROUND(SUM(value), 6) AS total_value
+       {hl_sum_sql(V6_SQL, "1.0e6")} AS total_value
 FROM events
 WHERE CAST(ts AS DATE) = DATE '2024-01-01'
 """,
@@ -622,7 +636,8 @@ def etl_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_rows"),
                 F.lit(before > after).alias("files_reduced"),
                 F.lit(after == 1).alias("single_file"),
-                F.round(F.sum("value"), 6).alias("total_value"),
+                (sum_exact_units(F.col("value"), 1000000.0)
+                 / F.lit(1000000.0)).alias("total_value"),
             ).localCheckpoint(eager=True)
         )
     finally:
@@ -885,7 +900,10 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_gdpr_erasure",
-    oracle="""
+    # total_value is the 1e-6-quantized hi/lo sum (sum-of-rounded
+    # semantic; the raw ROUND(SUM(value),6) over the ~10M-row survivor
+    # set failed the 100x differential).
+    oracle=f"""
 WITH s AS (SELECT MIN(user_id) AS subj FROM events),
 d AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_rewritten,
              CAST(COUNT(*) AS BIGINT) AS rows_removed
@@ -895,8 +913,8 @@ SELECT
     AS n_rows_after,
   d.days_rewritten,
   d.rows_removed,
-  ROUND((SELECT SUM(value) FROM events, s WHERE user_id <> s.subj), 6)
-    AS total_value,
+  (SELECT {hl_sum_sql(V6_SQL, "1.0e6")}
+   FROM events, s WHERE user_id <> s.subj) AS total_value,
   TRUE AS subject_gone,
   TRUE AS untouched_partitions_stable
 FROM d
@@ -972,7 +990,8 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             post.agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows_after"),
-                F.round(F.sum("value"), 6).alias("total_value"),
+                (sum_exact_units(F.col("value"), 1000000.0)
+                 / F.lit(1000000.0)).alias("total_value"),
             )
             .select(
                 "n_rows_after",

@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.plans.registry import query
+from busdata_pipeline_spark.plans.relational import (
+    D4_SQL,
+    V6_SQL,
+    hl_sum_sql,
+    sum_exact_units,
+    sum_money4,
+)
 from busdata_pipeline_spark.sources import table
 
 
@@ -64,7 +71,11 @@ def dpp_weekend_totals(spark: SparkSession, fact_path: str,
         .groupBy("event_date")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # 1e-6-quantized hi/lo sum (sum-of-rounded semantic — value
+            # is an arbitrary double): the raw double SUM failed the
+            # strict 100x differential (order error beyond ROUND(...,6))
+            (sum_exact_units(F.col("value"), 1000000.0)
+             / F.lit(1000000.0)).alias("total_value"),
         )
         .orderBy("event_date")
     )
@@ -75,11 +86,12 @@ def dpp_weekend_totals(spark: SparkSession, fact_path: str,
     # DuckDB has no partitioned layout to prune, so the oracle states the
     # *semantics* (weekend-day totals); the pruning itself is plan-level
     # and pinned in tests/test_pruning.py.  DuckDB dayofweek(): 0=Sunday,
-    # 6=Saturday.
-    oracle="""
+    # 6=Saturday.  total_value is the 1e-6-quantized hi/lo sum (the
+    # raw double SUM failed the 100x differential).
+    oracle=f"""
 SELECT CAST(ts AS DATE) AS event_date,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS total_value
+       {hl_sum_sql(V6_SQL, "1.0e6")} AS total_value
 FROM events
 WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
 GROUP BY 1
@@ -262,13 +274,18 @@ def etl_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_bucketed_join",
-    oracle="""
+    # revenue via the hi/lo-split exact unit sum (sum_exact_units): the
+    # ROUND(...,2) double SUM failed the strict 100x differential —
+    # 12M-row priority groups accumulate more cross-engine order error
+    # than the final ROUND absorbs.
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, {D4_SQL} AS d4 FROM lineitem)
 SELECT o.o_orderpriority,
        COUNT(*) AS n_items,
        CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0
-         AS revenue
-FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       {hl_sum_sql("l.d4", "1.0e4")} AS revenue
+FROM orders o JOIN li l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """,
@@ -326,11 +343,8 @@ def etl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).alias("n_items"),
                 F.countDistinct("o_orderkey").alias("n_orders"),
-                F.round(
-                    F.sum(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    ),
-                    2,
+                sum_money4(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 ).alias("revenue"),
             )
             .orderBy("o_orderpriority")

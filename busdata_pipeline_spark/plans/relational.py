@@ -37,9 +37,10 @@ def sum_exact_units(col, k) -> "F.Column":
     int→double result below 2^53, deterministic above it.  Pinned by
     tests/test_overflow_headroom.py.
 
-    Oracle twin (u = CAST(FLOOR(expr * K + 0.5) AS BIGINT); // and %
-    on non-negative u are the same bits as the shift/mask):
-      CAST(CAST(SUM(u // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+    Oracle twin (u = CAST(FLOOR(expr * K + 0.5) AS BIGINT); the portable
+    FLOOR(u / 2^20) and % match the shift/mask bits for non-negative u,
+    and the text parses in BOTH dialects — Spark SQL has no //):
+      CAST(CAST(SUM(CAST(FLOOR(u / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
       + CAST(CAST(SUM(u % 1048576) AS BIGINT) AS DOUBLE)
     divided by 1.0eK at the end."""
     u = (col * F.lit(k) + F.lit(0.5)).cast("long")
@@ -47,6 +48,25 @@ def sum_exact_units(col, k) -> "F.Column":
     hi = F.shiftright(u, 20)
     return (F.sum(hi).cast("double") * F.lit(1048576.0)
             + F.sum(lo).cast("double"))
+
+
+def hl_sum_sql(u: str, div: str) -> str:
+    """Oracle-text twin of sum_exact_units: hi/lo-split SUM of the
+    BIGINT unit expression ``u`` (SQL text), divided back by ``div``
+    (an exponent literal like '1.0e6').  Portable across DuckDB and
+    Spark SQL (no ``//``); assumes non-negative units (``%`` is only
+    the mask for those — use ``u - hi*2^20`` if negatives appear)."""
+    return (
+        f"(CAST(CAST(SUM(CAST(FLOOR(({u}) / 1048576.0) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) * 1048576.0"
+        f" + CAST(CAST(SUM(({u}) % 1048576) AS BIGINT) AS DOUBLE)) / {div}"
+    )
+
+
+# the two per-row unit quantizations the oracles share (SQL text)
+D4_SQL = ("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) "
+          "AS BIGINT)")
+V6_SQL = "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)"
 
 
 def sum_money4(col) -> "F.Column":
@@ -103,18 +123,18 @@ WITH q AS (
 -- sum_exact_units docstring for the op-order contract).
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(q2) AS BIGINT) / 1.0e2 AS sum_qty,
-  (CAST(CAST(SUM(p2 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+  (CAST(CAST(SUM(CAST(FLOOR(p2 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
    + CAST(CAST(SUM(p2 % 1048576) AS BIGINT) AS DOUBLE))
     / 1.0e2 AS sum_base_price,
-  (CAST(CAST(SUM(d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+  (CAST(CAST(SUM(CAST(FLOOR(d4 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
    + CAST(CAST(SUM(d4 % 1048576) AS BIGINT) AS DOUBLE))
     / 1.0e4 AS sum_disc_price,
-  (CAST(CAST(SUM(c6 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+  (CAST(CAST(SUM(CAST(FLOOR(c6 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
    + CAST(CAST(SUM(c6 % 1048576) AS BIGINT) AS DOUBLE))
     / 1.0e6 AS sum_charge,
   FLOOR(CAST(SUM(q2) AS BIGINT) / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
     / 1.0e6 AS avg_qty,
-  FLOOR((CAST(CAST(SUM(p2 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+  FLOOR((CAST(CAST(SUM(CAST(FLOOR(p2 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
          + CAST(CAST(SUM(p2 % 1048576) AS BIGINT) AS DOUBLE))
         / 1.0e2 / COUNT(*) * 1.0e6 + 0.5)
     / 1.0e6 AS avg_price,
@@ -243,7 +263,7 @@ WITH li AS (
          AS BIGINT) AS d4
   FROM lineitem)
 SELECT n.n_name AS n_name,
-  (CAST(CAST(SUM(l.d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+  (CAST(CAST(SUM(CAST(FLOOR(l.d4 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
    + CAST(CAST(SUM(l.d4 % 1048576) AS BIGINT) AS DOUBLE))
     / 1.0e4 AS revenue
 FROM region r
@@ -585,7 +605,7 @@ WITH li AS (
   FROM lineitem)
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
-       (CAST(CAST(SUM(l.d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+       (CAST(CAST(SUM(CAST(FLOOR(l.d4 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
         + CAST(CAST(SUM(l.d4 % 1048576) AS BIGINT) AS DOUBLE))
          / 1.0e4 AS revenue
 FROM li l

@@ -88,7 +88,7 @@ WITH o AS (
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
        COUNT(*) AS n_orders,
-       (CAST(CAST(SUM(p2 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+       (CAST(CAST(SUM(CAST(FLOOR(p2 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
         + CAST(CAST(SUM(p2 % 1048576) AS BIGINT) AS DOUBLE))
          / 1.0e2 AS revenue
 FROM o
@@ -438,19 +438,20 @@ def rel_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double: the per-part AVG groups are bounded (~30 lineitems per
     # part at any SF), not the unbounded-group class.
     oracle="""
-SELECT FLOOR((CAST(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5)
-                                 AS BIGINT) // 1048576) AS BIGINT)
-                   AS DOUBLE) * 1048576.0
-              + CAST(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5)
-                                   AS BIGINT) % 1048576) AS BIGINT)
-                     AS DOUBLE)) / 1.0e2 / 7.0
+WITH kept AS (
+  SELECT CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p2
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#13'
+    AND l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey))
+SELECT FLOOR((CAST(CAST(SUM(CAST(FLOOR(p2 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                * 1048576.0
+              + CAST(CAST(SUM(p2 % 1048576) AS BIGINT) AS DOUBLE))
+             / 1.0e2 / 7.0
              * 1.0e4 + 0.5) / 1.0e4 AS avg_yearly
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand = 'Brand#13'
-  AND l.l_quantity < (
-    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
-    WHERE l2.l_partkey = p.p_partkey)
+FROM kept
 """,
 )
 def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +502,7 @@ WITH li AS (
     CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
          AS BIGINT) AS d4
   FROM lineitem)
-SELECT (CAST(CAST(SUM(l.d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+SELECT (CAST(CAST(SUM(CAST(FLOOR(l.d4 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
         + CAST(CAST(SUM(l.d4 % 1048576) AS BIGINT) AS DOUBLE))
          / 1.0e4 AS revenue
 FROM li l
@@ -557,7 +558,7 @@ WITH li AS (
     AND l_shipdate < TIMESTAMP '1996-04-01'),
 revenue AS (
   SELECT l_suppkey AS supplier_no,
-         (CAST(CAST(SUM(d4 // 1048576) AS BIGINT) AS DOUBLE) * 1048576.0
+         (CAST(CAST(SUM(CAST(FLOOR(d4 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE) * 1048576.0
           + CAST(CAST(SUM(d4 % 1048576) AS BIGINT) AS DOUBLE))
            / 1.0e4 AS total_revenue
   FROM li
@@ -917,12 +918,12 @@ WITH li AS (
   FROM lineitem)
 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
        FLOOR((CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
-                                 THEN l.d4 // 1048576 ELSE 0 END)
+                                 THEN CAST(FLOOR(l.d4 / 1048576.0) AS BIGINT) ELSE 0 END)
                         AS BIGINT) AS DOUBLE) * 1048576.0
               + CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
                                    THEN l.d4 % 1048576 ELSE 0 END)
                           AS BIGINT) AS DOUBLE))
-             / (CAST(CAST(SUM(l.d4 // 1048576) AS BIGINT) AS DOUBLE)
+             / (CAST(CAST(SUM(CAST(FLOOR(l.d4 / 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
                   * 1048576.0
                 + CAST(CAST(SUM(l.d4 % 1048576) AS BIGINT) AS DOUBLE))
              * 1.0e6 + 0.5) / 1.0e6 AS mkt_share
