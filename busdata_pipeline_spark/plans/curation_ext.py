@@ -166,8 +166,15 @@ scored AS (
   CROSS JOIN bt),
 q AS (SELECT doc_id, CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT) AS lpm
       FROM scored)
+-- the mean is rounded half-up IN INTEGERS: floor((2S + n) / (2n)) on
+-- exact BIGINTs (one IEEE division, exact for these magnitudes).  The
+-- prior ROUND(S/1e6/n, 6) failed the 100x differential: micro-nat
+-- sums divided by small n land EXACTLY on .5 at the 6th decimal, where
+-- Spark's BigDecimal HALF_UP and DuckDB's round() disagree.
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-  ROUND(-CAST(SUM(lpm) AS BIGINT) / 1000000.0 / COUNT(*), 6) AS xent_nats
+  CAST(FLOOR(CAST((-2 * CAST(SUM(lpm) AS BIGINT) + COUNT(*)) AS DOUBLE)
+             / CAST((2 * COUNT(*)) AS DOUBLE)) AS BIGINT)
+    / 1.0e6 AS xent_nats
 FROM q GROUP BY doc_id ORDER BY doc_id
 """,
 )
@@ -235,16 +242,18 @@ def td_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.log("p") * 1000000 + F.lit(0.5)).cast("long"),
         )
     )
+    n = F.count(F.lit(1))
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(
-                (-F.sum("lpm")).cast("double")
-                / F.lit(1000000.0)
-                / F.count(F.lit(1)),
-                6,
-            ).alias("xent_nats"),
+            n.cast("long").alias("n_bigrams"),
+            # integer-exact half-up mean (see oracle comment): the
+            # ROUND form hit .5-at-6-decimals cases at 100x where the
+            # engines' round implementations disagree
+            (F.floor(
+                (F.lit(-2) * F.sum("lpm") + n).cast("double")
+                / (F.lit(2) * n).cast("double")
+            ) / F.lit(1.0e6)).alias("xent_nats"),
         )
         .orderBy("doc_id")
     )
