@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from busdata_pipeline_spark.plans.registry import query
-from busdata_pipeline_spark.plans.relational import sum_exact_units, sum_money4
+from busdata_pipeline_spark.plans.relational import (
+    hl_sum_sql,
+    sum_exact_units,
+    sum_money4,
+)
 from busdata_pipeline_spark.sources import table
 
 # ---------------------------------------------------------------------------
@@ -648,10 +652,14 @@ def rel_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_skew_salted_segment_revenue",
-    oracle="""
+    # total_value is the 1e-6-quantized hi/lo sum (sum-of-rounded
+    # semantic): per-segment groups are ~1/5 of the fact, and the raw
+    # ROUND(SUM(value),6) failed the strict 100x differential.
+    oracle=f"""
 SELECT c.c_mktsegment AS segment,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  ROUND(SUM(e.value), 6) AS total_value
+  {hl_sum_sql("CAST(FLOOR(e.value * 1000000.0 + 0.5) AS BIGINT)",
+              "1.0e6")} AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -672,7 +680,8 @@ def rel_skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     joined = salted_join(events, cust, "user_id", buckets=8)
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        (sum_exact_units(F.col("value"), 1000000.0)
+         / F.lit(1000000.0)).alias("total_value"),
     )
 
 

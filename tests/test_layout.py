@@ -179,6 +179,8 @@ def test_bucketed_join_query_plan_and_result(spark):
         r["o_orderpriority"]: (r["n_items"], r["n_orders"], r["revenue"])
         for r in etl_bucketed_join(spark, SF001).collect()
     }
+    from busdata_pipeline_spark.plans.relational import sum_money4
+
     o = table(spark, SF001, "orders")
     li = table(spark, SF001, "lineitem")
     want = {
@@ -189,8 +191,10 @@ def test_bucketed_join_query_plan_and_result(spark):
             .agg(
                 F.count(F.lit(1)).alias("n_items"),
                 F.countDistinct("o_orderkey").alias("n_orders"),
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                # same exact-unit sum the query uses (round-10 money
+                # discipline) — the contract is bucketed == unbucketed
+                sum_money4(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 ).alias("revenue"),
             )
             .collect()
