@@ -882,6 +882,41 @@ def st_trip_timeout_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     flush for still-open episodes.  Scale shape: per-key state is three
     scalars cleared on verdict; throughput is bounded by the stream
     scan, not the state store."""
+    from busdata_pipeline_spark.streaming.stateful import (
+        detect_trip_timeouts,
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return detect_trip_timeouts(
+            stream, gap_ms=_TWS_GAP_MS, watermark_delay="10 seconds"
+        )
+
+    def finish(raw: DataFrame) -> DataFrame:
+        return (
+            raw.select(
+                F.col("trip_id").cast("long").alias("trip_id"),
+                F.col("first_time").cast("long").alias("first_time"),
+                F.col("n_pings").cast("long").alias("n_pings"),
+                "outcome",
+            )
+            .orderBy("trip_id", "first_time")
+        )
+
+    return _run_tws_over_events(spark, sf_dir, build, finish)
+
+
+def _run_tws_over_events(spark: SparkSession, sf_dir: str,
+                         build, finish) -> DataFrame:
+    """Shared transformWithState-over-events runner: stages the events
+    table as three EVENT-TIME-ordered breadcrumb JSONL slices (strictly
+    increasing mtimes + maxFilesPerTrigger=1 -> one micro-batch per
+    slice, so the per-batch event-time walk equals the global walk and
+    a 10 s watermark never drops data), drains ``build(stream)``
+    through a parquet sink with availableNow (which fires the
+    final-watermark timer flush), and returns ``finish(read_back)``
+    materialized (localCheckpoint) BEFORE scratch cleanup.  Conf
+    juggling: transformWithState needs the multi-column-family RocksDB
+    store; both knobs are restored on exit."""
     import os
     import shutil
     import tempfile
@@ -890,7 +925,6 @@ def st_trip_timeout_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from busdata_pipeline_spark.streaming.ingest import stream_breadcrumbs
     from busdata_pipeline_spark.streaming.stateful import (
-        detect_trip_timeouts,
         ensure_protobuf_runtime,
     )
 
@@ -915,7 +949,6 @@ def st_trip_timeout_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass", None
     )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    # transformWithState needs the multi-column-family store
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
@@ -936,10 +969,7 @@ def st_trip_timeout_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (t, t))
         out_dir = os.path.join(scratch, "verdicts")
         q = (
-            detect_trip_timeouts(
-                stream_breadcrumbs(spark, drop, max_files_per_trigger=1),
-                gap_ms=_TWS_GAP_MS, watermark_delay="10 seconds",
-            )
+            build(stream_breadcrumbs(spark, drop, max_files_per_trigger=1))
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", os.path.join(scratch, "ckpt"))
@@ -948,16 +978,8 @@ def st_trip_timeout_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await_or_raise(q, 600)
-        return (
-            spark.read.parquet(out_dir)
-            .select(
-                F.col("trip_id").cast("long").alias("trip_id"),
-                F.col("first_time").cast("long").alias("first_time"),
-                F.col("n_pings").cast("long").alias("n_pings"),
-                "outcome",
-            )
-            .orderBy("trip_id", "first_time")
-            .localCheckpoint(eager=True)
+        return finish(spark.read.parquet(out_dir)).localCheckpoint(
+            eager=True
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -968,3 +990,91 @@ def st_trip_timeout_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+_SESS_GAP_MS = 21_600_000    # 6 h — a different rhythm than the 8 h
+                             # timeout detector, so session shapes mix
+                             # multi-ping runs, gap splits, and an
+                             # unflushed tail
+
+
+@query(
+    "st_session_gap_verdicts",
+    # The oracle is plain LINEAR gap sessionization (lag + prefix-sum
+    # session ids + per-session agg) — no recursion, so unlike the
+    # trip-timeout replay it scales to the 100x differential rung.
+    # Emission rule replayed from the processor's two close paths,
+    # which by the batch-split-independence argument in
+    # streaming/stateful.py EventTimeSessionProcessor reduce to a pure
+    # function of event times: a session followed by a same-key ping
+    # >= gap later is always emitted, and a key's FINAL session is
+    # emitted iff the final watermark (max event ms - 10 s delay)
+    # passes last_ms + gap with the timer's own >= boundary.  act is
+    # second-granular and the stream's tstamp is rebuilt from act, so
+    # act*1000 is EXACTLY the engine's event-time ms (base shift
+    # cancels on both sides of every comparison).
+    oracle=f"""
+WITH p AS MATERIALIZED (
+  SELECT user_id AS trip_id,
+         CAST(FLOOR(EPOCH(ts) - EPOCH(TIMESTAMP '{_TWS_BASE}')) AS BIGINT)
+           AS act
+  FROM events WHERE ts IS NOT NULL),
+g AS (
+  SELECT trip_id, act,
+         CASE WHEN LAG(act) OVER w IS NULL
+                   OR (act - LAG(act) OVER w) * 1000 >= {_SESS_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM p WINDOW w AS (PARTITION BY trip_id ORDER BY act)),
+s AS (
+  SELECT trip_id, act,
+         SUM(is_new) OVER (PARTITION BY trip_id ORDER BY act
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+agg AS (
+  SELECT trip_id, sid,
+         MIN(act) AS first_time, MAX(act) AS last_time,
+         CAST(COUNT(*) AS BIGINT) AS n_pings
+  FROM s GROUP BY trip_id, sid),
+a2 AS (
+  SELECT *, MAX(sid) OVER (PARTITION BY trip_id) AS max_sid FROM agg),
+wm AS (SELECT MAX(act) * 1000 - {_TWS_WM_MS} AS final_wm FROM p)
+SELECT trip_id, first_time, last_time, n_pings
+FROM a2
+WHERE sid < max_sid
+   OR (SELECT final_wm FROM wm) >= last_time * 1000 + {_SESS_GAP_MS}
+ORDER BY trip_id, first_time
+""",
+)
+def st_session_gap_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL transformWithStateInPandas entry, hash-checked: the
+    EVENT-TIME-timer gap sessionizer (streaming/stateful.py
+    EventTimeSessionProcessor — RocksDB store, one live timer per key
+    re-armed at last_seen+gap) over the same staged breadcrumb stream
+    as st_trip_timeout_verdicts.  Where the timeout detector's oracle
+    must replay a sequential episode walk (RECURSIVE CTE, 100x-capped),
+    gap sessionization is expressible as a linear window computation —
+    this entry is the scale-proof face of the stateful tier.  Scale
+    shape: state is four scalars per OPEN session, cleared on close;
+    output is one row per closed session; everything is bounded by the
+    stream scan."""
+    from busdata_pipeline_spark.streaming.stateful import (
+        sessionize_event_time,
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return sessionize_event_time(
+            stream, gap_ms=_SESS_GAP_MS, watermark_delay="10 seconds"
+        )
+
+    def finish(raw: DataFrame) -> DataFrame:
+        return (
+            raw.select(
+                F.col("trip_id").cast("long").alias("trip_id"),
+                F.col("first_time").cast("long").alias("first_time"),
+                F.col("last_time").cast("long").alias("last_time"),
+                F.col("n_pings").cast("long").alias("n_pings"),
+            )
+            .orderBy("trip_id", "first_time")
+        )
+
+    return _run_tws_over_events(spark, sf_dir, build, finish)

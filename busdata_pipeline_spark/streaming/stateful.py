@@ -509,3 +509,123 @@ def detect_trip_timeouts(stream: DataFrame, gap_ms: int,
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+#: Emitted by the event-time sessionizer: one row per CLOSED session.
+SESSION_EPISODE = T.StructType([
+    T.StructField("trip_id", T.LongType()),
+    T.StructField("first_time", T.LongType()),   # ACT_TIME of first ping
+    T.StructField("last_time", T.LongType()),    # ACT_TIME of last ping
+    T.StructField("n_pings", T.LongType()),
+])
+
+_SESSION_EP_STATE = "first_act bigint, last_ms bigint, last_act bigint, n bigint"
+
+
+class EventTimeSessionProcessor(StatefulProcessor):
+    """EVENT-TIME-timer gap sessionization — the deterministic sibling
+    of SessionCloseProcessor (which uses processing-time timers and so
+    cannot be replay-hashed).  A session extends while consecutive
+    pings arrive < ``gap_ms`` of EVENT time apart; it closes either
+    inline (a follow-up ping itself proves the gap elapsed) or by an
+    event-time timer at last_seen+gap once the WATERMARK passes it.
+
+    Replay determinism argument (what makes this driver-hashable):
+    the emitted row carries NO which-path label, because close-by-timer
+    vs close-by-follow-up for the same session is a batch-split
+    artifact — with event-time-ordered input slices, a timer that
+    fires before the next same-key ping arrives implies that ping is
+    >= gap+delay past the session end, so BOTH paths close the session
+    at the same boundary with identical (first, last, n).  The emitted
+    SET is therefore a pure function of event times: every session
+    followed by a same-key ping >= gap later is emitted, and a key's
+    final session is emitted iff final_watermark >= last_ms + gap.
+    Per-key state is four scalars cleared on close; at 100 TB the
+    store holds only currently-open sessions (bounded by active keys,
+    not history)."""
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState("sess", _SESSION_EP_STATE)
+
+    def handleInputRows(self, key, rows, timer_values):
+        # Walk the batch's pings in EVENT-time order (same batch-split
+        # independence argument as TripTimeoutProcessor: verdicts
+        # depend only on event times, never on file slicing).
+        (trip_id,) = key
+        pings = []
+        for pdf in rows:
+            for t, a in zip(pdf["tstamp"], pdf["ACT_TIME"]):
+                pings.append((int(t.value // 1_000_000), int(a)))
+        pings.sort()
+        open_s = (
+            tuple(int(v) for v in self._st.get())
+            if self._st.exists() else None
+        )
+        out = []
+        for ts_ms, act in pings:
+            if open_s is None:
+                open_s = (act, ts_ms, act, 1)
+                continue
+            f_act, last_ms, last_act, n = open_s
+            if ts_ms - last_ms >= self._gap_ms:
+                # the follow-up itself proves the gap elapsed; it
+                # opens the next session (same >= boundary as the
+                # timer's watermark >= expiry check)
+                out.append((trip_id, f_act, last_act, n))
+                open_s = (act, ts_ms, act, 1)
+            else:
+                open_s = (f_act, ts_ms, act, n + 1)
+        if open_s is not None:
+            # re-arm: exactly one live timer per key, at session end+gap
+            for t in list(self._handle.listTimers()):  # snapshot first
+                self._handle.deleteTimer(t)
+            self._st.update(open_s)
+            self._handle.registerTimer(open_s[1] + self._gap_ms)
+        if out:
+            yield pd.DataFrame({
+                "trip_id": [o[0] for o in out],
+                "first_time": [o[1] for o in out],
+                "last_time": [o[2] for o in out],
+                "n_pings": [o[3] for o in out],
+            })
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (trip_id,) = key
+        if not self._st.exists():
+            return
+        f_act, last_ms, last_act, n = (int(v) for v in self._st.get())
+        if expiredTimerInfo.getExpiryTimeInMs() < last_ms + self._gap_ms:
+            return  # stale timer from an earlier incarnation
+        self._st.clear()
+        yield pd.DataFrame({
+            "trip_id": [trip_id], "first_time": [f_act],
+            "last_time": [last_act], "n_pings": [n],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_event_time(stream: DataFrame, gap_ms: int,
+                          watermark_delay: str = "10 seconds",
+                          trip_col: str = "EVENT_NO_TRIP") -> DataFrame:
+    """transformWithStateInPandas gap sessionizer on EVENT-TIME timers:
+    decodes ``tstamp`` (ingest.with_event_date), applies the watermark,
+    and emits one row per closed session.  Fully deterministic under
+    replay (timers fire on watermark advancement, never wall clock) —
+    unlike sessionize_with_timers, whose processing-time TTL semantics
+    are wall-clock-coupled by design."""
+    from busdata_pipeline_spark.streaming.ingest import with_event_date
+
+    ensure_protobuf_runtime(stream.sparkSession)
+    ev = with_event_date(stream).withWatermark("tstamp", watermark_delay)
+    return ev.groupBy(trip_col).transformWithStateInPandas(
+        statefulProcessor=EventTimeSessionProcessor(gap_ms),
+        outputStructType=SESSION_EPISODE,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

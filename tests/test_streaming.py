@@ -1030,3 +1030,106 @@ def test_tws_event_time_timer_timeouts(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_tws_event_time_sessionizer(spark, tmp_path):
+    """EVENT-TIME-timer gap sessionization (EventTimeSessionProcessor):
+    sessions extend while pings are < gap apart, split inline when a
+    follow-up proves the gap (>= boundary, including EXACTLY == gap),
+    and a key's final session flushes iff the final watermark passes
+    last+gap.  Batches are event-time-ordered (the staging contract of
+    _run_tws_over_events), under which close-by-timer and
+    close-by-follow-up provably emit the same session set — this test
+    includes a mid-stream-timer race (trip 1) to pin that."""
+    from busdata_pipeline_spark.streaming.stateful import (
+        ensure_protobuf_runtime,
+        sessionize_event_time,
+    )
+
+    assert ensure_protobuf_runtime(spark) in ("protobuf", "shim")
+
+    def rec(trip, act_time):
+        return json.dumps({
+            "EVENT_NO_TRIP": trip, "EVENT_NO_STOP": 1,
+            "OPD_DATE": "25DEC2022:00:00:00", "VEHICLE_ID": 1,
+            "METERS": 1.0, "ACT_TIME": act_time,
+            "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6,
+        })
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # gap = 600 s.  batch 0 (all ts <= 2000): trip 1 opens a 2-ping
+    # session; trip 2 splits IN-BATCH at exactly +700; trip 6 splits
+    # at EXACTLY +600 (the >= boundary); trip 5 is a singleton.
+    f0 = os.path.join(src, "a0.jsonl")
+    with open(f0, "w") as fh:
+        fh.write(
+            rec(1, 1000) + "\n" + rec(1, 1100) + "\n"
+            + rec(2, 1000) + "\n" + rec(2, 1700) + "\n"
+            + rec(6, 1000) + "\n" + rec(6, 1600) + "\n"
+            + rec(5, 2000) + "\n"
+        )
+    # batch 1 (all ts >= 2000, the event-time-ordered contract):
+    # trip 1's ping at 2100 races the timer armed at 1100+600=1700
+    # (watermark after batch 0 is 1990) — both paths must yield the
+    # same closed session; trip 3's ping at 9999 drives the final
+    # watermark to 9989, flushing every open session except its own.
+    f1 = os.path.join(src, "b1.jsonl")
+    with open(f1, "w") as fh:
+        fh.write(rec(1, 2100) + "\n" + rec(3, 9999) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 600, now - 600))
+    os.utime(f1, (now, now))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        rows: list = []
+        q = (
+            sessionize_event_time(
+                stream_breadcrumbs(spark, src, max_files_per_trigger=1),
+                gap_ms=600_000,
+            )
+            .writeStream.foreachBatch(
+                lambda batch, _id: rows.extend(batch.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_tws(q, rows, min_rows=8, min_input=9)
+        sessions = {}
+        for r in rows:
+            sessions.setdefault(r["trip_id"], []).append(
+                (r["first_time"], r["last_time"], r["n_pings"])
+            )
+        for v in sessions.values():
+            v.sort()
+        # mid-stream timer race: one session either way, then the
+        # reopened singleton flushes at the final watermark
+        assert sessions[1] == [(1000, 1100, 2), (2100, 2100, 1)]
+        # in-batch split at +700
+        assert sessions[2] == [(1000, 1000, 1), (1700, 1700, 1)]
+        # split at EXACTLY the gap (>= boundary, matches timer path)
+        assert sessions[6] == [(1000, 1000, 1), (1600, 1600, 1)]
+        # singleton, flushed by final watermark
+        assert sessions[5] == [(2000, 2000, 1)]
+        # still inside its window: withheld
+        assert 3 not in sessions
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
