@@ -1017,23 +1017,31 @@ _SESS_GAP_MS = 21_600_000    # 6 h — a different rhythm than the 8 h
 WITH p AS MATERIALIZED (
   SELECT user_id AS trip_id,
          CAST(FLOOR(EPOCH(ts) - EPOCH(TIMESTAMP '{_TWS_BASE}')) AS BIGINT)
-           AS act
-  FROM events WHERE ts IS NOT NULL),
+           AS act,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+-- sessionize over DISTINCT (trip, act): tied timestamps always extend
+-- a session (delta 0 < gap), and collapsing them FIRST keeps the
+-- running-SUM session id tie-stable (with raw rows, the ROWS-frame
+-- prefix sum may enumerate tied acts in a different order than LAG
+-- did, splitting a tie group across two sessions — caught at the 10x
+-- replica, where every ping is replicated at the same timestamp)
 g AS (
-  SELECT trip_id, act,
+  SELECT trip_id, act, cnt,
          CASE WHEN LAG(act) OVER w IS NULL
                    OR (act - LAG(act) OVER w) * 1000 >= {_SESS_GAP_MS}
               THEN 1 ELSE 0 END AS is_new
   FROM p WINDOW w AS (PARTITION BY trip_id ORDER BY act)),
 s AS (
-  SELECT trip_id, act,
+  SELECT trip_id, act, cnt,
          SUM(is_new) OVER (PARTITION BY trip_id ORDER BY act
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM g),
 agg AS (
   SELECT trip_id, sid,
          MIN(act) AS first_time, MAX(act) AS last_time,
-         CAST(COUNT(*) AS BIGINT) AS n_pings
+         CAST(SUM(cnt) AS BIGINT) AS n_pings
   FROM s GROUP BY trip_id, sid),
 a2 AS (
   SELECT *, MAX(sid) OVER (PARTITION BY trip_id) AS max_sid FROM agg),
