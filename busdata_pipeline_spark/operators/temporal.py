@@ -398,8 +398,9 @@ def ewma_smooth(events: DataFrame, alpha: float = 0.3,
     first thing that breaks on a high-cardinality key column.
 
     The Python loop multiplies/adds in exactly the order the oracle's
-    ``list_reduce`` lambda does, so results are bit-identical across
-    engines (both are IEEE double; see plans/temporal.rel_ewma_value).
+    recursive fold does (acc = x_1; acc = (1-α)·acc + α·x), so results
+    are bit-identical across engines (both are IEEE double; see
+    plans/temporal.rel_ewma_value).
 
     Returns (key, order..., ewma) with ewma UNROUNDED — callers round
     JVM-side (F.round matches the oracle's half-up ROUND; Python/numpy

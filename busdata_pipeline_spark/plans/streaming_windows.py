@@ -537,22 +537,34 @@ def st_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st_stream_ewma",
-    # The oracle is the BATCH recurrence replay (identical to
-    # rel_ewma_value's): the streaming run over a time-boundary batch
-    # split must be bit-identical to the batch fold over the whole
-    # series, because per-user state (one double) carries the prefix.
-    # FLOOR-quantized 6-decimal cut, not ROUND — see rel_ewma_value:
-    # the fold lands on exact decimal halves where the engines' ROUNDs
-    # disagree (caught by the 10× replica sweep, round 8).
+    # The oracle is the BATCH recurrence replay: the streaming run over
+    # a time-boundary batch split must be bit-identical to the batch
+    # fold over the whole series, because per-user state (one double)
+    # carries the prefix.  Replayed as a rule-14 RECURSIVE walk — the
+    # original list_reduce-over-prefix-list form materialized every
+    # row's full prefix (O(rows-per-key²) MEMORY), which kernel-OOMed
+    # the 100× differential; the recursion carries one double per key
+    # per level, linear total work, and runs the SAME IEEE fold
+    # (acc = x_1; acc = 0.7*acc + 0.3*x) in the same (ts, event_id)
+    # order, so results stay bit-identical.  FLOOR-quantized 6-decimal
+    # cut, not ROUND — see rel_ewma_value: the fold lands on exact
+    # decimal halves where the engines' ROUNDs disagree (caught by the
+    # 10× replica sweep, round 8).
     oracle="""
-SELECT event_id, user_id,
-  FLOOR(list_reduce(
-          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-          (acc, x) -> 0.7 * acc + 0.3 * x) * 1000000.0 + 0.5)
-    / 1000000.0 AS ewma
-FROM events
-WHERE value IS NOT NULL AND ts IS NOT NULL
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, event_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS i
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+rec AS (
+  SELECT user_id, i, value AS acc FROM p WHERE i = 1
+  UNION ALL
+  SELECT p.user_id, p.i, 0.7 * r.acc + 0.3 * p.value
+  FROM rec r JOIN p ON p.user_id = r.user_id AND p.i = r.i + 1)
+SELECT p.event_id, p.user_id,
+       FLOOR(r.acc * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM rec r
+JOIN p ON p.user_id = r.user_id AND p.i = r.i
 """,
 )
 def st_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

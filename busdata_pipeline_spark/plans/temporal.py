@@ -259,21 +259,29 @@ def rel_resample_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_ewma_value",
-    # The oracle replays the recurrence itself: the running-prefix list
-    # per row is folded left-to-right by the same (1-α)·acc + α·x lambda
-    # the Spark-side Python loop runs — identical operand order on IEEE
-    # doubles, so the hash checks every intermediate state.  (The O(n)
-    # prefix list per row makes the ORACLE quadratic per key — fine at
-    # driver scale; the Spark side is linear.)
+    # The oracle replays the recurrence itself as a rule-14 RECURSIVE
+    # walk: one double of state per key per level, the same
+    # (1-α)·acc + α·x fold in the same (ts, event_id) order on IEEE
+    # doubles, so the hash checks every intermediate state.  (The
+    # original list_reduce-over-prefix-list form materialized every
+    # row's full prefix — O(rows-per-key²) oracle MEMORY — which kept
+    # this query on the replica skip list; the recursion is linear and
+    # bit-identical, and un-skipped it at 10× and 100×.)
     oracle="""
-SELECT event_id, user_id,
-  FLOOR(list_reduce(
-          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-          (acc, x) -> 0.7 * acc + 0.3 * x) * 1000000.0 + 0.5)
-    / 1000000.0 AS ewma
-FROM events
-WHERE value IS NOT NULL
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, event_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS i
+  FROM events WHERE value IS NOT NULL),
+rec AS (
+  SELECT user_id, i, value AS acc FROM p WHERE i = 1
+  UNION ALL
+  SELECT p.user_id, p.i, 0.7 * r.acc + 0.3 * p.value
+  FROM rec r JOIN p ON p.user_id = r.user_id AND p.i = r.i + 1)
+SELECT p.event_id, p.user_id,
+       FLOOR(r.acc * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM rec r
+JOIN p ON p.user_id = r.user_id AND p.i = r.i
 """,
 )
 def rel_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
