@@ -50,15 +50,15 @@ r{i} AS (
   GROUP BY nodes.v)""")
         prev = f"r{i}"
     return f"""
-WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-pairs AS (
+WITH e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS MATERIALIZED (
   SELECT a.l_suppkey AS u, b.l_suppkey AS v,
          CAST(COUNT(*) AS DOUBLE) AS w
   FROM e0 a JOIN e0 b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
   GROUP BY u, v),
-wd AS (SELECT u, SUM(w) AS wu FROM pairs GROUP BY u),
-nodes AS (SELECT s_suppkey AS v FROM supplier),
+wd AS MATERIALIZED (SELECT u, SUM(w) AS wu FROM pairs GROUP BY u),
+nodes AS MATERIALIZED (SELECT s_suppkey AS v FROM supplier),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),{",".join(steps)}
 SELECT v AS s_suppkey, ROUND(r, 6) AS pagerank
@@ -183,8 +183,8 @@ d{i} AS (
   GROUP BY node)""")
         prev = f"d{i}"
     return f"""
-WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-sym AS (
+WITH e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+sym AS MATERIALIZED (
   SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
   FROM e0 a JOIN e0 b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
