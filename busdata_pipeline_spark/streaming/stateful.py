@@ -577,8 +577,17 @@ class EventTimeSessionProcessor(StatefulProcessor):
                 # timer's watermark >= expiry check)
                 out.append((trip_id, f_act, last_act, n))
                 open_s = (act, ts_ms, act, 1)
-            else:
+            elif ts_ms > last_ms:
                 open_s = (f_act, ts_ms, act, n + 1)
+            else:
+                # late within-watermark arrival from a LATER micro-batch
+                # (or an in-batch event-time tie): count it, but never
+                # regress the session end backwards — a shorter last_ms
+                # would re-arm the close timer earlier and shorten the
+                # emitted session.  Tie keeps the max act, matching the
+                # in-batch (ts, act)-sorted processing order.
+                keep = max(last_act, act) if ts_ms == last_ms else last_act
+                open_s = (f_act, last_ms, keep, n + 1)
         if open_s is not None:
             # re-arm: exactly one live timer per key, at session end+gap
             for t in list(self._handle.listTimers()):  # snapshot first

@@ -103,3 +103,39 @@ def test_gate_flags_real_regression_and_passes_noise():
     cur_noise = {"queries": {"q1": 0.95, "q2": 0.676}}  # 1.23x on 0.55 s
     assert any("SLOW q1" in v for v in bench_gate.compare(cur_bad, prev))
     assert bench_gate.compare(cur_noise, prev) == []
+
+
+def test_epoch_anchor_gates_only_same_epoch(tmp_path, capsys):
+    """--epoch LABEL (round-11): a current run that regressed vs a
+    faster RETIRED host epoch but is clean vs its own epoch must PASS,
+    with the cross-epoch drift reported as an informational TREND line;
+    without --epoch the same artifacts fail the gate (the r10 drift
+    relitigating this flag exists to stop)."""
+    def write(name, sec):
+        p = tmp_path / name
+        p.write_text(json.dumps({"queries": {"q1": sec}}))
+        return str(p)
+
+    cur = write("BENCH_r11_cur.json", 1.5)          # slow epoch
+    fast = write("BENCH_LOCAL_r10.json", 1.0)       # fast old epoch
+    same = write("BENCH_LOCAL_r11.json", 1.45)      # current epoch
+    # no epoch anchor: best-ever bar (1.0) flags the 1.5 s run
+    assert bench_gate.main(["gate", cur, fast, same]) == 1
+    capsys.readouterr()
+    # epoch anchor: gate vs r11-only (1.45), clean; trend line printed
+    assert bench_gate.main(["gate", cur, fast, same, "--epoch", "r11"]) == 0
+    out = capsys.readouterr().out
+    assert "TREND" in out and "epoch 'r11'" in out
+    # epoch with no matching artifact: vacuously clean with a warning
+    assert bench_gate.main(["gate", cur, fast, "--epoch", "r99"]) == 0
+    assert "no baseline matches epoch" in capsys.readouterr().out
+
+
+def test_merge_best_tie_keeps_input_order():
+    mk = lambda sec: {"queries": {"q": sec}}  # noqa: E731
+    best, src = bench_gate.merge_best(
+        [("zzz", mk(0.5)), ("aaa", mk(0.5)), ("b", mk(0.7)), ("c", mk(0.8))]
+    )
+    # second-smallest of the tied pair: stable sort keeps input order,
+    # so the pick is the SECOND artifact fed, not the alphabetical one
+    assert best["q"] == 0.5 and src["q"] == "aaa"

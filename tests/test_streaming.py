@@ -1106,7 +1106,7 @@ def test_tws_event_time_sessionizer(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        _drain_tws(q, rows, min_rows=8, min_input=9)
+        _drain_tws(q, rows, min_rows=7, min_input=9)
         sessions = {}
         for r in rows:
             sessions.setdefault(r["trip_id"], []).append(
@@ -1125,6 +1125,86 @@ def test_tws_event_time_sessionizer(spark, tmp_path):
         assert sessions[5] == [(2000, 2000, 1)]
         # still inside its window: withheld
         assert 3 not in sessions
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_tws_sessionizer_late_ping_cannot_shorten_session(spark, tmp_path):
+    """A same-key ping arriving in a LATER micro-batch with an event
+    time BELOW the session's current end (possible within the watermark
+    delay) must not regress last_ms/last_act backwards — a shorter end
+    would re-arm the close timer earlier and shorten the emitted
+    session.  Batch 0: trip 7 pings at 1000 and 1008 (watermark -> 998).
+    Batch 1: a late trip-7 ping at 1005 (> watermark, < session end) and
+    a trip-8 ping at 9999 driving the final watermark to flush.  The
+    session must still close as (first=1000, last=1008, n=3)."""
+    from busdata_pipeline_spark.streaming.stateful import (
+        ensure_protobuf_runtime,
+        sessionize_event_time,
+    )
+
+    assert ensure_protobuf_runtime(spark) in ("protobuf", "shim")
+
+    def rec(trip, act_time):
+        return json.dumps({
+            "EVENT_NO_TRIP": trip, "EVENT_NO_STOP": 1,
+            "OPD_DATE": "25DEC2022:00:00:00", "VEHICLE_ID": 1,
+            "METERS": 1.0, "ACT_TIME": act_time,
+            "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6,
+        })
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    f0 = os.path.join(src, "a0.jsonl")
+    with open(f0, "w") as fh:
+        fh.write(rec(7, 1000) + "\n" + rec(7, 1008) + "\n")
+    f1 = os.path.join(src, "b1.jsonl")
+    with open(f1, "w") as fh:
+        fh.write(rec(7, 1005) + "\n" + rec(8, 9999) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 600, now - 600))
+    os.utime(f1, (now, now))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        rows: list = []
+        q = (
+            sessionize_event_time(
+                stream_breadcrumbs(spark, src, max_files_per_trigger=1),
+                gap_ms=600_000,
+            )
+            .writeStream.foreachBatch(
+                lambda batch, _id: rows.extend(batch.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_tws(q, rows, min_rows=1, min_input=4)
+        sessions = {}
+        for r in rows:
+            sessions.setdefault(r["trip_id"], []).append(
+                (r["first_time"], r["last_time"], r["n_pings"])
+            )
+        # the late 1005 ping is counted but the boundary is unchanged
+        assert sessions[7] == [(1000, 1008, 3)]
+        assert 8 not in sessions  # still inside its window: withheld
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev is None:

@@ -11,7 +11,18 @@ wrapper file ({"n", "rc", "tail", "parsed": {...}}).
 
 Usage:  python tools/bench_gate.py CURRENT.json BASELINE.json [...]
         [--retire LABEL ...]   # drop known-outlier artifacts by substring
+        [--epoch LABEL]        # gate only vs same-host-epoch baselines
 Exit 0 = clean; exit 1 = violations (printed one per line).
+
+--epoch LABEL (round-11, SCALE.md addendum 5): hosts drift between
+rounds — r10 measured a uniform 1.2-1.9x slowdown with a bit-identical
+engine, and a cross-epoch best-ever bar would relitigate that noise
+every round.  With --epoch, only baselines whose PATH contains LABEL
+(e.g. "r11" for artifacts recorded on the current epoch) participate
+in the pass/fail compare; all other artifacts still feed an
+informational best-ever TREND line so cross-epoch drift stays visible
+without failing the gate.  No epoch-matching baseline => vacuously
+clean (with a warning), same as the all-crashed case.
 
 With multiple baselines the gate compares each query against its BEST
 (minimum) time across ALL of them and quotes which artifact holds that
@@ -80,7 +91,9 @@ def merge_best(baselines: list[tuple[str, dict]]) -> tuple[dict, dict]:
     best: dict[str, float] = {}
     src: dict[str, str] = {}
     for name, pairs in times.items():
-        pairs.sort()
+        # explicit time-only key: a tie between two equal times keeps
+        # input order rather than silently breaking on artifact label
+        pairs.sort(key=lambda p: p[0])
         pick = pairs[1] if len(pairs) >= 4 else pairs[0]
         best[name], src[name] = pick
     return best, src
@@ -121,11 +134,31 @@ def compare(cur: dict, prev: dict,
     return out
 
 
+def trend_line(cur: dict, baselines: list[tuple[str, dict]]) -> str:
+    """Informational cross-epoch drift summary: current total over the
+    common subset vs the best-ever composite across ALL artifacts.
+    Never part of the gate verdict — epochs drift (SCALE.md add. 5)."""
+    best, _ = merge_best(baselines)
+    cq = cur.get("queries", {})
+    common = [n for n in best if n in cq]
+    if not common:
+        return "TREND no common queries vs best-ever"
+    tc, tb = sum(cq[n] for n in common), sum(best[n] for n in common)
+    return (f"TREND vs best-ever (all epochs, {len(baselines)} artifact(s), "
+            f"{len(common)} common): {tb:.3f}s -> {tc:.3f}s "
+            f"({tc / tb:.2f}x, informational)")
+
+
 def main(argv: list[str]) -> int:
     retired: list[str] = []
     while "--retire" in argv:
         i = argv.index("--retire")
         retired.append(argv[i + 1])
+        del argv[i:i + 2]
+    epoch: str | None = None
+    while "--epoch" in argv:
+        i = argv.index("--epoch")
+        epoch = argv[i + 1]
         del argv[i:i + 2]
     if len(argv) < 3:
         print(__doc__)
@@ -148,12 +181,21 @@ def main(argv: list[str]) -> int:
         # every baseline crashed: nothing sane to diff against; pass but say so
         print("WARN no usable baseline; gate vacuously clean")
         return 0
-    best, src = merge_best(baselines)
+    gate_baselines = baselines
+    if epoch is not None:
+        print(trend_line(cur, baselines))
+        gate_baselines = [(p, d) for p, d in baselines if epoch in p]
+        if not gate_baselines:
+            print(f"WARN no baseline matches epoch '{epoch}'; "
+                  "gate vacuously clean")
+            return 0
+    best, src = merge_best(gate_baselines)
     violations = compare(cur, {"queries": best}, prev_src=src)
     for v in violations:
         print(v)
     if not violations:
-        print(f"bench gate: clean (vs best-ever over {len(baselines)} "
+        scope = f"epoch '{epoch}'" if epoch is not None else "best-ever"
+        print(f"bench gate: clean (vs {scope} over {len(gate_baselines)} "
               f"artifact(s))")
     return 1 if violations else 0
 
