@@ -943,26 +943,34 @@ _SHINGLE_SQL = """CASE WHEN len(string_split(t, ' ')) >= 3 THEN
     # DEFINITIONAL oracle: every (delta, store) pair with exact 3-gram
     # Jaccard >= 0.5 — the banded-LSH candidate path must reproduce it
     # (the LSH==exact guard for THIS corpus is test-asserted, same
-    # contract as td_minhash_near_dups).
+    # contract as td_minhash_near_dups).  Round-11 (ORACLES.md rule
+    # 16): the bipartite theta-join runs once per DISTINCT-text pair
+    # (identical texts shingle identically) and expands back through
+    # both sides' doc lists — same relation, output-bound on replicas.
     oracle=f"""
 WITH base AS (SELECT doc_id, TRIM(text) AS t FROM documents),
-store AS (SELECT doc_id, t FROM base WHERE doc_id % 2 = 0),
-delta AS (
+store AS MATERIALIZED (SELECT doc_id, t FROM base WHERE doc_id % 2 = 0),
+delta AS MATERIALIZED (
   SELECT doc_id, t FROM base WHERE doc_id % 2 = 1
   UNION ALL
   SELECT doc_id + 1000000,
          array_to_string(list_slice(string_split(t, ' '), 1,
                                     len(string_split(t, ' ')) - 1), ' ')
   FROM base WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
-shs AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM store),
-shd AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM delta)
-SELECT d.doc_id AS new_doc_id, s.doc_id AS store_doc_id,
-       ROUND(CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
-             / (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))),
-             6) AS jaccard
-FROM shd d JOIN shs s ON
-  CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
-  / (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))) >= 0.5
+sgrp AS (SELECT t FROM store GROUP BY t),
+dgrp AS (SELECT t FROM delta GROUP BY t),
+shs AS MATERIALIZED (SELECT t, {_SHINGLE_SQL} AS sh FROM sgrp),
+shd AS MATERIALIZED (SELECT t, {_SHINGLE_SQL} AS sh FROM dgrp),
+rv AS MATERIALIZED (
+  SELECT d.t AS dt, s.t AS st,
+         ROUND(CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
+               / (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))),
+               6) AS jaccard
+  FROM shd d JOIN shs s ON
+    CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
+    / (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))) >= 0.5)
+SELECT dd.doc_id AS new_doc_id, ss.doc_id AS store_doc_id, r.jaccard
+FROM rv r JOIN delta dd ON dd.t = r.dt JOIN store ss ON ss.t = r.st
 """,
 )
 def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,24 +1068,38 @@ def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE, the golden record is a deterministic (n_chars DESC, doc_id)
     # survivorship pick, membership a sorted CSV.
     oracle="""
-WITH RECURSIVE nm AS (
+WITH RECURSIVE nm AS MATERIALIZED (
   SELECT doc_id, rpad(lower(substring(text, 1, 12)), 12, '_') AS nm,
          length(trim(text)) AS n_chars
   FROM documents),
+-- ORACLES.md rule 16: blocking, levenshtein, and the closure run on
+-- DISTINCT normalized names (identical names are lev-0 cliques — one
+-- sym self-loop suffices); doc-level clusters are recovered by
+-- expanding components through nm with component-wide MIN(doc_id).
+nmg AS MATERIALIZED (
+  SELECT nm, MIN(doc_id) AS rep_id, COUNT(*) AS cnt FROM nm GROUP BY nm),
 blocks AS (
-  SELECT doc_id, nm, i, substring(nm, 1 + (i - 1) * 4, 4) AS blk
-  FROM nm, range(1, 4) t(i)),
-edges AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  SELECT nm, rep_id, i, substring(nm, 1 + (i - 1) * 4, 4) AS blk
+  FROM nmg, range(1, 4) t(i)),
+redges AS MATERIALIZED (
+  SELECT DISTINCT a.nm AS na, b.nm AS nb
   FROM blocks a JOIN blocks b
-    ON a.i = b.i AND a.blk = b.blk AND b.doc_id > a.doc_id
+    ON a.i = b.i AND a.blk = b.blk AND b.rep_id > a.rep_id
   WHERE levenshtein(a.nm, b.nm) <= 2),
-sym AS (SELECT a AS v, b AS w FROM edges UNION SELECT b, a FROM edges),
+sym AS MATERIALIZED (
+  SELECT na AS v, nb AS w FROM redges
+  UNION SELECT nb, na FROM redges
+  UNION SELECT nm, nm FROM nmg WHERE cnt >= 2),
 reach(v, w) AS (
   SELECT v, v FROM sym GROUP BY v
   UNION
   SELECT r.v, s.w FROM reach r JOIN sym s ON s.v = r.w),
-clusters AS (SELECT v AS doc_id, MIN(w) AS cluster_id FROM reach GROUP BY v),
+comp AS (SELECT v AS cnm, MIN(w) AS comp_nm FROM reach GROUP BY v),
+cmin AS (SELECT c.comp_nm, MIN(n.doc_id) AS cluster_id
+         FROM comp c JOIN nm n ON n.nm = c.cnm GROUP BY c.comp_nm),
+clusters AS (
+  SELECT n.doc_id, m.cluster_id
+  FROM comp c JOIN cmin m USING (comp_nm) JOIN nm n ON n.nm = c.cnm),
 rep AS (
   SELECT cluster_id, doc_id AS rep_doc_id FROM (
     SELECT c.cluster_id, n.doc_id,

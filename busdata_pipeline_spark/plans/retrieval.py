@@ -157,26 +157,50 @@ def td_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Definitional all-pairs oracle: the driver verifies COMPLETENESS of
     # the prefix-filter candidate generator (any missed pair would show
     # as a row-count/hash mismatch), not just the verify arithmetic.
-    # O(n²) in the oracle only — the Spark side is the prefix join.
+    # Round-11 (ORACLES.md rule 16): the all-pairs relation is factored
+    # through the quotient by exact text equality — the pairwise
+    # intersect/union arithmetic runs once per DISTINCT-text pair and is
+    # expanded back to doc pairs; identical nonempty token sets are
+    # jaccard 1.0 exactly.  Algebraically the same relation (old-vs-new
+    # cross-checked IDENTICAL at sf0.01 and the sf0.1 base), but
+    # output-bound on the duplicate-heavy scale replicas.
     oracle="""
-WITH w AS (
-  SELECT doc_id,
-         list_filter(string_split(TRIM(text), ' '), x -> x <> '') AS ws
-  FROM documents),
-tset AS (
-  SELECT doc_id,
+WITH grp AS MATERIALIZED (
+  SELECT md5(TRIM(text)) AS h, MIN(doc_id) AS rep_id, MAX(TRIM(text)) AS t
+  FROM documents GROUP BY md5(TRIM(text))),
+gdocs AS MATERIALIZED (
+  SELECT doc_id, md5(TRIM(text)) AS h FROM documents),
+w AS (
+  SELECT h, rep_id,
+         list_filter(string_split(t, ' '), x -> x <> '') AS ws
+  FROM grp),
+tset AS MATERIALIZED (
+  SELECT h, rep_id,
          list_distinct(list_transform(range(1, len(ws) - 1),
            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS toks
   FROM w WHERE len(ws) >= 3),
-p AS (
-  SELECT x.doc_id AS a, y.doc_id AS b,
+rp AS MATERIALIZED (
+  SELECT x.h AS ha, y.h AS hb,
          CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter,
          CAST(len(x.toks) + len(y.toks)
               - len(list_intersect(x.toks, y.toks)) AS BIGINT) AS uni
-  FROM tset x JOIN tset y ON x.doc_id < y.doc_id)
-SELECT a, b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
-FROM p
-WHERE inter * 10 >= uni * 9
+  FROM tset x JOIN tset y ON x.rep_id < y.rep_id),
+rv AS MATERIALIZED (
+  SELECT ha, hb, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+  FROM rp WHERE inter * 10 >= uni * 9),
+rvs AS (SELECT ha, hb, jaccard FROM rv
+        UNION ALL SELECT hb AS ha, ha AS hb, jaccard FROM rv),
+within AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM gdocs x JOIN gdocs y ON y.h = x.h AND y.doc_id > x.doc_id
+  JOIN tset s ON s.h = x.h),
+crossp AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, r.jaccard
+  FROM rvs r JOIN gdocs x ON x.h = r.ha JOIN gdocs y ON y.h = r.hb
+  WHERE y.doc_id > x.doc_id)
+SELECT a, b, jaccard FROM within
+UNION ALL
+SELECT a, b, jaccard FROM crossp
 """,
 )
 def td_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:

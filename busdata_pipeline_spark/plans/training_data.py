@@ -964,23 +964,54 @@ def td_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is (1 - j^4)^8 < 3e-4 and the xxhash64 seeds are fixed — verified
     # exhaustively by tests/test_training_data.py::test_minhash_matches_exact
     # so a data change fails locally before it fails in the driver.
+    #
+    # Round-11 (ORACLES.md rule 16): the all-pairs relation is factored
+    # through the QUOTIENT by exact text equality — identical TRIM(text)
+    # implies identical shingle sets, so jaccard is computed ONCE per
+    # distinct-text pair (rp) and expanded back to doc pairs by join;
+    # within-group pairs are exactly 1.0 (x/x of a positive length).
+    # Algebraically identical on any data (cross-checked old-vs-new at
+    # sf0.01 AND the 5,000-doc sf0.1 base), but output-bound instead of
+    # O(n^2) on the duplicate-heavy scale replicas (500k docs share
+    # 4,992 distinct texts at the 100x rung).
     oracle="""
-WITH sh AS (
-  SELECT doc_id,
-    CASE WHEN len(string_split(TRIM(text),' ')) >= 3 THEN
+WITH grp AS MATERIALIZED (
+  SELECT md5(TRIM(text)) AS h, MIN(doc_id) AS rep_id, MAX(TRIM(text)) AS t,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY md5(TRIM(text))),
+docs AS MATERIALIZED (
+  SELECT doc_id, md5(TRIM(text)) AS h FROM documents),
+sh AS MATERIALIZED (
+  SELECT h, rep_id,
+    CASE WHEN len(string_split(t,' ')) >= 3 THEN
     list_distinct(list_transform(
-      range(1, len(string_split(TRIM(text), ' ')) - 1),
-      i -> string_split(TRIM(text), ' ')[i] || ' ' ||
-           string_split(TRIM(text), ' ')[i+1] || ' ' ||
-           string_split(TRIM(text), ' ')[i+2])) ELSE [] END AS shingles
-  FROM documents)
-SELECT a.doc_id AS a, b.doc_id AS b,
-  ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      range(1, len(string_split(t, ' ')) - 1),
+      i -> string_split(t, ' ')[i] || ' ' ||
+           string_split(t, ' ')[i+1] || ' ' ||
+           string_split(t, ' ')[i+2])) ELSE [] END AS shingles
+  FROM grp),
+rp AS MATERIALIZED (
+  SELECT a.h AS ha, b.h AS hb,
+    ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+  FROM sh a JOIN sh b ON b.rep_id > a.rep_id
+  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+rps AS (SELECT ha, hb, jaccard FROM rp
+        UNION ALL SELECT hb AS ha, ha AS hb, jaccard FROM rp),
+within AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM docs x JOIN docs y ON y.h = x.h AND y.doc_id > x.doc_id
+  JOIN sh s ON s.h = x.h
+  WHERE len(s.shingles) > 0),
+crossp AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, r.jaccard
+  FROM rps r JOIN docs x ON x.h = r.ha JOIN docs y ON y.h = r.hb
+  WHERE y.doc_id > x.doc_id)
+SELECT a, b, jaccard FROM within
+UNION ALL
+SELECT a, b, jaccard FROM crossp
 """,
 )
 def td_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,33 +1022,56 @@ def td_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_duplicates(docs, threshold=0.5)
 
 
-# Shared CTE prefix: exact all-pairs near-dup edges (the definitional
-# ground truth the LSH pipeline provably matches on this data — see
-# td_minhash_near_dups) feeding transitive closure.
+# Shared CTE prefix: exact near-dup edges (the definitional ground
+# truth the LSH pipeline provably matches on this data — see
+# td_minhash_near_dups) feeding transitive closure.  Round-11
+# (ORACLES.md rule 16): both the edge relation AND the closure are
+# factored through the quotient by exact text equality — identical
+# texts form a clique (one sym self-loop suffices for membership), so
+# reach runs on the distinct-text graph (<=4,992 vertices at any
+# replica rung) instead of accumulating clique^2 rows; doc-level
+# clusters are recovered by expanding components through the
+# text-hash and taking the component-wide MIN(doc_id) as cluster_id.
+# Cross-checked old-vs-new (IDENTICAL) at sf0.01 for all four
+# consumers: td_dup_clusters, td_dedup_summary,
+# td_dedup_survivors_by_quality, td_leakage_safe_split.
 _CLUSTER_CTE = """
-WITH RECURSIVE sh AS (
-  SELECT doc_id,
-    CASE WHEN len(string_split(TRIM(text),' ')) >= 3 THEN
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT md5(TRIM(text)) AS h, MIN(doc_id) AS rep_id, MAX(TRIM(text)) AS t,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY md5(TRIM(text))),
+gdocs AS MATERIALIZED (
+  SELECT doc_id, md5(TRIM(text)) AS h FROM documents),
+sh AS MATERIALIZED (
+  SELECT h, rep_id, cnt,
+    CASE WHEN len(string_split(t,' ')) >= 3 THEN
     list_distinct(list_transform(
-      range(1, len(string_split(TRIM(text), ' ')) - 1),
-      i -> string_split(TRIM(text), ' ')[i] || ' ' ||
-           string_split(TRIM(text), ' ')[i+1] || ' ' ||
-           string_split(TRIM(text), ' ')[i+2])) ELSE [] END AS shingles
-  FROM documents),
-edges AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      range(1, len(string_split(t, ' ')) - 1),
+      i -> string_split(t, ' ')[i] || ' ' ||
+           string_split(t, ' ')[i+1] || ' ' ||
+           string_split(t, ' ')[i+2])) ELSE [] END AS shingles
+  FROM grp),
+redges AS MATERIALIZED (
+  SELECT a.h AS ha, b.h AS hb
+  FROM sh a JOIN sh b ON b.rep_id > a.rep_id
   WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
     AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
-sym AS (SELECT a AS v, b AS w FROM edges UNION SELECT b, a FROM edges),
+sym AS MATERIALIZED (
+  SELECT ha AS v, hb AS w FROM redges
+  UNION SELECT hb, ha FROM redges
+  UNION SELECT h, h FROM sh WHERE cnt >= 2 AND len(shingles) > 0),
 reach(v, w) AS (
   SELECT v, v FROM sym GROUP BY v
   UNION
   SELECT r.v, s.w FROM reach r JOIN sym s ON s.v = r.w
 ),
+comp AS (SELECT v AS h, MIN(w) AS comp_h FROM reach GROUP BY v),
+cmin AS (SELECT c.comp_h, MIN(d.doc_id) AS cluster_id
+         FROM comp c JOIN gdocs d ON d.h = c.h GROUP BY c.comp_h),
 clusters AS (
-  SELECT v AS doc_id, MIN(w) AS cluster_id FROM reach GROUP BY v)
+  SELECT d.doc_id, m.cluster_id
+  FROM comp c JOIN cmin m USING (comp_h) JOIN gdocs d ON d.h = c.h)
 """
 
 
@@ -1111,11 +1165,38 @@ planted AS (
   SELECT vec_id + 1000000 AS vec_id,
          list_transform(embedding, x -> x + 0.01) AS embedding
   FROM base WHERE vec_id % 50 = 0),
-all_vecs AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
-SELECT a.vec_id AS a, b.vec_id AS b,
-  ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
-FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+all_vecs AS MATERIALIZED (
+  SELECT * FROM base UNION ALL SELECT * FROM planted),
+-- ORACLES.md rule 16: quotient by exact (bitwise) vector equality —
+-- cosine is computed once per distinct-vector pair and expanded back;
+-- identical-vector pairs evaluate list_cosine_similarity(v, v)
+-- literally so the rounding path is byte-identical to the
+-- definitional form.  Output-bound on duplicate-heavy replicas.
+vg AS MATERIALIZED (
+  SELECT embedding, MIN(vec_id) AS rep_id
+  FROM all_vecs GROUP BY embedding),
+rp AS MATERIALIZED (
+  SELECT a.embedding AS ea, b.embedding AS eb,
+         ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+  FROM vg a JOIN vg b ON b.rep_id > a.rep_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98),
+rps AS (SELECT ea, eb, cosine FROM rp
+        UNION ALL SELECT eb AS ea, ea AS eb, cosine FROM rp),
+within AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(list_cosine_similarity(x.embedding, x.embedding), 6) AS cosine
+  FROM all_vecs x JOIN all_vecs y
+    ON y.embedding = x.embedding AND y.vec_id > x.vec_id
+  WHERE list_cosine_similarity(x.embedding, x.embedding) >= 0.98),
+crossp AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, r.cosine
+  FROM rps r
+  JOIN all_vecs x ON x.embedding = r.ea
+  JOIN all_vecs y ON y.embedding = r.eb
+  WHERE y.vec_id > x.vec_id)
+SELECT a, b, cosine FROM within
+UNION ALL
+SELECT a, b, cosine FROM crossp
 """,
 )
 def td_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,7 +1498,11 @@ _SEMDEDUP_K = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_CLUSTERS", "8"))
     # deterministic Lloyd training (identical CTE chain to the
     # td_ivf_ann oracle), final assignment, within-cluster pair scan,
     # lowest-id survivor — so clustering AND dedup decisions are
-    # hash-checked, not just row counts.
+    # hash-checked, not just row counts.  Round-11 (ORACLES.md rule
+    # 16): the within-cluster pair scan is quotiented by exact vector
+    # equality — a member is removed iff the MIN qualifying member id
+    # (over same-cell groups within cosine 0.98, own group included)
+    # is below its own id; cross-checked IDENTICAL at sf0.01 + sf0.1.
     oracle=f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1465,13 +1550,16 @@ af AS (
       ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
         ORDER BY list_cosine_similarity(vecs.v, c2.v) DESC, c2.c) AS rn
     FROM vecs, c2) WHERE rn = 1),
-removed AS (
-  SELECT DISTINCT b.vec_id AS kb
-  FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= 0.98)
+gaf AS MATERIALIZED (
+  SELECT v, c, MIN(vec_id) AS min_id FROM af GROUP BY v, c),
+qual AS MATERIALIZED (
+  SELECT b.v AS hv, b.c AS hc, MIN(a.min_id) AS thr
+  FROM gaf b JOIN gaf a ON a.c = b.c
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+  GROUP BY b.v, b.c)
 SELECT af.vec_id, CAST(af.c AS INT) AS cluster,
-       (r.kb IS NULL) AS kept
-FROM af LEFT JOIN removed r ON af.vec_id = r.kb
+       (q.thr IS NULL OR q.thr >= af.vec_id) AS kept
+FROM af LEFT JOIN qual q ON q.hv = af.v AND q.hc = af.c
 ORDER BY af.vec_id
 """,
 )
@@ -1847,19 +1935,38 @@ def td_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine state the identical predicate: share >=1 aligned 4-char
     # prefix block AND levenshtein(prefix_a, prefix_b) <= 2.
     oracle="""
-WITH nm AS (
+WITH nmg AS MATERIALIZED (
+  SELECT rpad(lower(substring(text, 1, 12)), 12, '_') AS nm,
+         MIN(doc_id) AS rep_id
+  FROM documents GROUP BY 1),
+ndocs AS MATERIALIZED (
   SELECT doc_id, rpad(lower(substring(text, 1, 12)), 12, '_') AS nm
   FROM documents),
+-- ORACLES.md rule 16: blocking + levenshtein run once per DISTINCT
+-- normalized name pair; identical names are dist 0 by definition and
+-- expand directly.  Same blocked relation, output-bound on replicas.
 blocks AS (
-  SELECT doc_id, nm, i, substring(nm, 1 + (i - 1) * 4, 4) AS blk
-  FROM nm, range(1, 4) t(i)),
+  SELECT nm, rep_id, i, substring(nm, 1 + (i - 1) * 4, 4) AS blk
+  FROM nmg, range(1, 4) t(i)),
 cand AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.nm AS na, b.nm AS nb
+  SELECT DISTINCT a.nm AS na, b.nm AS nb
   FROM blocks a
-  JOIN blocks b ON a.i = b.i AND a.blk = b.blk AND b.doc_id > a.doc_id)
-SELECT a, b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
-FROM cand
-WHERE levenshtein(na, nb) <= 2
+  JOIN blocks b ON a.i = b.i AND a.blk = b.blk AND b.rep_id > a.rep_id),
+ver AS MATERIALIZED (
+  SELECT na, nb, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+  FROM cand WHERE levenshtein(na, nb) <= 2),
+vs AS (SELECT na, nb, dist FROM ver
+       UNION ALL SELECT nb AS na, na AS nb, dist FROM ver),
+within AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INTEGER) AS dist
+  FROM ndocs x JOIN ndocs y ON y.nm = x.nm AND y.doc_id > x.doc_id),
+crossp AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, v.dist
+  FROM vs v JOIN ndocs x ON x.nm = v.na JOIN ndocs y ON y.nm = v.nb
+  WHERE y.doc_id > x.doc_id)
+SELECT a, b, dist FROM within
+UNION ALL
+SELECT a, b, dist FROM crossp
 """,
 )
 def td_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2502,18 +2609,46 @@ af AS (
     # then the within-cell neighbor relation verbatim, so the graph's
     # EDGES are hash-checked — cosine values, ranks, tie-breaks — not
     # just counts.
+    # Round-11 (ORACLES.md rule 16): the Lloyd/assignment stages are
+    # linear (N x cells) and stay verbatim; only the within-cell
+    # all-pairs neighbor stage is factored through the quotient by
+    # exact vector equality.  Group pairs carry the member count, a
+    # strictly-better running sum prunes groups that provably cannot
+    # reach a top-5 slot (better_cnt >= 5 means at least five
+    # neighbors with strictly higher cosine exist, all of whose groups
+    # are kept by monotonicity), and the surviving groups expand back
+    # to member pairs before the exact ROW_NUMBER ranking — so ranks
+    # and tie-breaks are byte-identical to the definitional form
+    # (cross-checked IDENTICAL at sf0.01 and the sf0.1 base).
     oracle=f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {_lloyd_cte(_KNN_CELLS)},
-nbrs AS (
-  SELECT e.vec_id, n.vec_id AS nbr_id,
-         list_cosine_similarity(e.v, n.v) AS cos
-  FROM af e JOIN af n ON n.c = e.c AND n.vec_id <> e.vec_id)
+gaf AS MATERIALIZED (
+  SELECT v, c, MIN(vec_id) AS rep_id, COUNT(*) AS cnt
+  FROM af GROUP BY v, c),
+gpair AS MATERIALIZED (
+  SELECT e.rep_id AS g_rep, e.v AS g_v, n.v AS h_v,
+         list_cosine_similarity(e.v, n.v) AS cos,
+         n.cnt - CASE WHEN n.rep_id = e.rep_id THEN 1 ELSE 0 END AS h_cnt_adj
+  FROM gaf e JOIN gaf n ON n.c = e.c),
+scored AS (
+  SELECT g_v, h_v, cos,
+    SUM(h_cnt_adj) OVER (PARTITION BY g_rep ORDER BY cos DESC
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    - SUM(h_cnt_adj) OVER (PARTITION BY g_rep, cos) AS better_cnt
+  FROM gpair),
+cand_g AS (SELECT g_v, h_v, cos FROM scored WHERE better_cnt < 5),
+cand AS (
+  SELECT ge.vec_id, hn.vec_id AS nbr_id, c.cos
+  FROM cand_g c
+  JOIN af ge ON ge.v = c.g_v
+  JOIN af hn ON hn.v = c.h_v
+  WHERE hn.vec_id <> ge.vec_id)
 SELECT vec_id, nbr_id, ROUND(cos, 6) AS cosine,
   CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
        ORDER BY cos DESC, nbr_id) AS INT) AS rank
-FROM nbrs QUALIFY rank <= 5
+FROM cand QUALIFY rank <= 5
 """,
 )
 def td_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

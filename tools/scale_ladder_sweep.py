@@ -102,12 +102,15 @@ def run_sim(names: list[str], sf_dir: str, mem: str,
          *names],
         env=env, cwd=REPO, capture_output=True, text=True,
     )
-    verdicts: dict[str, str] = {}
-    for line in proc.stdout.splitlines():
-        parts = line.split()
-        if len(parts) >= 2 and parts[0] in (
-                "PASS", "FAIL", "ERROR", "SKIP", "ROWSONLY"):
-            verdicts[parts[1]] = parts[0]
+    # Verdict tokens can share a physical line with Spark progress-bar
+    # carriage returns, so scan for them anywhere rather than line-anchored.
+    import re
+    verdicts = {
+        m.group(2): m.group(1)
+        for m in re.finditer(
+            r"\b(PASS|FAIL|ERROR|SKIP|ROWSONLY) ([A-Za-z0-9_]+)",
+            proc.stdout)
+    }
     return proc.returncode, verdicts
 
 
