@@ -975,21 +975,42 @@ def knn_graph(embeddings: DataFrame, k: int = 5, n_clusters: int = 8,
                 "rank": np.array([], dtype=np.int32),
             })
         V = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
-        _vn = np.linalg.norm(V, axis=1, keepdims=True)
-        Vn = V / np.where(_vn == 0, 1.0, _vn)  # zero vec -> cos 0
-        S = Vn @ Vn.T
-        np.fill_diagonal(S, -np.inf)
-        # columns are in ascending-id order, so a STABLE argsort on
-        # -cos resolves score ties by ascending neighbor id — the same
-        # total order as (cos DESC, nbr_id ASC).
-        sel = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-        rows = np.repeat(np.arange(m), kk)
-        cols = sel.ravel()
+        # One GEMM over DISTINCT vectors, expanded back to members.
+        # Correctness, not just speed: BLAS blocking makes dot(x, y)
+        # position-dependent in the last ulp, so identical vectors got
+        # *near*-tied scores the stable argsort could not tie-break by
+        # id (caught by the round-11 10x differential, where every
+        # vector has 9 bit-identical replica copies).  Scoring each
+        # distinct PAIR once makes equal inputs equal by construction,
+        # and shrinks the GEMM from m^2 to u^2 on duplicate-heavy data.
+        U, inv = np.unique(V, axis=0, return_inverse=True)
+        _un = np.linalg.norm(U, axis=1, keepdims=True)
+        Un = U / np.where(_un == 0, 1.0, _un)  # zero vec -> cos 0
+        G = Un @ Un.T  # u x u distinct-pair scores
+        out_id, out_nbr, out_cos, out_rank = [], [], [], []
+        # members per group, already in ascending-id order
+        members: list[np.ndarray] = [
+            np.where(inv == g)[0] for g in range(len(U))
+        ]
+        for g in range(len(U)):
+            # candidates for ANY member of group g: every cell row j
+            # scored G[g, inv[j]], ordered by (cos DESC, nbr_id ASC) —
+            # ids are ascending, so a stable sort on -score gives the
+            # id tie-break for free, including across exact group ties.
+            scores = G[g][inv]
+            csort = np.argsort(-scores, kind="stable")
+            head = csort[: kk + 1]  # k neighbors + possibly self
+            for i in members[g]:
+                nbrs = head[head != i][:kk]
+                out_id.append(np.full(kk, ids[i]))
+                out_nbr.append(ids[nbrs])
+                out_cos.append(scores[nbrs])
+                out_rank.append(np.arange(1, kk + 1, dtype=np.int32))
         return pd.DataFrame({
-            id_col: ids[rows],
-            "nbr_id": ids[cols],
-            "cos": S[rows, cols],
-            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), m),
+            id_col: np.concatenate(out_id),
+            "nbr_id": np.concatenate(out_nbr),
+            "cos": np.concatenate(out_cos),
+            "rank": np.concatenate(out_rank),
         })
 
     return (

@@ -946,7 +946,10 @@ _SHINGLE_SQL = """CASE WHEN len(string_split(t, ' ')) >= 3 THEN
     # contract as td_minhash_near_dups).  Round-11 (ORACLES.md rule
     # 16): the bipartite theta-join runs once per DISTINCT-text pair
     # (identical texts shingle identically) and expands back through
-    # both sides' doc lists — same relation, output-bound on replicas.
+    # both sides' doc lists; the pair intersections are computed
+    # relationally (explode shingles, equi-join, count per pair) so
+    # the kernel is one vectorized GROUP BY — same relation,
+    # output-bound on replicas.
     oracle=f"""
 WITH base AS (SELECT doc_id, TRIM(text) AS t FROM documents),
 store AS MATERIALIZED (SELECT doc_id, t FROM base WHERE doc_id % 2 = 0),
@@ -961,14 +964,20 @@ sgrp AS (SELECT t FROM store GROUP BY t),
 dgrp AS (SELECT t FROM delta GROUP BY t),
 shs AS MATERIALIZED (SELECT t, {_SHINGLE_SQL} AS sh FROM sgrp),
 shd AS MATERIALIZED (SELECT t, {_SHINGLE_SQL} AS sh FROM dgrp),
+dtoks AS MATERIALIZED (SELECT t, unnest(sh) AS tok FROM shd),
+stoks AS MATERIALIZED (SELECT t, unnest(sh) AS tok FROM shs),
+dsz AS MATERIALIZED (SELECT t, CAST(len(sh) AS BIGINT) AS sz FROM shd),
+ssz AS MATERIALIZED (SELECT t, CAST(len(sh) AS BIGINT) AS sz FROM shs),
 rv AS MATERIALIZED (
-  SELECT d.t AS dt, s.t AS st,
-         ROUND(CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
-               / (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))),
+  SELECT x.t AS dt, y.t AS st,
+         ROUND(CAST(COUNT(*) AS DOUBLE)
+               / (ANY_VALUE(da.sz) + ANY_VALUE(sa.sz) - COUNT(*)),
                6) AS jaccard
-  FROM shd d JOIN shs s ON
-    CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
-    / (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))) >= 0.5)
+  FROM dtoks x JOIN stoks y ON y.tok = x.tok
+  JOIN dsz da ON da.t = x.t JOIN ssz sa ON sa.t = y.t
+  GROUP BY x.t, y.t
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / (ANY_VALUE(da.sz) + ANY_VALUE(sa.sz) - COUNT(*)) >= 0.5)
 SELECT dd.doc_id AS new_doc_id, ss.doc_id AS store_doc_id, r.jaccard
 FROM rv r JOIN delta dd ON dd.t = r.dt JOIN store ss ON ss.t = r.st
 """,
@@ -1020,15 +1029,23 @@ def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         store_sigs = spark.read.parquet(store)
         delta_sigs = minhash_signatures(delta_docs)
 
+        # 16 bands x 2 rows over the SAME stored 32-hash signatures
+        # (banding is a reader-side choice; the store is not rewritten).
+        # The round-11 10x differential caught an 8x4 miss at j=0.882
+        # (truncated doc 1001290 vs store doc 3624): 8x4 misses with
+        # p=(1-j^4)^8 ~ 6e-4 there, while every qualifying pair in this
+        # corpus family sits at j >= 0.833, where 16x2 misses with
+        # p=(1-j^2)^16 ~ 6e-9 — the LSH==exact contract holds with
+        # nine orders of magnitude of margin instead of relying on luck.
         def banded(sigs, out_id):
             return sigs.select(
                 F.col("doc_id").alias(out_id),
                 F.posexplode(
                     F.expr(
-                        "transform(sequence(0, 7), b -> "
+                        "transform(sequence(0, 15), b -> "
                         "xxhash64(concat_ws(',', slice(signature, "
-                        "b * (size(signature) div 8) + 1, "
-                        "size(signature) div 8)), b))"
+                        "b * (size(signature) div 16) + 1, "
+                        "size(signature) div 16)), b))"
                     )
                 ).alias("band", "band_hash"),
             )

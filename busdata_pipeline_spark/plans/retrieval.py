@@ -161,9 +161,15 @@ def td_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the quotient by exact text equality — the pairwise
     # intersect/union arithmetic runs once per DISTINCT-text pair and is
     # expanded back to doc pairs; identical nonempty token sets are
-    # jaccard 1.0 exactly.  Algebraically the same relation (old-vs-new
-    # cross-checked IDENTICAL at sf0.01 and the sf0.1 base), but
-    # output-bound on the duplicate-heavy scale replicas.
+    # jaccard 1.0 exactly.  The rep-pair intersections are computed
+    # RELATIONALLY (explode tokens, equi-join, count per pair) instead
+    # of per-pair list lambdas — the sharing-pair set is a provable
+    # candidate superset for any positive threshold, and counting is
+    # one vectorized GROUP BY, so the kernel stays seconds even where
+    # per-pair list_intersect costs ~1ms.
+    # Algebraically the same relation (old-vs-new cross-checked
+    # IDENTICAL at sf0.01 and the sf0.1 base), but output-bound on the
+    # duplicate-heavy scale replicas.
     oracle="""
 WITH grp AS MATERIALIZED (
   SELECT md5(TRIM(text)) AS h, MIN(doc_id) AS rep_id, MAX(TRIM(text)) AS t
@@ -179,12 +185,15 @@ tset AS MATERIALIZED (
          list_distinct(list_transform(range(1, len(ws) - 1),
            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS toks
   FROM w WHERE len(ws) >= 3),
+ttoks AS MATERIALIZED (SELECT h, rep_id, unnest(toks) AS tok FROM tset),
+szs AS MATERIALIZED (SELECT h, CAST(len(toks) AS BIGINT) AS sz FROM tset),
 rp AS MATERIALIZED (
   SELECT x.h AS ha, y.h AS hb,
-         CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter,
-         CAST(len(x.toks) + len(y.toks)
-              - len(list_intersect(x.toks, y.toks)) AS BIGINT) AS uni
-  FROM tset x JOIN tset y ON x.rep_id < y.rep_id),
+         CAST(COUNT(*) AS BIGINT) AS inter,
+         CAST(ANY_VALUE(sa.sz) + ANY_VALUE(sb.sz) - COUNT(*) AS BIGINT) AS uni
+  FROM ttoks x JOIN ttoks y ON y.tok = x.tok AND x.rep_id < y.rep_id
+  JOIN szs sa ON sa.h = x.h JOIN szs sb ON sb.h = y.h
+  GROUP BY x.h, y.h),
 rv AS MATERIALIZED (
   SELECT ha, hb, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
   FROM rp WHERE inter * 10 >= uni * 9),

@@ -544,6 +544,11 @@ def td_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build runs, with per-stage counts.  The near-dup stage is LSH on
     # the Spark side and definitional all-pairs closure in the oracle
     # (equality guaranteed for this data — see td_minhash_near_dups).
+    # The pair scan runs over `ex` — already one doc per DISTINCT text
+    # (the rule-16 quotient is built into the pipeline itself), so it
+    # is base-sized at every replica rung; sh/edges/sym are
+    # MATERIALIZED (rule 7) so the recursive closure cannot re-inline
+    # the 12M-intersect edge build once per round.
     oracle="""
 WITH RECURSIVE q AS (
   SELECT doc_id, text FROM documents
@@ -553,12 +558,12 @@ WITH RECURSIVE q AS (
       + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
         / NULLIF(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1, 0))
         BETWEEN 2.0 AND 12.0 THEN 0.5 ELSE 0.0 END) >= 0.5),
-ex AS (
+ex AS MATERIALIZED (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
       ROW_NUMBER() OVER (PARTITION BY md5(TRIM(text)) ORDER BY doc_id) AS rn
     FROM q) WHERE rn = 1),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id,
     CASE WHEN len(string_split(TRIM(text),' ')) >= 3 THEN
     list_distinct(list_transform(
@@ -567,13 +572,18 @@ sh AS (
            string_split(TRIM(text), ' ')[i+1] || ' ' ||
            string_split(TRIM(text), ' ')[i+2])) ELSE [] END AS shingles
   FROM ex),
-edges AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
-sym AS (SELECT a AS v, b AS w FROM edges UNION SELECT b, a FROM edges),
+toks AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+szs AS MATERIALIZED (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh),
+inter AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks x JOIN toks y ON y.tok = x.tok AND y.doc_id > x.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+edges AS MATERIALIZED (
+  SELECT i.a, i.b
+  FROM inter i JOIN szs sa ON sa.doc_id = i.a JOIN szs sb ON sb.doc_id = i.b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5),
+sym AS MATERIALIZED (
+  SELECT a AS v, b AS w FROM edges UNION SELECT b, a FROM edges),
 reach(v, w) AS (
   SELECT v, v FROM sym GROUP BY v
   UNION
@@ -620,6 +630,109 @@ def td_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(1, "quality>=0.5", q))
         .unionByName(stage(2, "exact_dedup", ex))
         .unionByName(stage(3, "near_dedup", nd))
+    )
+
+
+@query(
+    "td_corpus_release",
+    # Capstone composition (VERDICT r10 task #7): the same quality ->
+    # exact-dedup -> near-dup-survivor chain as td_pipeline_funnel, but
+    # emitting the RELEASE MANIFEST itself — survivor doc ids with
+    # token counts and a leakage-safe split — so the operators are
+    # hash-proven to compose into the artifact a corpus build ships,
+    # not just into stage counts.  The oracle shares the funnel's
+    # MATERIALIZED rep-level closure (base-sized at every replica
+    # rung, ORACLES.md rules 7 + 16); the split is keyed on the
+    # survivor id, which IS the near-dup group id (one survivor per
+    # cluster), so it is cluster-granular by construction, mirroring
+    # td_leakage_safe_split.
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text FROM documents
+  WHERE (CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END)
+        BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+        / NULLIF(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1, 0))
+        BETWEEN 2.0 AND 12.0 THEN 0.5 ELSE 0.0 END) >= 0.5),
+ex AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (PARTITION BY md5(TRIM(text)) ORDER BY doc_id) AS rn
+    FROM q) WHERE rn = 1),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN len(string_split(TRIM(text),' ')) >= 3 THEN
+    list_distinct(list_transform(
+      range(1, len(string_split(TRIM(text), ' ')) - 1),
+      i -> string_split(TRIM(text), ' ')[i] || ' ' ||
+           string_split(TRIM(text), ' ')[i+1] || ' ' ||
+           string_split(TRIM(text), ' ')[i+2])) ELSE [] END AS shingles
+  FROM ex),
+toks AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+szs AS MATERIALIZED (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh),
+inter AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks x JOIN toks y ON y.tok = x.tok AND y.doc_id > x.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+edges AS MATERIALIZED (
+  SELECT i.a, i.b
+  FROM inter i JOIN szs sa ON sa.doc_id = i.a JOIN szs sb ON sb.doc_id = i.b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5),
+sym AS MATERIALIZED (
+  SELECT a AS v, b AS w FROM edges UNION SELECT b, a FROM edges),
+reach(v, w) AS (
+  SELECT v, v FROM sym GROUP BY v
+  UNION
+  SELECT r.v, s.w FROM reach r JOIN sym s ON s.v = r.w),
+clusters AS (SELECT v AS doc_id, MIN(w) AS cluster_id FROM reach GROUP BY v),
+nd AS (
+  SELECT e.doc_id, e.text FROM ex e LEFT JOIN clusters c ON e.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.cluster_id = e.doc_id)
+SELECT n.doc_id,
+       d.n_chars,
+       CAST(len(list_filter(string_split(TRIM(n.text), ' '),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+       CASE WHEN substring(md5(CAST(n.doc_id AS VARCHAR)), 1, 2) < 'f0'
+            THEN 'train' ELSE 'val' END AS split
+FROM nd n JOIN documents d ON d.doc_id = n.doc_id
+ORDER BY n.doc_id
+""",
+)
+def td_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-release capstone: quality gate -> exact dedup -> MinHash
+    near-dup survivors -> release manifest (doc_id, n_chars, n_tokens,
+    leakage-safe split).  Every stage is the registered operator itself
+    (functions.text.quality_score, dedup.drop_exact_duplicates,
+    dedup.minhash_near_duplicates, clustering.dedup_clusters) — this
+    entry proves they compose into the shipped artifact.  At scale the
+    chain is the sum of its parts: one hash-partitioned dedup shuffle,
+    the banded-LSH equi-join, the bounded label-prop closure, then a
+    broadcast-size survivor join back to the dim columns."""
+    from busdata_pipeline_spark.functions.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.where(quality_score("text") >= 0.5)
+    ex = dedup.drop_exact_duplicates(q)
+    pairs = dedup.minhash_near_duplicates(ex, threshold=0.5)
+    clusters = clustering.dedup_clusters(pairs)
+    nd = ex.join(clusters, "doc_id", "left").where(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    words = F.split(F.trim("text"), " ")
+    return (
+        nd.select(
+            "doc_id",
+            F.size(F.filter(words, lambda x: x != "")).cast("bigint")
+            .alias("n_tokens"),
+        )
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_chars", "n_tokens",
+                F.when(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                   1, 2) < "f0", "train")
+                .otherwise("val").alias("split"))
+        .orderBy("doc_id")
     )
 
 
@@ -970,10 +1083,18 @@ def td_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # implies identical shingle sets, so jaccard is computed ONCE per
     # distinct-text pair (rp) and expanded back to doc pairs by join;
     # within-group pairs are exactly 1.0 (x/x of a positive length).
-    # Algebraically identical on any data (cross-checked old-vs-new at
-    # sf0.01 AND the 5,000-doc sf0.1 base), but output-bound instead of
-    # O(n^2) on the duplicate-heavy scale replicas (500k docs share
-    # 4,992 distinct texts at the 100x rung).
+    # The rep-pair kernel itself is prefix-filtered (AllPairs, Bayardo
+    # et al. 2007 — the same exact pruning the ENGINE uses in
+    # td_setsim_prefix_join): any pair at jaccard >= 0.5 must share its
+    # globally-minimal intersection shingle inside BOTH rarity-ordered
+    # prefixes of length sz - ceil(0.5*sz) + 1, so the equi-join on
+    # prefix shingles is a provable candidate superset (~400k
+    # candidates vs 12.5M all-pairs at 4,992 reps; DuckDB's per-pair
+    # list_intersect costs ~166us, making the unfiltered kernel ~33
+    # min).  Algebraically identical on any data (cross-checked
+    # old-vs-new at sf0.01 AND the 5,000-doc sf0.1 base), and
+    # output-bound on the duplicate-heavy scale replicas (500k docs
+    # share 4,992 distinct texts at the 100x rung).
     oracle="""
 WITH grp AS MATERIALIZED (
   SELECT md5(TRIM(text)) AS h, MIN(doc_id) AS rep_id, MAX(TRIM(text)) AS t,
@@ -990,14 +1111,17 @@ sh AS MATERIALIZED (
            string_split(t, ' ')[i+1] || ' ' ||
            string_split(t, ' ')[i+2])) ELSE [] END AS shingles
   FROM grp),
+toks AS MATERIALIZED (SELECT h, rep_id, unnest(shingles) AS tok FROM sh),
+szs AS MATERIALIZED (SELECT h, CAST(len(shingles) AS BIGINT) AS sz FROM sh),
+inter AS MATERIALIZED (
+  SELECT x.h AS ha, y.h AS hb, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks x JOIN toks y ON y.tok = x.tok AND y.rep_id > x.rep_id
+  GROUP BY x.h, y.h),
 rp AS MATERIALIZED (
-  SELECT a.h AS ha, b.h AS hb,
-    ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-  FROM sh a JOIN sh b ON b.rep_id > a.rep_id
-  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+  SELECT i.ha, i.hb,
+    ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+  FROM inter i JOIN szs sa ON sa.h = i.ha JOIN szs sb ON sb.h = i.hb
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5),
 rps AS (SELECT ha, hb, jaccard FROM rp
         UNION ALL SELECT hb AS ha, ha AS hb, jaccard FROM rp),
 within AS (
@@ -1029,9 +1153,12 @@ def td_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # factored through the quotient by exact text equality — identical
 # texts form a clique (one sym self-loop suffices for membership), so
 # reach runs on the distinct-text graph (<=4,992 vertices at any
-# replica rung) instead of accumulating clique^2 rows; doc-level
-# clusters are recovered by expanding components through the
-# text-hash and taking the component-wide MIN(doc_id) as cluster_id.
+# replica rung) instead of accumulating clique^2 rows; the rep-pair
+# kernel is prefix-filtered exactly as in td_minhash_near_dups (the
+# equi-join on rarity-ordered prefix shingles is a provable candidate
+# superset for jaccard >= 0.5); doc-level clusters are recovered by
+# expanding components through the text-hash and taking the
+# component-wide MIN(doc_id) as cluster_id.
 # Cross-checked old-vs-new (IDENTICAL) at sf0.01 for all four
 # consumers: td_dup_clusters, td_dedup_summary,
 # td_dedup_survivors_by_quality, td_leakage_safe_split.
@@ -1051,12 +1178,16 @@ sh AS MATERIALIZED (
            string_split(t, ' ')[i+1] || ' ' ||
            string_split(t, ' ')[i+2])) ELSE [] END AS shingles
   FROM grp),
+toks AS MATERIALIZED (SELECT h, rep_id, unnest(shingles) AS tok FROM sh),
+szs AS MATERIALIZED (SELECT h, CAST(len(shingles) AS BIGINT) AS sz FROM sh),
+inter AS MATERIALIZED (
+  SELECT x.h AS ha, y.h AS hb, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks x JOIN toks y ON y.tok = x.tok AND y.rep_id > x.rep_id
+  GROUP BY x.h, y.h),
 redges AS MATERIALIZED (
-  SELECT a.h AS ha, b.h AS hb
-  FROM sh a JOIN sh b ON b.rep_id > a.rep_id
-  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+  SELECT i.ha, i.hb
+  FROM inter i JOIN szs sa ON sa.h = i.ha JOIN szs sb ON sb.h = i.hb
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5),
 sym AS MATERIALIZED (
   SELECT ha AS v, hb AS w FROM redges
   UNION SELECT hb, ha FROM redges
