@@ -178,3 +178,38 @@ def test_r7_failures_now_pass_strict(spark, con, name):
     df = QUERIES[name](spark, SF001)
     ok, msg = strict_compare(df, con, ORACLES[name])
     assert ok, msg
+
+
+def test_streaming_comparator_matches_collect(spark):
+    """strict_compare_streaming is the memory-bounded sibling of
+    strict_compare: same verdicts on equal data, row-count mismatches,
+    and value diffs (round-11, built for the 25M-200M-row replica
+    outputs the collect comparator cannot hold)."""
+    import duckdb
+
+    from driver_hash import strict_compare_streaming
+
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, -0.5, "y"), (3, 0.25, None)],
+        "id bigint, v double, s string",
+    )
+    ok, msg = strict_compare_streaming(
+        df, con,
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2.5 AS DOUBLE), 'x'),"
+        " (CAST(2 AS BIGINT), CAST(-0.5 AS DOUBLE), 'y'),"
+        " (CAST(3 AS BIGINT), CAST(0.25 AS DOUBLE), NULL)) t(id, v, s)")
+    assert ok and "streamed" in msg, msg
+    # one value bit differs -> red
+    ok, msg = strict_compare_streaming(
+        df, con,
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2.5 AS DOUBLE), 'x'),"
+        " (CAST(2 AS BIGINT), CAST(-0.5 AS DOUBLE), 'y'),"
+        " (CAST(3 AS BIGINT), CAST(0.75 AS DOUBLE), NULL)) t(id, v, s)")
+    assert not ok and "value bits differ" in msg, msg
+    # row-count mismatch in either direction -> red
+    ok, msg = strict_compare_streaming(
+        df, con,
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2.5 AS DOUBLE), 'x'),"
+        " (CAST(2 AS BIGINT), CAST(-0.5 AS DOUBLE), 'y')) t(id, v, s)")
+    assert not ok and "rows" in msg, msg

@@ -241,3 +241,76 @@ def strict_compare(spark_df, con, sql: str) -> tuple[bool, str]:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
         return False, f"value bits differ, first diffs: {diffs}"
     return True, f"ok ({len(s_rows)} rows, strict)"
+
+
+def strict_compare_streaming(spark_df, con, sql: str,
+                             batch: int = 200_000) -> tuple[bool, str]:
+    """Memory-bounded sibling of strict_compare for replica-rung
+    differentials whose OUTPUT no longer fits a driver collect (the
+    round-11 quotient oracles made the 100x ORACLES cheap, leaving the
+    25M-200M-row result sets as the remaining bound).
+
+    Same schema/type gates and the same per-cell canonicalization as
+    strict_compare; instead of sorting both sides in Python it asks
+    EACH ENGINE to sort by every output column (name order, ascending,
+    NULLS FIRST) and zips the two streams row by row.  This is
+    value-exact — any cell whose canonical bytes differ fails — with
+    O(batch) memory.  Caveat: rows that compare SQL-equal but
+    canonicalize differently (-0.0 vs 0.0, rule 3) may be ordered
+    differently by the two engines and show as a value diff; that is a
+    reportable red either way, never a silent pass."""
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_types = {c.lower(): canon_spark_type(t) for c, t in spark_df.dtypes}
+
+    rel = con.sql(sql)
+    d_cols = [c.lower() for c in rel.columns]
+    d_types = {
+        c.lower(): canon_duck_type(t)
+        for c, t in zip(rel.columns, rel.types)
+    }
+    offenders = gate_output_types(s_types, "spark") + gate_output_types(
+        d_types, "duckdb"
+    )
+    if offenders:
+        return False, (
+            "output-type gate: driver-unhashable column(s) "
+            + ", ".join(offenders)
+        )
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    for c in sorted(s_cols):
+        if s_types[c] != d_types[c]:
+            return False, f"type of '{c}': spark={s_types[c]} duckdb={d_types[c]}"
+
+    cols = sorted(s_cols)
+    sorted_spark = spark_df.selectExpr(*cols).orderBy(*cols)
+    qcols = ", ".join(f'"{c}"' for c in cols)
+    d_rel = con.sql(
+        f"SELECT {qcols} FROM ({sql}) __t ORDER BY ALL NULLS FIRST"
+    )
+
+    s_it = sorted_spark.toLocalIterator()
+    n = 0
+    while True:
+        d_batch = d_rel.fetchmany(batch)
+        for d_row in d_batch:
+            try:
+                s_row = next(s_it)
+            except StopIteration:
+                return False, f"rows: spark={n} duckdb=more (>= {n + 1})"
+            a = "|".join(canon_value(v) for v in tuple(s_row))
+            b = "|".join(canon_value(v) for v in d_row)
+            if a != b:
+                return False, (
+                    f"value bits differ at sorted row {n}: "
+                    f"spark={a[:160]} duckdb={b[:160]}"
+                )
+            n += 1
+        if not d_batch:
+            break
+    try:
+        next(s_it)
+        return False, f"rows: spark=more (> {n}) duckdb={n}"
+    except StopIteration:
+        pass
+    return True, f"ok ({n} rows, strict, streamed)"

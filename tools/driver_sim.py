@@ -33,7 +33,7 @@ print("ENTRY_OK rows=%d schema=%s" % (len(rows), df.schema.simpleString()))
 sys.path.insert(0, os.path.join(REPO, "tests"))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 from oracle_check import duckdb_con
-from driver_hash import strict_compare
+from driver_hash import strict_compare, strict_compare_streaming
 
 SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 only = sys.argv[1:]  # optional query-name filter
@@ -41,6 +41,10 @@ only = sys.argv[1:]  # optional query-name filter
 # O(n²) all-pairs / transitive-closure oracles) on big replicas; the
 # Spark side of those is still exercised by bench.
 skip = set(filter(None, os.environ.get("DRIVER_SIM_SKIP", "").split(",")))
+# DRIVER_SIM_STREAM=a,b,c (or "all") — use the memory-bounded streaming
+# comparator for names whose replica-rung OUTPUT doesn't fit a collect
+# (same canonicalization/strictness; engine-side sort + zip).
+stream = set(filter(None, os.environ.get("DRIVER_SIM_STREAM", "").split(",")))
 con = duckdb_con(SF)
 qs, os_ = E.queries(), E.oracle_sql()
 missing = set(os_) - set(qs)
@@ -55,7 +59,10 @@ for name in sorted(qs):
     try:
         d = qs[name](spark, SF)
         if name in os_:
-            ok, msg = strict_compare(d, con, os_[name])
+            cmp_fn = (strict_compare_streaming
+                      if (name in stream or "all" in stream)
+                      else strict_compare)
+            ok, msg = cmp_fn(d, con, os_[name])
             print(("PASS" if ok else "FAIL"), name, msg, flush=True)
             fails += (not ok)
         else:
