@@ -369,14 +369,65 @@ def fuzzy_prefix_matches(docs: DataFrame, prefix_len: int = 12,
     buckets instead of O(n²); bucket skew (popular prefixes) is the
     classic blocking hazard and is AQE-skew-split at runtime.
     """
-    blk = prefix_len // n_blocks
-    nm = docs.select(
+    nm = normalized_names(docs, prefix_len, id_col, text_col)
+    pairs = fuzzy_nm_pairs(
+        nm.sparkSession, nm, prefix_len, n_blocks, max_dist
+    )
+    # Expand distinct-name verdicts back to doc pairs (the round-11
+    # quotient, ORACLES.md rule 16): identical names are dist 0 by
+    # definition; a verified name pair applies to every member pair.
+    # On duplicate-heavy data the blocked join + levenshtein run at
+    # distinct-name size while only these expansion joins scale — at
+    # the 100x replica this is the difference between ~580M verified
+    # block collisions and ~5k.
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("nb").alias("na"), F.col("na").alias("nb"), "dist"
+        )
+    )
+    a, b = nm.alias("a"), nm.alias("b")
+    within = (
+        a.join(b, (F.col("a.nm") == F.col("b.nm"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a"),
+                F.col(f"b.{id_col}").alias("b"),
+                F.lit(0).cast("int").alias("dist"))
+    )
+    x, y = nm.alias("x"), nm.alias("y")
+    cross = (
+        sym.join(x, F.col("x.nm") == F.col("na"))
+        .join(y, (F.col("y.nm") == F.col("nb"))
+              & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .select(F.col(f"x.{id_col}").alias("a"),
+                F.col(f"y.{id_col}").alias("b"),
+                F.col("dist").cast("int").alias("dist"))
+    )
+    return within.unionByName(cross)
+
+
+def normalized_names(docs: DataFrame, prefix_len: int = 12,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, nm): the normalized fixed-length prefix key fuzzy blocking
+    works on — lowercased, right-padded with '_' to ``prefix_len``."""
+    return docs.select(
         F.col(id_col),
         F.rpad(F.lower(F.substring(text_col, 1, prefix_len)), prefix_len, "_")
          .alias("nm"),
     )
-    blocks = nm.select(
-        id_col, "nm",
+
+
+def fuzzy_nm_pairs(spark, nm: DataFrame, prefix_len: int = 12,
+                   n_blocks: int = 3, max_dist: int = 2) -> DataFrame:
+    """DISTINCT-name fuzzy matches: (na, nb, dist) with na's lowest
+    member id < nb's — the quotient kernel shared by
+    fuzzy_prefix_matches (which expands it to doc pairs) and entity
+    resolution (which clusters it).  Blocking and the levenshtein
+    verify run once per distinct name pair."""
+    nmg = nm.groupBy("nm").agg(F.min(nm.columns[0]).alias("rep_id"))
+    blk = prefix_len // n_blocks
+    blocks = nmg.select(
+        "nm", "rep_id",
         F.posexplode(
             F.array(*[
                 F.substring("nm", 1 + i * blk, blk) for i in range(n_blocks)
@@ -393,7 +444,7 @@ def fuzzy_prefix_matches(docs: DataFrame, prefix_len: int = 12,
     # size-based coalescing cannot see); at scale — where the join is
     # sort-merge — this is the exchange ENSURE_REQUIREMENTS would insert
     # anyway, not an extra shuffle.
-    n_tasks = docs.sparkSession.sparkContext.defaultParallelism
+    n_tasks = spark.sparkContext.defaultParallelism
     a = blocks.repartition(n_tasks, "blk_i", "blk").alias("a")
     b = blocks.alias("b")
     # Verify INSIDE the join projection, before deduplicating: a pair
@@ -404,9 +455,9 @@ def fuzzy_prefix_matches(docs: DataFrame, prefix_len: int = 12,
     return (
         a.join(b, (F.col("a.blk_i") == F.col("b.blk_i"))
                & (F.col("a.blk") == F.col("b.blk"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("a"),
-                F.col(f"b.{id_col}").alias("b"),
+               & (F.col("a.rep_id") < F.col("b.rep_id")))
+        .select(F.col("a.nm").alias("na"),
+                F.col("b.nm").alias("nb"),
                 F.levenshtein("a.nm", "b.nm").alias("dist"))
         .where(F.col("dist") <= max_dist)
         .distinct()

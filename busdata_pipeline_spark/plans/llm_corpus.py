@@ -1150,8 +1150,39 @@ def rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from busdata_pipeline_spark.operators import clustering, dedup
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.fuzzy_prefix_matches(docs)
-    clusters = clustering.dedup_clusters(pairs)
+    # Round-11 quotient (ORACLES.md rule 16, mirrored engine-side):
+    # blocking, levenshtein, and the label-propagation closure run on
+    # DISTINCT normalized names — identical names are a clique, so one
+    # self-edge keeps multi-member groups in the vertex set — and
+    # membership expands back through nm afterwards.  The rep id is
+    # each name's MINIMUM member doc id, so the component label (min
+    # vertex id, clustering.dedup_clusters' contract) IS the component
+    # -wide minimum doc id — cluster_id needs no recomputation.  At the
+    # 100x replica this is a ~5k-edge CC instead of ~190M.
+    nm = dedup.normalized_names(docs)
+    nmg = nm.groupBy("nm").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("cnt")
+    )
+    np_ = dedup.fuzzy_nm_pairs(spark, nm)
+    rep_edges = (
+        np_.join(nmg.select(F.col("nm").alias("na"),
+                            F.col("rep_id").alias("a")), "na")
+        .join(nmg.select(F.col("nm").alias("nb"),
+                         F.col("rep_id").alias("b")), "nb")
+        .select("a", "b")
+        .unionByName(
+            nmg.where(F.col("cnt") >= 2)
+            .select(F.col("rep_id").alias("a"), F.col("rep_id").alias("b"))
+        )
+    )
+    rep_clusters = clustering.dedup_clusters(rep_edges).select(
+        F.col("doc_id").alias("rep_id"), "cluster_id"
+    )
+    clusters = (
+        nm.join(nmg.select("nm", "rep_id"), "nm")
+        .join(rep_clusters, "rep_id")
+        .select("doc_id", "cluster_id")
+    )
     n_chars = docs.select("doc_id", F.length(F.trim("text")).alias("n_chars"))
     wc = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")

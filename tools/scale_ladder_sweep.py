@@ -88,7 +88,7 @@ def ensure_replica(sf_dir: str) -> None:
 
 
 def run_sim(names: list[str], sf_dir: str, mem: str,
-            skip: list[str]) -> tuple[int, dict[str, str]]:
+            skip: list[str], stream: str = "") -> tuple[int, dict[str, str]]:
     """One fresh-JVM driver_sim over ``names``; returns (rc, verdicts).
 
     A verdict is the first token of each result line (PASS/FAIL/ERROR/
@@ -96,7 +96,8 @@ def run_sim(names: list[str], sf_dir: str, mem: str,
     env = dict(os.environ,
                DRIVER_SIM_SF_DIR=sf_dir,
                DRIVER_SIM_MEM=mem,
-               DRIVER_SIM_SKIP=",".join(skip))
+               DRIVER_SIM_SKIP=",".join(skip),
+               DRIVER_SIM_STREAM=stream)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "driver_sim.py"),
          *names],
@@ -124,12 +125,26 @@ def main() -> int:
                     help="subset of registry names (default: all)")
     ap.add_argument("--no-skip", action="store_true",
                     help="run even the canonical super-linear-oracle names")
+    ap.add_argument("--stream", default=None,
+                    help="comma-list (or 'all') of names compared with the "
+                         "memory-bounded streaming comparator "
+                         "(DRIVER_SIM_STREAM); default: the big-output "
+                         "pair-expansion names at replica rungs")
     ap.add_argument("--out", default=None, help="also write the tally here")
     args = ap.parse_args()
 
     skip = [] if args.no_skip else list(filter(None, os.environ.get(
         "SCALE_SWEEP_SKIP", ",".join(CANONICAL_SKIPS)).split(",")))
     mem = args.mem or RUNGS.get(args.sf_dir, (None, "8g"))[1]
+    # big-output pair-expansion names: stream the comparison at replica
+    # rungs (their 100x result sets are 10M-200M rows — see
+    # driver_hash.strict_compare_streaming)
+    stream = args.stream if args.stream is not None else ",".join([
+        "td_minhash_near_dups", "td_setsim_prefix_join",
+        "td_fuzzy_prefix_match", "td_embed_near_dups",
+        "td_incremental_minhash", "td_dup_clusters",
+        "td_leakage_safe_split", "td_knn_graph", "td_semdedup",
+    ]) if args.sf_dir in RUNGS else ""
     ensure_replica(args.sf_dir)
 
     import __spark_entry__ as E  # after ensure: import is cheap, no JVM
@@ -143,7 +158,7 @@ def main() -> int:
     verdicts: dict[str, str] = {}
     chunks = [names[i:i + args.chunk] for i in range(0, len(names), args.chunk)]
     for ci, chunk in enumerate(chunks, 1):
-        rc, got = run_sim(chunk, args.sf_dir, mem, skip)
+        rc, got = run_sim(chunk, args.sf_dir, mem, skip, stream)
         verdicts.update(got)
         missing = [n for n in chunk if n not in verdicts]
         print(f"CHUNK {ci}/{len(chunks)} rc={rc} "
@@ -152,7 +167,7 @@ def main() -> int:
         # rc=137 (or any dead JVM leaving names unresolved) = usually a
         # co-tenant heavy oracle's kernel OOM, not the queries: solo-retry
         for n in missing:
-            rc2, got2 = run_sim([n], args.sf_dir, mem, skip)
+            rc2, got2 = run_sim([n], args.sf_dir, mem, skip, stream)
             verdicts[n] = got2.get(n, "ERROR")
             print(f"  SOLO-RETRY {n}: {verdicts[n]} (rc={rc2})", flush=True)
 
