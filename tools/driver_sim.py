@@ -12,7 +12,8 @@ from pyspark.sql import SparkSession
 # DRIVER_SIM_MEM raises the driver heap for the big scale replicas (the
 # default 1g JVM cannot shuffle the 100x lineitem); heap size is
 # capacity, not part of the session-hostility contract (tz/conf are).
-spark = (SparkSession.builder.master("local[8]")
+spark = (SparkSession.builder.master(
+             "local[%s]" % os.environ.get("DRIVER_SIM_CORES", "8"))
          .appName("driver-sim")
          .config("spark.sql.session.timeZone", "America/New_York")
          .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

@@ -41,26 +41,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-#: Canonical super-linear-ORACLE skips at big replica rungs (SCALE.md
-#: round-10 addendum 4 + round-11 reductions).  These are ground-truth
-#: DuckDB oracles that are definitionally all-pairs / transitive-closure
-#: — honest TIME super-linearity, not engine limits.
-CANONICAL_SKIPS = [
-    "td_minhash_near_dups",
-    "td_dup_clusters",
-    "td_dedup_summary",
-    "td_dedup_survivors_by_quality",
-    "td_embed_near_dups",
-    "td_pipeline_funnel",
-    "td_semdedup",
-    "td_fuzzy_prefix_match",
-    "td_leakage_safe_split",
-    "td_incremental_dedup",
-    "td_incremental_minhash",
-    "rel_entity_resolution",
-    "td_setsim_prefix_join",
-    "td_knn_graph",
-]
+#: Canonical super-linear-ORACLE skips at big replica rungs.  EMPTY
+#: since round 11: the former 14-name class (all-pairs / transitive-
+#: closure ground truths) was dissolved by the rule-16 quotient +
+#: relational-intersect rewrites (ORACLES.md rule 16, SCALE.md
+#: round-11 addendum 1) — every oracle is now output-bound at any
+#: replica rung.  The list stays as the mechanism should a genuinely
+#: irreducible kernel ever land.
+CANONICAL_SKIPS: list[str] = []
 
 RUNGS = {  # sf_dir -> (build args, heap)
     "/tmp/sf1_synth": (["/tmp/sf1_synth"], "8g"),
