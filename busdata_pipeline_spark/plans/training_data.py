@@ -1681,17 +1681,18 @@ af AS (
       ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
         ORDER BY list_cosine_similarity(vecs.v, c2.v) DESC, c2.c) AS rn
     FROM vecs, c2) WHERE rn = 1),
+afm AS MATERIALIZED (SELECT vec_id, v, c FROM af),
 gaf AS MATERIALIZED (
-  SELECT v, c, MIN(vec_id) AS min_id FROM af GROUP BY v, c),
+  SELECT v, c, MIN(vec_id) AS min_id FROM afm GROUP BY v, c),
 qual AS MATERIALIZED (
   SELECT b.v AS hv, b.c AS hc, MIN(a.min_id) AS thr
   FROM gaf b JOIN gaf a ON a.c = b.c
   WHERE list_cosine_similarity(a.v, b.v) >= 0.98
   GROUP BY b.v, b.c)
-SELECT af.vec_id, CAST(af.c AS INT) AS cluster,
-       (q.thr IS NULL OR q.thr >= af.vec_id) AS kept
-FROM af LEFT JOIN qual q ON q.hv = af.v AND q.hc = af.c
-ORDER BY af.vec_id
+SELECT afm.vec_id, CAST(afm.c AS INT) AS cluster,
+       (q.thr IS NULL OR q.thr >= afm.vec_id) AS kept
+FROM afm LEFT JOIN qual q ON q.hv = afm.v AND q.hc = afm.c
+ORDER BY afm.vec_id
 """,
 )
 def td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2755,9 +2756,10 @@ af AS (
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {_lloyd_cte(_KNN_CELLS)},
+afm AS MATERIALIZED (SELECT vec_id, v, c FROM af),
 gaf AS MATERIALIZED (
   SELECT v, c, MIN(vec_id) AS rep_id, COUNT(*) AS cnt
-  FROM af GROUP BY v, c),
+  FROM afm GROUP BY v, c),
 gpair AS MATERIALIZED (
   SELECT e.rep_id AS g_rep, e.v AS g_v, n.v AS h_v,
          list_cosine_similarity(e.v, n.v) AS cos,
@@ -2773,8 +2775,8 @@ cand_g AS (SELECT g_v, h_v, cos FROM scored WHERE better_cnt < 5),
 cand AS (
   SELECT ge.vec_id, hn.vec_id AS nbr_id, c.cos
   FROM cand_g c
-  JOIN af ge ON ge.v = c.g_v
-  JOIN af hn ON hn.v = c.h_v
+  JOIN afm ge ON ge.v = c.g_v
+  JOIN afm hn ON hn.v = c.h_v
   WHERE hn.vec_id <> ge.vec_id)
 SELECT vec_id, nbr_id, ROUND(cos, 6) AS cosine,
   CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
