@@ -984,28 +984,59 @@ def knn_graph(embeddings: DataFrame, k: int = 5, n_clusters: int = 8,
         # distinct PAIR once makes equal inputs equal by construction,
         # and shrinks the GEMM from m^2 to u^2 on duplicate-heavy data.
         U, inv = np.unique(V, axis=0, return_inverse=True)
+        u = len(U)
         _un = np.linalg.norm(U, axis=1, keepdims=True)
         Un = U / np.where(_un == 0, 1.0, _un)  # zero vec -> cos 0
         G = Un @ Un.T  # u x u distinct-pair scores
+        # Members per group in ascending-id order, via ONE stable
+        # argsort of inv + split (the per-group np.where scan was
+        # O(u*m) — ADVICE r11); counts double as the group sizes the
+        # head-selection below needs.
+        counts = np.bincount(inv, minlength=u)
+        members: list[np.ndarray] = np.split(
+            np.argsort(inv, kind="stable"), np.cumsum(counts)[:-1]
+        )
+        # ONE vectorized distinct-level sort (u x u, axis=1) replaces
+        # the per-group full m-length argsorts.  Ordering within tied
+        # scores is irrelevant here: the head is cut at a GROUP-COUNT
+        # boundary extended through every group tied at the boundary
+        # score (exact equality — distinct-pair scores are bit-equal
+        # by construction), and the final per-head lexsort below
+        # restores the (cos DESC, nbr_id ASC) contract exactly.
+        S = np.argsort(-G, axis=1, kind="stable")
+        Gs = np.take_along_axis(G, S, axis=1)   # scores, descending
+        cum = np.cumsum(counts[S], axis=1)      # member counts
         out_id, out_nbr, out_cos, out_rank = [], [], [], []
-        # members per group, already in ascending-id order
-        members: list[np.ndarray] = [
-            np.where(inv == g)[0] for g in range(len(U))
-        ]
-        for g in range(len(U)):
-            # candidates for ANY member of group g: every cell row j
-            # scored G[g, inv[j]], ordered by (cos DESC, nbr_id ASC) —
-            # ids are ascending, so a stable sort on -score gives the
-            # id tie-break for free, including across exact group ties.
-            scores = G[g][inv]
-            csort = np.argsort(-scores, kind="stable")
-            head = csort[: kk + 1]  # k neighbors + possibly self
-            for i in members[g]:
-                nbrs = head[head != i][:kk]
+        ranks = np.arange(1, kk + 1, dtype=np.int32)
+        for g in range(u):
+            # smallest prefix of distinct groups holding >= kk+1
+            # members, extended through boundary-score ties
+            p = int(np.searchsorted(cum[g], kk + 1))
+            q = int(np.searchsorted(-Gs[g], -Gs[g][p], side="right"))
+            cand = np.concatenate([members[h] for h in S[g][:q]])
+            scores = G[g][inv[cand]]
+            # (cos DESC, nbr_id ASC): ids are ascending in j, so the
+            # secondary lexsort key is the row index itself
+            head = cand[np.lexsort((cand, -scores))][: kk + 1]
+            head_scores = G[g][inv[head]]
+            # every member of g gets this head minus itself: members
+            # OUTSIDE the head (almost all of them) share head[:kk]
+            # verbatim — emit them as one tiled block; the <= kk+1
+            # members inside the head drop their own row individually.
+            in_head = np.isin(members[g], head, assume_unique=True)
+            rest = members[g][~in_head]
+            if len(rest):
+                out_id.append(np.repeat(ids[rest], kk))
+                out_nbr.append(np.tile(ids[head[:kk]], len(rest)))
+                out_cos.append(np.tile(head_scores[:kk], len(rest)))
+                out_rank.append(np.tile(ranks, len(rest)))
+            for i in members[g][in_head]:
+                keep = head != i
+                nbrs = head[keep][:kk]
                 out_id.append(np.full(kk, ids[i]))
                 out_nbr.append(ids[nbrs])
-                out_cos.append(scores[nbrs])
-                out_rank.append(np.arange(1, kk + 1, dtype=np.int32))
+                out_cos.append(head_scores[keep][:kk])
+                out_rank.append(ranks)
         return pd.DataFrame({
             id_col: np.concatenate(out_id),
             "nbr_id": np.concatenate(out_nbr),

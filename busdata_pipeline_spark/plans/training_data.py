@@ -1083,18 +1083,19 @@ def td_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # implies identical shingle sets, so jaccard is computed ONCE per
     # distinct-text pair (rp) and expanded back to doc pairs by join;
     # within-group pairs are exactly 1.0 (x/x of a positive length).
-    # The rep-pair kernel itself is prefix-filtered (AllPairs, Bayardo
-    # et al. 2007 — the same exact pruning the ENGINE uses in
-    # td_setsim_prefix_join): any pair at jaccard >= 0.5 must share its
-    # globally-minimal intersection shingle inside BOTH rarity-ordered
-    # prefixes of length sz - ceil(0.5*sz) + 1, so the equi-join on
-    # prefix shingles is a provable candidate superset (~400k
-    # candidates vs 12.5M all-pairs at 4,992 reps; DuckDB's per-pair
-    # list_intersect costs ~166us, making the unfiltered kernel ~33
-    # min).  Algebraically identical on any data (cross-checked
-    # old-vs-new at sf0.01 AND the 5,000-doc sf0.1 base), and
-    # output-bound on the duplicate-heavy scale replicas (500k docs
-    # share 4,992 distinct texts at the 100x rung).
+    # The rep-pair kernel is RELATIONAL: explode shingles (toks),
+    # equi-join on the shared token, and COUNT per (ha, hb) group —
+    # the intersection size falls out of the join itself, touching
+    # only pairs that share at least one shingle (disjoint pairs never
+    # materialize).  That replaces the per-pair list_intersect
+    # formulation whose ~166us/pair over 12.5M all-pairs at 4,992 reps
+    # cost ~33 min; the exact intersect is unchanged, so this is
+    # algebraically identical on any data (cross-checked old-vs-new at
+    # sf0.01 AND the 5,000-doc sf0.1 base), and output-bound on the
+    # duplicate-heavy scale replicas (500k docs share 4,992 distinct
+    # texts at the 100x rung).  (The ENGINE's td_setsim_prefix_join
+    # additionally prefix-filters a la AllPairs; this oracle does not
+    # need to — the token join is already candidate-bounded.)
     oracle="""
 WITH grp AS MATERIALIZED (
   SELECT md5(TRIM(text)) AS h, MIN(doc_id) AS rep_id, MAX(TRIM(text)) AS t,
@@ -1154,9 +1155,10 @@ def td_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # texts form a clique (one sym self-loop suffices for membership), so
 # reach runs on the distinct-text graph (<=4,992 vertices at any
 # replica rung) instead of accumulating clique^2 rows; the rep-pair
-# kernel is prefix-filtered exactly as in td_minhash_near_dups (the
-# equi-join on rarity-ordered prefix shingles is a provable candidate
-# superset for jaccard >= 0.5); doc-level clusters are recovered by
+# kernel is the same relational intersect as td_minhash_near_dups
+# (explode shingles, equi-join on the shared token, COUNT per pair —
+# only pairs sharing a shingle ever materialize); doc-level clusters
+# are recovered by
 # expanding components through the text-hash and taking the
 # component-wide MIN(doc_id) as cluster_id.
 # Cross-checked old-vs-new (IDENTICAL) at sf0.01 for all four

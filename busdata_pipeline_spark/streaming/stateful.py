@@ -519,7 +519,10 @@ SESSION_EPISODE = T.StructType([
     T.StructField("n_pings", T.LongType()),
 ])
 
-_SESSION_EP_STATE = "first_act bigint, last_ms bigint, last_act bigint, n bigint"
+_SESSION_EP_STATE = (
+    "first_ms bigint, first_act bigint, "
+    "last_ms bigint, last_act bigint, n bigint"
+)
 
 
 class EventTimeSessionProcessor(StatefulProcessor):
@@ -540,9 +543,15 @@ class EventTimeSessionProcessor(StatefulProcessor):
     SET is therefore a pure function of event times: every session
     followed by a same-key ping >= gap later is emitted, and a key's
     final session is emitted iff final_watermark >= last_ms + gap.
-    Per-key state is four scalars cleared on close; at 100 TB the
-    store holds only currently-open sessions (bounded by active keys,
-    not history)."""
+    Late (within-watermark) arrivals from a LATER micro-batch respect
+    batch session-window semantics: a late ping below the session's
+    FIRST boundary extends it backwards (session start = MIN event
+    time, so first_ms/first_act take the min), and a late ping a full
+    gap BEFORE the session start forms its own earlier session —
+    emitted immediately, since the open session's first ping already
+    proves the gap elapsed.  Per-key state is five scalars cleared on
+    close; at 100 TB the store holds only currently-open sessions
+    (bounded by active keys, not history)."""
 
     def __init__(self, gap_ms: int):
         self._gap_ms = gap_ms
@@ -561,39 +570,62 @@ class EventTimeSessionProcessor(StatefulProcessor):
             for t, a in zip(pdf["tstamp"], pdf["ACT_TIME"]):
                 pings.append((int(t.value // 1_000_000), int(a)))
         pings.sort()
+        # Fold the sorted batch into gap-separated RUNS first.  Runs
+        # are intervals (first_ms, first_act, last_ms, last_act, n):
+        # sorted input means a run only ever extends forward, a tie at
+        # the end keeps the max act, and the run's first_act is the
+        # min-act of its first tie group (sort order guarantees it).
+        runs = []
+        for ts_ms, act in pings:
+            if not runs or ts_ms - runs[-1][2] >= self._gap_ms:
+                runs.append([ts_ms, act, ts_ms, act, 1])
+                continue
+            r = runs[-1]
+            if ts_ms > r[2]:
+                r[2], r[3] = ts_ms, act
+            elif ts_ms == r[2]:
+                r[3] = max(r[3], act)
+            r[4] += 1
         open_s = (
             tuple(int(v) for v in self._st.get())
             if self._st.exists() else None
         )
         out = []
-        for ts_ms, act in pings:
+        # Merge each run against the open session interval.  A late
+        # (within-watermark) run can sit entirely BEFORE the open
+        # session: if it is a full gap before the session start it is
+        # its own session — emit it now (the open session's first ping
+        # proves the gap) — otherwise it extends the session backwards
+        # (batch session-window semantics: start = min event time).
+        for r_fms, r_fact, r_lms, r_lact, r_n in runs:
             if open_s is None:
-                open_s = (act, ts_ms, act, 1)
+                open_s = (r_fms, r_fact, r_lms, r_lact, r_n)
                 continue
-            f_act, last_ms, last_act, n = open_s
-            if ts_ms - last_ms >= self._gap_ms:
-                # the follow-up itself proves the gap elapsed; it
+            f_ms, f_act, last_ms, last_act, n = open_s
+            if r_fms - last_ms >= self._gap_ms:
+                # the follow-up run itself proves the gap elapsed; it
                 # opens the next session (same >= boundary as the
                 # timer's watermark >= expiry check)
                 out.append((trip_id, f_act, last_act, n))
-                open_s = (act, ts_ms, act, 1)
-            elif ts_ms > last_ms:
-                open_s = (f_act, ts_ms, act, n + 1)
+                open_s = (r_fms, r_fact, r_lms, r_lact, r_n)
+            elif f_ms - r_lms >= self._gap_ms:
+                out.append((trip_id, r_fact, r_lact, r_n))
             else:
-                # late within-watermark arrival from a LATER micro-batch
-                # (or an in-batch event-time tie): count it, but never
-                # regress the session end backwards — a shorter last_ms
-                # would re-arm the close timer earlier and shorten the
-                # emitted session.  Tie keeps the max act, matching the
-                # in-batch (ts, act)-sorted processing order.
-                keep = max(last_act, act) if ts_ms == last_ms else last_act
-                open_s = (f_act, last_ms, keep, n + 1)
+                if r_fms < f_ms or (r_fms == f_ms and r_fact < f_act):
+                    f_ms, f_act = r_fms, r_fact
+                # never regress the session end backwards — a shorter
+                # last_ms would re-arm the close timer earlier and
+                # shorten the emitted session; a tie keeps the max act
+                if r_lms > last_ms or (r_lms == last_ms
+                                       and r_lact > last_act):
+                    last_ms, last_act = r_lms, r_lact
+                open_s = (f_ms, f_act, last_ms, last_act, n + r_n)
         if open_s is not None:
             # re-arm: exactly one live timer per key, at session end+gap
             for t in list(self._handle.listTimers()):  # snapshot first
                 self._handle.deleteTimer(t)
             self._st.update(open_s)
-            self._handle.registerTimer(open_s[1] + self._gap_ms)
+            self._handle.registerTimer(open_s[2] + self._gap_ms)
         if out:
             yield pd.DataFrame({
                 "trip_id": [o[0] for o in out],
@@ -606,7 +638,9 @@ class EventTimeSessionProcessor(StatefulProcessor):
         (trip_id,) = key
         if not self._st.exists():
             return
-        f_act, last_ms, last_act, n = (int(v) for v in self._st.get())
+        _f_ms, f_act, last_ms, last_act, n = (
+            int(v) for v in self._st.get()
+        )
         if expiredTimerInfo.getExpiryTimeInMs() < last_ms + self._gap_ms:
             return  # stale timer from an earlier incarnation
         self._st.clear()

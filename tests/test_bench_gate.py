@@ -98,11 +98,65 @@ def test_merge_best_discards_single_outlier_with_enough_samples():
 
 
 def test_gate_flags_real_regression_and_passes_noise():
-    prev = {"queries": {"q1": 0.877, "q2": 0.55}}
-    cur_bad = {"queries": {"q1": 1.373, "q2": 0.55}}   # round-2 real case
-    cur_noise = {"queries": {"q1": 0.95, "q2": 0.676}}  # 1.23x on 0.55 s
+    # >= 1 s queries keep the tight 0.1 s floor: a 1.5x there is real
+    prev = {"queries": {"q1": 1.877, "q2": 0.55}}
+    cur_bad = {"queries": {"q1": 2.873, "q2": 0.55}}
+    cur_noise = {"queries": {"q1": 2.05, "q2": 0.676}}  # 1.23x on 0.55 s
     assert any("SLOW q1" in v for v in bench_gate.compare(cur_bad, prev))
     assert bench_gate.compare(cur_noise, prev) == []
+
+
+def test_subsecond_floor_passes_busy_host_noise_catches_real_regression():
+    """VERDICT-r11 task 3: the exact r11 driver-vs-quiet-box deltas
+    (2.0-2.5x on three untouched sub-second queries) must gate CLEAN,
+    while a real 2x on a >= 1 s query in the same artifact still
+    fails, and a SYSTEMATIC sub-second slowdown is still caught by the
+    SLOW-TOTAL bound on the common-subset sum."""
+    # the "big" entry stands in for the rest of a real 56-query
+    # artifact, keeping the common-subset total inside its 1.25x bound
+    # the way the real r11 artifacts do (77.3 vs 79.5 s)
+    prev = {"queries": {"bus_q7": 0.453, "etl_w3": 0.368,
+                        "bus_q8": 0.205, "big": 20.0}}
+    # the r11 busy-host artifact values, big query unchanged: clean
+    noisy = {"queries": {"bus_q7": 1.123, "etl_w3": 0.742,
+                         "bus_q8": 0.477, "big": 20.3}}
+    assert bench_gate.compare(noisy, prev) == []
+    # same noise PLUS a real 2x on the >= 1 s query: flagged
+    bad = dict(noisy, queries=dict(noisy["queries"], big=40.0))
+    viol = bench_gate.compare(bad, prev)
+    assert any("SLOW big" in v for v in viol)
+    assert not any("SLOW bus_q7" in v for v in viol)
+    # systematic 3x across MANY sub-second queries: each is inside the
+    # per-query floor, but the common-subset total (no additive slack)
+    # still fails
+    prev_many = {"queries": {f"q{i}": 0.5 for i in range(20)}}
+    cur_many = {"queries": {f"q{i}": 1.4 for i in range(20)}}
+    viol = bench_gate.compare(cur_many, prev_many)
+    assert viol and all(v.startswith("SLOW-TOTAL") for v in viol)
+
+
+def test_epoch_label_matches_delimited_token_only(tmp_path, capsys):
+    """ADVICE-r11: --epoch r1 must NOT select r10/r11 artifacts (the
+    old substring match did), and a trailing --epoch with no value is
+    usage exit 2, not an IndexError."""
+    def write(name, sec):
+        p = tmp_path / name
+        p.write_text(json.dumps({"queries": {"q1": sec}}))
+        return str(p)
+
+    cur = write("BENCH_cur.json", 5.0)
+    r1 = write("BENCH_r1.json", 5.1)      # r1 epoch: current run clean
+    r10 = write("BENCH_r10.json", 1.0)    # r10 epoch: would flag 5x
+    # substring matching would gate vs r10's 1.0 and fail; token
+    # matching selects only BENCH_r1.json -> clean
+    assert bench_gate.main(["gate", cur, r1, r10, "--epoch", "r1"]) == 0
+    out = capsys.readouterr().out
+    assert "1 artifact(s)" in out.split("clean")[1]
+    # --epoch as the last token: usage, exit 2
+    assert bench_gate.main(["gate", cur, r1, "--epoch"]) == 2
+    assert "missing argument" in capsys.readouterr().out
+    # --retire as the last token: same contract
+    assert bench_gate.main(["gate", cur, r1, "--retire"]) == 2
 
 
 def test_epoch_anchor_gates_only_same_epoch(tmp_path, capsys):

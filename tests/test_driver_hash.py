@@ -213,3 +213,38 @@ def test_streaming_comparator_matches_collect(spark):
         "SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2.5 AS DOUBLE), 'x'),"
         " (CAST(2 AS BIGINT), CAST(-0.5 AS DOUBLE), 'y')) t(id, v, s)")
     assert not ok and "rows" in msg, msg
+
+
+def test_streaming_comparator_normalizes_oracle_minus_zero_sort_key(spark):
+    """VERDICT-r11 task 4: DuckDB computations can emit -0.0 (e.g.
+    -1.0*0.0) and its ORDER BY puts -0.0 BEFORE 0.0, so an oracle row
+    with a -0.0 sort key used to zip-misalign against the engine's
+    (normalize_output-guarded) 0.0 twin and cascade spurious diffs.
+    With the sort KEY normalized the rows align: equal-but-for-sign
+    rows report exactly one diff at the right row, and an oracle whose
+    VALUES are genuinely 0.0 still passes."""
+    import duckdb
+
+    from driver_hash import strict_compare_streaming
+
+    con = duckdb.connect()
+    # float column sorts FIRST (name order: a_v < b_id) so the sort
+    # key, not a leading id, decides row order
+    df = spark.createDataFrame(
+        [(0.0, 1), (0.0, 2)], "a_v double, b_id bigint"
+    )
+    # aligned values, oracle emits computed -0.0 for b_id=2: the rows
+    # must line up (key normalized) and the single sign diff report at
+    # sorted row 1 — a true red, not a cascade from row 0
+    ok, msg = strict_compare_streaming(
+        df, con,
+        "SELECT * FROM (VALUES (CAST(-1.0 AS DOUBLE)*CAST(0.0 AS DOUBLE),"
+        " CAST(2 AS BIGINT)),"
+        " (CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT))) t(a_v, b_id)")
+    assert not ok and "sorted row 1" in msg, msg
+    # identical data (no -0.0): green, streamed
+    ok, msg = strict_compare_streaming(
+        df, con,
+        "SELECT * FROM (VALUES (CAST(0.0 AS DOUBLE), CAST(2 AS BIGINT)),"
+        " (CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT))) t(a_v, b_id)")
+    assert ok and "streamed" in msg, msg

@@ -1,0 +1,222 @@
+"""Duplicate-heavy equivalence regressions for the round-11 quotient
+rewrites (VERDICT-r11 task 2).
+
+Round 11 rewrote three kernels to run their quadratic work on DISTINCT
+payloads and expand verdicts back to members (ORACLES.md rule 16 —
+exact dedup before quadratic work, the 100 TB-correct shape):
+
+- ``dedup.fuzzy_nm_pairs`` / ``fuzzy_prefix_matches`` — blocking +
+  levenshtein once per distinct normalized name, expanded to doc pairs;
+- ``rel_entity_resolution`` — label propagation on the distinct-name
+  graph (self-edge keeps multi-member names), membership expanded after;
+- ``knn_graph`` — one GEMM over np.unique'd vectors per IVF cell,
+  scores expanded to members.
+
+Each rewrite is an algebraic identity that sf0.01 CANNOT exercise (no
+duplicates => the quotient is a no-op), so a future edit to the
+expansion joins could silently break it while every driver gate stayed
+green.  These tests pin each identity on a fixture where every distinct
+payload has >= 3 exact copies, comparing the quotient output against
+the DEFINITIONAL doc-level computation written out longhand.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from busdata_pipeline_spark.operators import clustering, dedup
+from busdata_pipeline_spark.operators.similarity import knn_graph
+
+# Nine distinct texts in three fuzzy families (pairwise levenshtein on
+# the 12-char padded prefix <= 2 within a family, > 2 across), each
+# replicated 3-5x => 36 docs.  Prefixes are crafted so every family
+# shares at least one aligned 4-char block (the blocking contract).
+_DISTINCT_TEXTS = [
+    # family A: "hello world!" +/- 1-2 edits inside one block
+    "hello world! lorem ipsum",
+    "hello w0rld! dolor sit",
+    "hello world? amet consectetur",
+    # family B: "data pipelin" +/- edits
+    "data pipelin adipiscing",
+    "data pipelim elit sed",
+    "data pipe1im do eiusmod",
+    # family C: singletons-by-name (no cross-name match: first block
+    # differs from everything else)
+    "zebra quartz unique one",
+    "quark zephyr unique two",
+    "mauve python unique three",
+]
+_COPIES = [3, 4, 5, 3, 4, 3, 5, 3, 4]  # >= 3 copies per distinct text
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = []
+    doc_id = 0
+    for text, n in zip(_DISTINCT_TEXTS, _COPIES):
+        for _ in range(n):
+            rows.append((doc_id, text))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _definitional_fuzzy_pairs(docs, prefix_len=12, n_blocks=3, max_dist=2):
+    """fuzzy_prefix_matches written out at DOC level, no quotient:
+    every doc explodes its aligned prefix blocks, candidates share a
+    (block_index, block), levenshtein verifies on the padded names."""
+    nm = dedup.normalized_names(docs, prefix_len)
+    blk = prefix_len // n_blocks
+    blocks = nm.select(
+        "doc_id", "nm",
+        F.posexplode(F.array(*[
+            F.substring("nm", 1 + i * blk, blk) for i in range(n_blocks)
+        ])).alias("blk_i", "blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, (F.col("a.blk_i") == F.col("b.blk_i"))
+               & (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"),
+                F.levenshtein("a.nm", "b.nm").cast("int").alias("dist"))
+        .where(F.col("dist") <= max_dist)
+        .distinct()
+    )
+
+
+def test_fuzzy_quotient_equals_doc_level_definition(spark, dup_docs):
+    got = sorted(
+        tuple(r) for r in dedup.fuzzy_prefix_matches(dup_docs).collect()
+    )
+    want = sorted(
+        tuple(r) for r in _definitional_fuzzy_pairs(dup_docs).collect()
+    )
+    assert got == want
+    # the fixture actually exercises both expansion legs: within-name
+    # (dist 0) AND cross-name pairs must be present
+    dists = {d for _, _, d in got}
+    assert 0 in dists and dists - {0}, dists
+
+
+def test_entity_resolution_quotient_equals_doc_level_definition(
+    spark, dup_docs, tmp_path
+):
+    """rel_entity_resolution (distinct-name graph + expansion) must
+    equal the definitional doc-level pipeline: doc-pair fuzzy edges ->
+    connected components -> survivorship, with no quotient anywhere."""
+    from busdata_pipeline_spark.plans.llm_corpus import (
+        rel_entity_resolution,
+    )
+    from pyspark.sql import Window
+
+    sf_dir = str(tmp_path / "sfdup")
+    dup_docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = sorted(tuple(r) for r in rel_entity_resolution(
+        spark, sf_dir).collect())
+
+    doc_edges = _definitional_fuzzy_pairs(dup_docs).select("a", "b")
+    clusters = clustering.dedup_clusters(doc_edges)
+    n_chars = dup_docs.select(
+        "doc_id", F.length(F.trim("text")).alias("n_chars")
+    )
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    rep = (
+        clusters.join(n_chars, "doc_id")
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("rep_doc_id"))
+    )
+    want = sorted(tuple(r) for r in (
+        clusters.join(rep, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("rep_doc_id").alias("rep_doc_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+    ).collect())
+    assert got == want
+    # sanity: the duplicate-heavy fixture produced multi-member
+    # entities spanning MORE docs than distinct names (the expansion
+    # actually expanded)
+    assert got and all(r[1] >= 3 for r in got)
+
+
+def test_knn_distinct_row_gemm_equals_per_pair_definition(spark):
+    """knn_graph's np.unique distinct-row GEMM must equal the
+    definitional per-PAIR scoring: cosine computed independently for
+    each (query, neighbor) pair with np.dot — which is bit-deterministic
+    in its inputs, unlike a blocked GEMM over the member matrix — then
+    ranked by (cos DESC, id ASC).  Run on duplicate-heavy vectors
+    (every distinct vector has >= 3 exact copies) where the round-11
+    bug class lives: equal inputs MUST tie exactly and break by id."""
+    rng = np.random.default_rng(7)
+    distinct = rng.normal(size=(12, 8))
+    rows, vid = [], 0
+    for i in range(len(distinct)):
+        for _ in range(3 + i % 3):  # 3-5 exact copies each
+            rows.append((vid, [float(x) for x in distinct[i]]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    k, n_clusters = 5, 2
+    got = {
+        (r["vec_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in knn_graph(emb, k=k, n_clusters=n_clusters).collect()
+    }
+
+    # definitional replay: same trained cells (the IVF contract), then
+    # per-pair np.dot scoring and an explicit (cos DESC, id ASC) sort
+    from busdata_pipeline_spark.operators.similarity import (
+        assign_to_centroids_auto, kmeans_centroids,
+    )
+    cents = kmeans_centroids(emb, n_clusters, 2)
+    assigned = assign_to_centroids_auto(emb, cents, "embedding").collect()
+    cells: dict = {}
+    for r in assigned:
+        cells.setdefault(r["cluster"], []).append(
+            (r["vec_id"], np.array(r["embedding"]))
+        )
+    want = {}
+    for members in cells.values():
+        members.sort()
+        for qid, qv in members:
+            qn = np.linalg.norm(qv)
+            scored = []
+            for nid, nv in members:
+                if nid == qid:
+                    continue
+                nn = np.linalg.norm(nv)
+                denom = (qn if qn else 1.0) * (nn if nn else 1.0)
+                cos = float(np.dot(qv / (qn if qn else 1.0),
+                                   nv / (nn if nn else 1.0)))
+                scored.append((-cos, nid))
+            scored.sort()
+            for rank, (negc, nid) in enumerate(scored[:k], start=1):
+                want[(qid, rank)] = (nid, round(-negc, 6))
+    assert got == want
+    # duplicate-consistency property (fails under the pre-r11 GEMM
+    # tie-break bug even if the definitional replay is weakened):
+    # copies of the same vector must see each other at cosine 1.0
+    # ahead of every non-parallel neighbor
+    copies: dict = {}
+    for v_id, vec in rows:
+        copies.setdefault(tuple(vec), []).append(v_id)
+    for ids in copies.values():
+        for q in ids:
+            top = [got[(q, r)] for r in range(1, min(k, len(ids) - 1) + 1)
+                   if (q, r) in got]
+            expected_ids = sorted(i for i in ids if i != q)[: len(top)]
+            assert [t[0] for t in top] == expected_ids
+            assert all(t[1] == 1.0 for t in top)

@@ -255,10 +255,24 @@ def strict_compare_streaming(spark_df, con, sql: str,
     EACH ENGINE to sort by every output column (name order, ascending,
     NULLS FIRST) and zips the two streams row by row.  This is
     value-exact — any cell whose canonical bytes differ fails — with
-    O(batch) memory.  Caveat: rows that compare SQL-equal but
-    canonicalize differently (-0.0 vs 0.0, rule 3) may be ordered
-    differently by the two engines and show as a value diff; that is a
-    reportable red either way, never a silent pass."""
+    O(batch) memory.
+
+    Sort-key canonicalization (VERDICT-r11 task 4): the ENGINE side
+    cannot emit -0.0 (normalize_output guards every registered query),
+    but the ORACLE can, and an oracle row whose float sort key is -0.0
+    could be ordered differently than the engine's 0.0 twin — a
+    misaligned zip then cascades spurious diffs onto unrelated rows.
+    The DuckDB ORDER BY therefore normalizes -0.0 -> 0.0 on the SORT
+    KEYS ONLY (values are still compared raw), so a genuine -0.0
+    divergence reports as exactly one cell diff at the right row.
+
+    Remaining caveat (ADVICE-r11): string ordering is each engine's
+    binary collation.  Spark's default UTF8_BINARY and DuckDB's binary
+    collation both order by UTF-8 bytes (= code-point order), so they
+    agree on all well-formed text including supplementary-plane
+    characters; text columns holding invalid UTF-8 or engine-specific
+    collation overrides could still zip-misalign and report a spurious
+    'value bits differ' — a FALSE RED only, never a silent pass."""
     s_cols = [c.lower() for c in spark_df.columns]
     s_types = {c.lower(): canon_spark_type(t) for c, t in spark_df.dtypes}
 
@@ -285,8 +299,19 @@ def strict_compare_streaming(spark_df, con, sql: str,
     cols = sorted(s_cols)
     sorted_spark = spark_df.selectExpr(*cols).orderBy(*cols)
     qcols = ", ".join(f'"{c}"' for c in cols)
+    keys = []
+    for c in cols:
+        if d_types[c] in ("f64", "f32"):
+            # -0.0 -> 0.0 on the sort key only (see docstring); NULL
+            # and NaN fall through the CASE unchanged
+            keys.append(
+                f'(CASE WHEN "{c}" = 0 THEN 0.0 ELSE "{c}" END) '
+                "NULLS FIRST"
+            )
+        else:
+            keys.append(f'"{c}" NULLS FIRST')
     d_rel = con.sql(
-        f"SELECT {qcols} FROM ({sql}) __t ORDER BY ALL NULLS FIRST"
+        f"SELECT {qcols} FROM ({sql}) __t ORDER BY {', '.join(keys)}"
     )
 
     s_it = sorted_spark.toLocalIterator()
