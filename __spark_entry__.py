@@ -87,19 +87,153 @@ def _sampled_names() -> tuple[set[str], set[str]]:
     return seen, failed
 
 
+def _changed_files() -> set[str]:
+    """Repo-relative paths touched since the newest driver correctness
+    artifact's commit (committed AND working-tree changes).  Empty when
+    git (or any artifact) is unavailable — the rotation then degrades
+    to the round-8 failed/fresh/green contract."""
+    import glob
+    import os
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    arts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+                  key=round_no)
+    if not arts:
+        return set()
+    try:
+        base = subprocess.run(
+            ["git", "log", "-n", "1", "--format=%H", "--",
+             os.path.basename(arts[-1])],
+            cwd=here, capture_output=True, text=True, timeout=20,
+        )
+        sha = base.stdout.strip().splitlines()[-1] if base.stdout.strip() \
+            else ""
+        if base.returncode != 0 or not sha:
+            return set()
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", sha],
+            cwd=here, capture_output=True, text=True, timeout=20,
+        )
+        if diff.returncode != 0:
+            return set()
+        return {ln.strip() for ln in diff.stdout.splitlines() if ln.strip()}
+    except Exception:
+        return set()
+
+
+def _changed_module_names(names: list[str],
+                          changed: set[str] | None = None) -> set[str]:
+    """Names whose registering plan module — or any engine module that
+    module (transitively) references — changed since the last driver
+    round (round-11 gap: the alphabetical sample missed every name
+    whose ENGINE code changed that round; this fronts them).  Module
+    references are read from source (both ``import busdata_...x.y``
+    and ``from busdata_...x import y`` forms) because plan modules
+    import operators inside function bodies."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    changed = _changed_files() if changed is None else changed
+    changed_py = {
+        p for p in changed
+        if p.endswith(".py") and p.startswith("busdata_pipeline_spark/")
+    }
+    if not changed_py:
+        return set()
+
+    _dotted = re.compile(r"busdata_pipeline_spark(?:\.\w+)+")
+    # the import list may be a parenthesized multi-line block; [^)]*
+    # crosses newlines without DOTALL because it is a character class
+    _from = re.compile(
+        r"^\s*from\s+(busdata_pipeline_spark(?:\.\w+)*)\s+import\s+"
+        r"(\([^)]*\)|[\w ,]+)", re.M,
+    )
+
+    def to_file(mod: str) -> str | None:
+        rel = mod.replace(".", "/") + ".py"
+        return rel if os.path.exists(os.path.join(here, rel)) else None
+
+    dep_cache: dict[str, set[str]] = {}
+
+    def refs(relpath: str) -> set[str]:
+        if relpath in dep_cache:
+            return dep_cache[relpath]
+        dep_cache[relpath] = set()  # break import cycles mid-walk
+        try:
+            with open(os.path.join(here, relpath)) as f:
+                src = f.read()
+        except OSError:
+            src = ""
+        mods: set[str] = set(_dotted.findall(src))
+        for base, imported in _from.findall(src):
+            mods.add(base)
+            for item in imported.strip("()").replace("\n", ",").split(","):
+                item = item.split(" as ")[0].strip()
+                if item:
+                    mods.add(f"{base}.{item}")
+        out = {f for f in (to_file(m) for m in mods) if f}
+        dep_cache[relpath] = out
+        return out
+
+    hit_cache: dict[str, bool] = {}
+
+    def module_hit(relpath: str) -> bool:
+        if relpath in hit_cache:
+            return hit_cache[relpath]
+        seen_f, stack = {relpath}, [relpath]
+        hit = False
+        while stack:
+            f = stack.pop()
+            if f in changed_py:
+                hit = True
+                break
+            for d in refs(f):
+                if d not in seen_f:
+                    seen_f.add(d)
+                    stack.append(d)
+        hit_cache[relpath] = hit
+        return hit
+
+    out: set[str] = set()
+    for n in names:
+        mod = getattr(QUERIES[n], "__module__", "") or ""
+        rel = to_file(mod)
+        if rel is not None and module_hit(rel):
+            out.add(n)
+    return out
+
+
 def _rotated(names: list[str]) -> list[str]:
     """Deterministic enumeration order: names whose LATEST driver
     artifact is red come first (sorted) so the driver's prefix-biased
     sample re-verifies their fixes next round (a green re-check demotes
-    them); then names the driver has never sampled (sorted), walking
-    its sample across the registry; then the green tail (sorted).
-    Order is a pure function of the artifact set — stable within a
+    them); then names whose implementing modules changed since the last
+    round artifact (sorted — round-12: the driver's sample must cover
+    exactly the code that moved); then names the driver has never
+    sampled (sorted), walking its sample across the registry; then the
+    green tail (sorted).  Order is a pure function of the artifact set
+    plus the git diff vs the latest artifact's commit — stable within a
     round, no random shuffle."""
     seen, failed = _sampled_names()
+    changed = _changed_module_names(names)
     front = sorted(n for n in names if n in failed)
-    fresh = sorted(n for n in names if n not in seen)
-    checked = sorted(n for n in names if n in seen and n not in failed)
-    return front + fresh + checked
+    touched = sorted(
+        n for n in names if n in changed and n not in failed
+    )
+    placed = failed | changed
+    fresh = sorted(n for n in names if n not in seen and n not in placed)
+    checked = sorted(
+        n for n in names if n in seen and n not in placed
+    )
+    return front + touched + fresh + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -45,22 +45,67 @@ def test_driver_sim_rotating_sample():
     assert "FAIL" not in proc.stdout.replace("TOTAL_FAILS", ""), tail
 
 
-def test_rotation_fronts_failed_then_fresh_then_green():
-    """Round-8 ordering contract: names that ever FAILED a driver
-    artifact lead (so fixes get re-verified next round), then
-    never-sampled names (walking the registry), then the green tail —
-    each block sorted, the whole order a pure function of the
-    CORRECTNESS_r*.json set."""
+def test_rotation_fronts_failed_then_changed_then_fresh_then_green():
+    """Ordering contract (round-8, extended round-12): names that
+    FAILED their latest driver artifact lead (so fixes get re-verified
+    next round), then names whose implementing modules CHANGED since
+    the last round's artifact commit (the r11 gap: the sample missed
+    every name whose engine code moved), then never-sampled names,
+    then the green-unchanged tail — each block sorted, the whole order
+    a pure function of the artifact set + the git diff."""
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
 
     names = list(entry.queries())
+    all_names = set(names)
     seen, failed = entry._sampled_names()
-    failed = failed & set(names)
-    fresh = sorted(n for n in names if n not in seen)
-    n_f = len(failed)
+    failed = failed & all_names
+    changed = entry._changed_module_names(sorted(all_names)) - failed
+    n_f, n_c = len(failed), len(changed)
     assert names[:n_f] == sorted(failed)
-    assert names[n_f:n_f + len(fresh)] == fresh
-    tail = names[n_f + len(fresh):]
+    assert names[n_f:n_f + n_c] == sorted(changed)
+    fresh = sorted(
+        n for n in all_names if n not in seen
+        and n not in failed and n not in changed
+    )
+    assert names[n_f + n_c:n_f + n_c + len(fresh)] == fresh
+    tail = names[n_f + n_c + len(fresh):]
     assert tail == sorted(tail)
-    assert set(tail) == (seen & set(names)) - failed
+    assert set(tail) == (seen & all_names) - failed - changed
+
+
+def test_changed_module_names_maps_engine_files_to_registry_names():
+    """VERDICT-r11 task 5, unit level with INJECTED diffs: a change to
+    a plan module fronts its own names; a change to an OPERATORS file
+    fronts the names of every plan module that references it (even via
+    function-body imports); an out-of-package diff fronts nothing."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    names = sorted(entry.QUERIES)
+
+    # out-of-package / non-python changes: no names fronted
+    assert entry._changed_module_names(
+        names, {"tools/bench_gate.py", "SCALE.md", "tests/x.py"}
+    ) == set()
+
+    # a plan-module change fronts at least its own registrations
+    got = entry._changed_module_names(
+        names, {"busdata_pipeline_spark/plans/analytics.py"}
+    )
+    assert "bus_q3_avg_per_dow" in got
+    assert all(
+        n in got for n in names
+        if entry.QUERIES[n].__module__.endswith("plans.analytics")
+    )
+
+    # an OPERATOR change fronts names registered in OTHER modules that
+    # import it in function bodies (the exact r11 miss: similarity.py
+    # changed, td_knn_graph was not sampled)
+    got = entry._changed_module_names(
+        names, {"busdata_pipeline_spark/operators/similarity.py"}
+    )
+    assert "td_knn_graph" in got and "td_semdedup" in got
+    # and does NOT front everything: some pure-SQL analytics name
+    # stays out
+    assert "bus_q1_count_day1" not in got
