@@ -248,3 +248,30 @@ def test_streaming_comparator_normalizes_oracle_minus_zero_sort_key(spark):
         "SELECT * FROM (VALUES (CAST(0.0 AS DOUBLE), CAST(2 AS BIGINT)),"
         " (CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT))) t(a_v, b_id)")
     assert ok and "streamed" in msg, msg
+
+
+def test_streaming_comparator_collation_agrees_on_supplementary_plane(spark):
+    """ADVICE-r11 collation caveat, settled empirically: Spark's
+    default UTF8_BINARY collation compares UTF-8 BYTES (code-point
+    order), same as DuckDB's binary collation — NOT UTF-16 code units,
+    under which U+10000 (surrogate pair D800 DC00) would sort before
+    U+FFFF.  Equal well-formed text must therefore zip-align and pass,
+    supplementary plane included."""
+    import duckdb
+
+    from driver_hash import strict_compare_streaming
+
+    con = duckdb.connect()
+    # U+FFFF vs U+10000: the pair whose order flips between UTF-8
+    # byte collation and UTF-16 code-unit collation
+    df = spark.createDataFrame(
+        [("￿-bmp", 1), ("\U00010000-supp", 2), ("plain", 3)],
+        "s string, id bigint",
+    )
+    sql = (
+        "SELECT * FROM (VALUES ('￿-bmp', CAST(1 AS BIGINT)),"
+        " (CAST('\U00010000-supp' AS VARCHAR), CAST(2 AS BIGINT)),"
+        " ('plain', CAST(3 AS BIGINT))) t(s, id)"
+    )
+    ok, msg = strict_compare_streaming(df, con, sql)
+    assert ok, msg
