@@ -423,26 +423,30 @@ def rel_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per iteration one rank-join on u (labels are |V|-sized,
     the broadcast side at any realistic |V|) + one hash aggregate on
-    (v, lab) + one row_number window partitioned by v — the same
+    (v, lab) + one hash-agg argmax on v — the argmax is
+    max(struct(s, -lab)) rather than a row_number window (round-12):
+    the struct max is the same total order (score DESC, label ASC,
+    integer-exact) but aggregates with map-side partial combine
+    instead of shuffling every (v, lab) score into a per-v SORT.  Same
     bounded-plan discipline as rel_pagerank_cosuppliers (fixed
     iteration count over the checkpointed edge table; no per-round
     materialization)."""
-    from pyspark.sql import Window
-
     pairs, nodes = _cosupply_graph(spark, sf_dir)
     pairs_i = pairs.select(
         "u", "v", F.col("w").cast("long").alias("wi")
     )
     labels = nodes.select("v", F.col("v").alias("lab"))
-    win = Window.partitionBy("v").orderBy(F.desc("s"), F.asc("lab"))
     for _ in range(_LPA_ITERS):
         best = (
             pairs_i.join(labels.withColumnRenamed("v", "u"), "u")
             .groupBy("v", "lab")
             .agg(F.sum("wi").alias("s"))
-            .withColumn("rn", F.row_number().over(win))
-            .where("rn = 1")
-            .select("v", F.col("lab").alias("nlab"))
+            .groupBy("v")
+            .agg(
+                F.max(F.struct(F.col("s"), (-F.col("lab")).alias("nl")))
+                .alias("m")
+            )
+            .select("v", (-F.col("m.nl")).alias("nlab"))
         )
         labels = labels.join(best, "v", "left").select(
             "v", F.coalesce("nlab", "lab").alias("lab")
