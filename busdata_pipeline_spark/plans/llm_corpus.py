@@ -1029,6 +1029,40 @@ def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         store_sigs = spark.read.parquet(store)
         delta_sigs = minhash_signatures(delta_docs)
 
+        # Round-12 (ORACLES.md rule 16, mirrored engine-side): band-join
+        # and exact-verify once per DISTINCT-TEXT pair, then expand
+        # verdicts to doc pairs through the text-hash maps — the same
+        # quotient the oracle already states.  Identical trimmed text
+        # implies identical shingles, hence identical signature, bands,
+        # and jaccard, so the per-rep verdict is exact for every
+        # member.  Pre-quotient, the candidate doc pairs scale with
+        # replication SQUARED: the 100x replica's ~6.5M candidate pairs
+        # dragged their texts over the 8 GB broadcast cap inside
+        # jaccard_pairs' pair-centric path (caught by the round-12 100x
+        # campaign), while distinct-text candidates are bounded by
+        # corpus diversity.  The rep's signature is read FROM THE
+        # STORE (one equi-join on the rep id) — the store is still
+        # never re-shingled.
+        th = F.md5(F.trim("text"))
+        s_reps = (
+            store_docs.select(th.alias("tha"), "doc_id")
+            .groupBy("tha").agg(F.min("doc_id").alias("a"))
+        )
+        d_reps = (
+            delta_docs.select(th.alias("thb"), "doc_id")
+            .groupBy("thb").agg(F.min("doc_id").alias("b"))
+        )
+        s_map = store_docs.select(F.col("doc_id").alias("sa"),
+                                  th.alias("tha"))
+        d_map = delta_docs.select(F.col("doc_id").alias("db"),
+                                  th.alias("thb"))
+        s_rep_sigs = s_reps.join(
+            store_sigs.select(F.col("doc_id").alias("a"), "signature"), "a"
+        )
+        d_rep_sigs = d_reps.join(
+            delta_sigs.select(F.col("doc_id").alias("b"), "signature"), "b"
+        )
+
         # 16 bands x 2 rows over the SAME stored 32-hash signatures
         # (banding is a reader-side choice; the store is not rewritten).
         # The round-11 10x differential caught an 8x4 miss at j=0.882
@@ -1037,9 +1071,9 @@ def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus family sits at j >= 0.833, where 16x2 misses with
         # p=(1-j^2)^16 ~ 6e-9 — the LSH==exact contract holds with
         # nine orders of magnitude of margin instead of relying on luck.
-        def banded(sigs, out_id):
+        def banded(sigs, *keep):
             return sigs.select(
-                F.col("doc_id").alias(out_id),
+                *keep,
                 F.posexplode(
                     F.expr(
                         "transform(sequence(0, 15), b -> "
@@ -1050,19 +1084,26 @@ def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("band", "band_hash"),
             )
 
-        cands = (
-            banded(delta_sigs, "b")
-            .join(banded(store_sigs, "a"), ["band", "band_hash"])
-            .select("a", "b")
+        rep_cands = (
+            banded(d_rep_sigs, "b", "thb")
+            .join(banded(s_rep_sigs, "a", "tha"), ["band", "band_hash"])
+            .select("a", "b", "tha", "thb")
             .distinct()
         )
         both = store_docs.unionByName(delta_docs)
-        out = (
-            jaccard_pairs(both, cands, pairs_small=True)
+        rep_verified = (
+            jaccard_pairs(both, rep_cands.select("a", "b"),
+                          pairs_small=True)
             .where(F.col("jaccard") >= 0.5)
+        )
+        out = (
+            rep_verified
+            .join(rep_cands, ["a", "b"])
+            .join(s_map, "tha")
+            .join(d_map, "thb")
             .select(
-                F.col("b").alias("new_doc_id"),
-                F.col("a").alias("store_doc_id"),
+                F.col("db").alias("new_doc_id"),
+                F.col("sa").alias("store_doc_id"),
                 "jaccard",
             )
         )
