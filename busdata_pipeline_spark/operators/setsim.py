@@ -79,7 +79,67 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
 
 def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
     """All (a, b, jaccard) pairs with a < b and Jaccard ≥ TAU_NUM/TAU_DEN
-    over distinct shingle sets, via prefix filtering."""
+    over distinct shingle sets, via prefix filtering.
+
+    Round-12 (ORACLES.md rule 16, mirrored engine-side): the prefix
+    kernel runs once per DISTINCT trimmed text (rep = the text's
+    minimum member doc id) and verdicts expand back to doc pairs —
+    identical texts shingle identically, so same-text pairs are
+    jaccard 1.0 exactly (when the set is nonempty) and cross-text
+    verdicts are functions of the text pair alone.  Pre-quotient, the
+    prefix-token equi-join scales with text replication SQUARED: the
+    100x replica (100 copies of every text) spilled ~80 GB of shuffle
+    and filled the disk — caught by the round-12 100x campaign —
+    while the distinct-text kernel is bounded by corpus diversity."""
+    th = F.md5(F.trim("text"))
+    hdocs = docs.select("doc_id", th.alias("h"))
+    reps = (
+        docs.select(th.alias("h"), F.trim("text").alias("text"), "doc_id")
+        .groupBy("h", "text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    rep_pairs = _prefix_rep_pairs(reps.select("doc_id", "text"))
+    rep_h = reps.select(F.col("doc_id").alias("rid"), F.col("h").alias("rh"))
+    # same shingleability gate as shingle_sets: >= SHINGLE_W words
+    nonempty = reps.where(
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        >= SHINGLE_W
+    ).select("h")
+    xa, xb = hdocs.alias("xa"), hdocs.alias("xb")
+    within = (
+        xa.join(F.broadcast(nonempty), "h")
+        .join(xb, (F.col("xa.h") == F.col("xb.h"))
+              & (F.col("xa.doc_id") < F.col("xb.doc_id")))
+        .select(F.col("xa.doc_id").alias("a"),
+                F.col("xb.doc_id").alias("b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    rp_h = (
+        rep_pairs
+        .join(rep_h.withColumnRenamed("rid", "a")
+              .withColumnRenamed("rh", "ha"), "a")
+        .join(rep_h.withColumnRenamed("rid", "b")
+              .withColumnRenamed("rh", "hb"), "b")
+        .select("ha", "hb", "jaccard")
+    )
+    sym = rp_h.unionByName(
+        rp_h.select(F.col("hb").alias("ha"), F.col("ha").alias("hb"),
+                    "jaccard")
+    )
+    cross = (
+        sym.join(xa, F.col("xa.h") == F.col("ha"))
+        .join(xb, (F.col("xb.h") == F.col("hb"))
+              & (F.col("xb.doc_id") > F.col("xa.doc_id")))
+        .select(F.col("xa.doc_id").alias("a"),
+                F.col("xb.doc_id").alias("b"), "jaccard")
+    )
+    return within.unionByName(cross)
+
+
+def _prefix_rep_pairs(docs: DataFrame) -> DataFrame:
+    """The doc-level AllPairs/PPJoin kernel (prefix filter + positional
+    filter + exact verify) — since round 12 invoked on one rep per
+    distinct text by jaccard_pairs_prefix."""
     toks = shingle_sets(docs)
 
     # global rarity order: df ascending, token string as the total-order

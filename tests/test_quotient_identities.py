@@ -250,3 +250,35 @@ def test_lloyd_cache_reuses_trained_centroids(spark):
         assert c3 != c1
     finally:
         similarity._LLOYD_CACHE.clear()
+
+
+def test_setsim_quotient_equals_doc_level_kernel(spark):
+    """Round-12: jaccard_pairs_prefix quotients by distinct trimmed
+    text (kernel on reps, verdicts expanded).  On duplicate-heavy docs
+    its output must equal the doc-level AllPairs/PPJoin kernel
+    (_prefix_rep_pairs) run over ALL docs — the pre-quotient
+    definition.  The fixture has >= 3 copies per text, a same-text
+    family (within leg, j = 1.0) and a near-identical long pair whose
+    3-shingle jaccard is 18/19 >= 9/10 (cross leg)."""
+    from busdata_pipeline_spark.operators import setsim
+
+    base = " ".join(f"w{i}" for i in range(20))
+    texts = [
+        base,                      # 18 shingles
+        base + " extra",           # 19 shingles, 18 shared -> j=18/19
+        "a tiny doc here",         # unrelated
+    ]
+    rows, did = [], 0
+    for t, n in zip(texts, (3, 3, 4)):
+        for _ in range(n):
+            rows.append((did, t))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(tuple(r) for r in setsim.jaccard_pairs_prefix(docs).collect())
+    want = sorted(
+        tuple(r) for r in setsim._prefix_rep_pairs(docs).collect()
+    )
+    assert got == want
+    # both legs really fired: same-text 1.0 pairs AND the 18/19 cross
+    js = {j for _, _, j in got}
+    assert 1.0 in js and round(18 / 19, 6) in js
