@@ -214,8 +214,27 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
     verifies every candidate.  At high thresholds (near-dup territory,
     angle a few degrees) same-bucket probability per plane is ~1-θ/π, so
     8 planes + 1-probe keeps recall ~1 while pruning ~99% of pairs.
+
+    Round-12 (ORACLES.md rule 16, mirrored engine-side): the bucket
+    join and cosine verify run once per DISTINCT vector (rep = the
+    vector's minimum member id; the candidate relation — Hamming ≤ 1
+    on sign buckets — and the cosine are symmetric functions of the
+    vector pair alone), and verdicts expand back to id pairs through a
+    member→rep map.  Pre-quotient, per-bucket candidates scale with
+    vector replication SQUARED (the 100x replica — 100 exact copies of
+    every embedding — spilled past executor memory; caught by the
+    round-12 100x campaign); the distinct-vector kernel is bounded by
+    corpus diversity.  Same-vector member pairs reuse the rep's
+    self-cosine, computed by the same fold expression the pre-quotient
+    code evaluated per pair (bit-identical for identical inputs).
     """
-    emb = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    emb0 = embeddings.select(id_col, vec_col)
+    reps = emb0.groupBy(vec_col).agg(F.min(id_col).alias(id_col))
+    m2r = emb0.join(
+        reps.select(F.col(vec_col), F.col(id_col).alias("rep")), vec_col
+    ).select(F.col(id_col).alias("mid"), "rep")
+
+    emb = with_lsh_bucket(reps, dim, n_planes, vec_col)
     left = emb.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
     )
@@ -231,11 +250,33 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.98,
                   & (F.col("a") < F.col("b")))
         .dropDuplicates(["a", "b"])
     )
-    return (
+    rep_pairs = (
         cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cosine"))
     )
+    xa = m2r.select(F.col("mid").alias("xa"), F.col("rep").alias("ra"))
+    xb = m2r.select(F.col("mid").alias("xb"), F.col("rep").alias("rb"))
+    cross = (
+        rep_pairs
+        .join(xa, F.col("ra") == F.col("a"))
+        .join(xb, F.col("rb") == F.col("b"))
+        .select(F.least("xa", "xb").alias("a"),
+                F.greatest("xa", "xb").alias("b"), "cosine")
+    )
+    self_ok = (
+        reps.withColumn("cos", cosine(F.col(vec_col), F.col(vec_col)))
+        .where(F.col("cos") >= threshold)
+        .select(F.col(id_col).alias("ra"),
+                F.round("cos", 6).alias("cosine"))
+    )
+    within = (
+        self_ok.join(xa, "ra")
+        .join(xb, F.col("rb") == F.col("ra"))
+        .where(F.col("xa") < F.col("xb"))
+        .select(F.col("xa").alias("a"), F.col("xb").alias("b"), "cosine")
+    )
+    return cross.unionByName(within)
 
 
 _QUANT = 1048576.0  # 2^20 — quantization step for reproducible means

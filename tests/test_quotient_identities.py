@@ -282,3 +282,55 @@ def test_setsim_quotient_equals_doc_level_kernel(spark):
     # both legs really fired: same-text 1.0 pairs AND the 18/19 cross
     js = {j for _, _, j in got}
     assert 1.0 in js and round(18 / 19, 6) in js
+
+
+def test_embed_near_dups_quotient_equals_doc_level_definition(spark):
+    """Round-12: embedding_near_duplicates quotients by distinct
+    vector.  On duplicate-heavy embeddings its output must equal the
+    pre-quotient doc-level definition (bucket join + Hamming<=1 probes
+    + exact cosine over ALL id pairs), written out longhand here."""
+    from pyspark.sql import functions as F2
+
+    from busdata_pipeline_spark.operators.similarity import (
+        cosine, embedding_near_duplicates, with_lsh_bucket,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 64))
+    base[1] = base[0] + 0.001          # a planted near-dup pair
+    rows, vid = [], 0
+    for i in range(len(base)):
+        for _ in range(3 + i % 2):     # 3-4 exact copies each
+            rows.append((vid, [float(x) for x in base[i]]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = sorted(
+        tuple(r) for r in embedding_near_duplicates(emb, threshold=0.98)
+        .collect()
+    )
+
+    e = with_lsh_bucket(emb, 64, 8, "embedding")
+    left = e.select(F2.col("vec_id").alias("a"),
+                    F2.col("embedding").alias("va"), "bucket")
+    probes = F2.array(
+        F2.col("bucket"),
+        *[F2.col("bucket").bitwiseXOR(F2.lit(2 ** p)) for p in range(8)],
+    )
+    right = e.withColumn("probe", F2.explode(probes)).select(
+        F2.col("vec_id").alias("b"), F2.col("embedding").alias("vb"),
+        "probe",
+    )
+    want = sorted(tuple(r) for r in (
+        left.join(right, (F2.col("bucket") == F2.col("probe"))
+                  & (F2.col("a") < F2.col("b")))
+        .dropDuplicates(["a", "b"])
+        .withColumn("cos", cosine(F2.col("va"), F2.col("vb")))
+        .where(F2.col("cos") >= 0.98)
+        .select("a", "b", F2.round("cos", 6).alias("cosine"))
+    ).collect())
+    assert got == want
+    # both legs fired: exact-copy pairs (within, cosine rounds to 1.0)
+    # and the planted near-dup pair across distinct vectors (cross)
+    assert any(c == 1.0 for _, _, c in got)
+    assert any(c < 1.0 for _, _, c in got)
