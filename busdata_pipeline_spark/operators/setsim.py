@@ -93,10 +93,13 @@ def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
     while the distinct-text kernel is bounded by corpus diversity."""
     th = F.md5(F.trim("text"))
     hdocs = docs.select("doc_id", th.alias("h"))
+    # rep per hash via a doc_id-keyed min + a join to fetch the rep's
+    # text: grouping by (h, text) directly would shuffle every doc's
+    # FULL TEXT as part of the grouping key
     reps = (
-        docs.select(th.alias("h"), F.trim("text").alias("text"), "doc_id")
-        .groupBy("h", "text")
-        .agg(F.min("doc_id").alias("doc_id"))
+        hdocs.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .join(docs.select("doc_id", F.trim("text").alias("text")),
+              "doc_id")
     )
     rep_pairs = _prefix_rep_pairs(reps.select("doc_id", "text"))
     rep_h = reps.select(F.col("doc_id").alias("rid"), F.col("h").alias("rh"))
