@@ -178,7 +178,8 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
                   id_col: str = "doc_id",
-                  pairs_small: bool = True) -> DataFrame:
+                  pairs_small: bool = True,
+                  carry: tuple = ()) -> DataFrame:
     """Exact word-n-gram Jaccard for given (a, b) pairs — the verify
     stage after LSH candidate generation.
 
@@ -197,10 +198,17 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
       doc in a full parallel pass and the joins shuffle on the pair
       keys — broadcasting corpus-scale texts would OOM an executor at
       real scale and serializes locally.
+
+    ``carry`` names extra ``pairs`` columns to thread through to the
+    output unchanged.  Callers that need pair-level context after the
+    verify (e.g. the quotient expansions' text-hash keys) would
+    otherwise re-join the verified pairs back to ``pairs`` — and since
+    the candidate DataFrame is unpersisted lineage, that re-join
+    EXECUTES the banded-join/distinct lineage a second time.
     """
     if pairs_small:
         texts = docs.select(F.col(id_col), F.col("text"))
-        with_a = F.broadcast(pairs.select("a", "b")).join(
+        with_a = F.broadcast(pairs.select("a", "b", *carry)).join(
             texts.select(F.col(id_col).alias("a"),
                          F.col("text").alias("_text_a")),
             "a",
@@ -223,13 +231,14 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
                        F.col("shingles").alias("sh_a"))
         b = shc.select(F.col(id_col).alias("b"),
                        F.col("shingles").alias("sh_b"))
-        sh = pairs.select("a", "b").join(a, "a").join(b, "b")
+        sh = pairs.select("a", "b", *carry).join(a, "a").join(b, "b")
     # |A ∪ B| = |A| + |B| - |A ∩ B| (shingle arrays are distinct by
     # construction) — same exact integers as materializing the union
     # array, without building it.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return sh.select("a", "b", F.round(inter / union, 6).alias("jaccard"))
+    return sh.select("a", "b", *carry,
+                     F.round(inter / union, 6).alias("jaccard"))
 
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,

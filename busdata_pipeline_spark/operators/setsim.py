@@ -96,10 +96,16 @@ def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
     # rep per hash via a doc_id-keyed min + a join to fetch the rep's
     # text: grouping by (h, text) directly would shuffle every doc's
     # FULL TEXT as part of the grouping key
+    # eager localCheckpoint: the rep table (one row per DISTINCT text —
+    # bounded by corpus diversity, the quotient's invariant) feeds the
+    # prefix kernel's five token-stream derivations plus the expansion
+    # legs; materializing it once replaces ~7 re-executions of the
+    # scan + min-groupBy + text-fetch join.
     reps = (
         hdocs.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
         .join(docs.select("doc_id", F.trim("text").alias("text")),
               "doc_id")
+        .localCheckpoint(eager=True)
     )
     rep_pairs = _prefix_rep_pairs(reps.select("doc_id", "text"))
     rep_h = reps.select(F.col("doc_id").alias("rid"), F.col("h").alias("rh"))
@@ -125,10 +131,18 @@ def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
               .withColumnRenamed("rh", "hb"), "b")
         .select("ha", "hb", "jaccard")
     )
-    sym = rp_h.unionByName(
-        rp_h.select(F.col("hb").alias("ha"), F.col("ha").alias("hb"),
-                    "jaccard")
-    )
+    # symmetrize in ONE pass: a union of rp_h with its column-swapped
+    # self would execute the whole rep-pair kernel lineage TWICE (no
+    # exchange reuse across the two branches — measured 160 vs 100
+    # exchanges in the executed plan); exploding both orientations out
+    # of a single row touches the kernel once.
+    sym = rp_h.select(
+        F.explode(F.array(
+            F.struct(F.col("ha"), F.col("hb"), F.col("jaccard")),
+            F.struct(F.col("hb").alias("ha"), F.col("ha").alias("hb"),
+                     F.col("jaccard")),
+        )).alias("s")
+    ).select("s.ha", "s.hb", "s.jaccard")
     cross = (
         sym.join(xa, F.col("xa.h") == F.col("ha"))
         .join(xb, (F.col("xb.h") == F.col("hb"))
@@ -225,18 +239,20 @@ def _prefix_rep_pairs(docs: DataFrame) -> DataFrame:
 
     # verify: exact intersection size via one token equi-join restricted
     # to candidate docs (semi-join pushes the candidate filter into the
-    # token stream before the shuffle).
+    # token stream before the shuffle).  sa/sb ride through the groupBy
+    # (they are functions of (a, b)) so ``cand`` is consumed exactly
+    # once — joining the verified counts back to ``cand`` would execute
+    # its token-equi-join + positional-filter lineage a second time.
+    # Every candidate pair shares its matched prefix token, so the
+    # inner join preserves every pair (inter ≥ 1 by construction).
     ta = toks.select(F.col("doc_id").alias("a"), "tok")
     tb = toks.select(F.col("doc_id").alias("b"), "tok")
-    inter = (
-        cand.select("a", "b")
+    return (
+        cand
         .join(ta, "a")
         .join(tb, ["b", "tok"])
-        .groupBy("a", "b")
+        .groupBy("a", "b", "sa", "sb")
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        cand.join(inter, ["a", "b"])
         .withColumn("uni", F.col("sa") + F.col("sb") - F.col("inter"))
         .where(F.col("inter") * TAU_DEN >= F.col("uni") * TAU_NUM)
         .select(

@@ -44,6 +44,8 @@ td_line_dedup are integer/string-only and hash-exact by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -824,9 +826,13 @@ def td_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from busdata_pipeline_spark.plans.training_data import _queries_df
 
     emb = table(spark, sf_dir, "embeddings")
+    # cache_key: the embeddings table is immutable per sf_dir and PQ
+    # training is deterministic, so repeat runs share one training pass
+    # (same opt-in justification as the Lloyd/IVF caches).
     return similarity.pq_adc_topk(
         emb, _queries_df(spark, sf_dir), k=10,
         m=_PQ_M, ksub=_PQ_KSUB, dim=_PQ_DIM, n_iter=_PQ_ITER,
+        cache_key=f"{os.path.abspath(sf_dir)}:embeddings:pq",
     )
 
 
@@ -1091,14 +1097,16 @@ def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         both = store_docs.unionByName(delta_docs)
+        # carry=(tha, thb): the expansion keys ride through the verify,
+        # so the banded-join/distinct lineage executes ONCE — a re-join
+        # of verified pairs back to rep_cands would run it twice.
         rep_verified = (
-            jaccard_pairs(both, rep_cands.select("a", "b"),
-                          pairs_small=True)
+            jaccard_pairs(both, rep_cands, pairs_small=True,
+                          carry=("tha", "thb"))
             .where(F.col("jaccard") >= 0.5)
         )
         out = (
             rep_verified
-            .join(rep_cands, ["a", "b"])
             .join(s_map, "tha")
             .join(d_map, "thb")
             .select(
@@ -1201,9 +1209,13 @@ def rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -wide minimum doc id — cluster_id needs no recomputation.  At the
     # 100x replica this is a ~5k-edge CC instead of ~190M.
     nm = dedup.normalized_names(docs)
+    # eager localCheckpoint: the distinct-name dimension feeds both
+    # rep_edges sides, the clique self-loops, and the membership
+    # expansion — four re-executions of the scan + groupBy otherwise
+    # (same multi-use-lineage pattern measured in the setsim kernel).
     nmg = nm.groupBy("nm").agg(
         F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     np_ = dedup.fuzzy_nm_pairs(spark, nm)
     rep_edges = (
         np_.join(nmg.select(F.col("nm").alias("na"),
@@ -1219,10 +1231,15 @@ def rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_clusters = clustering.dedup_clusters(rep_edges).select(
         F.col("doc_id").alias("rep_id"), "cluster_id"
     )
+    # eager localCheckpoint: (doc_id, cluster_id) int pairs — consumed
+    # by BOTH the survivorship window and the final membership
+    # aggregate; unpersisted, each would re-run the fuzzy-match + CC
+    # chain above.
     clusters = (
         nm.join(nmg.select("nm", "rep_id"), "nm")
         .join(rep_clusters, "rep_id")
         .select("doc_id", "cluster_id")
+        .localCheckpoint(eager=True)
     )
     n_chars = docs.select("doc_id", F.length(F.trim("text")).alias("n_chars"))
     wc = Window.partitionBy("cluster_id").orderBy(

@@ -1,9 +1,20 @@
 """Simulates the external verification driver: vanilla session, hostile TZ,
 and the STRICT hash-level comparator (tools/driver_hash.py) that
 reproduces the driver's round-1 failures byte-for-byte."""
-import sys, os
+import sys, os, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+# Pin the PROCESS timezone to UTC (the external driver's): session-level
+# hostility is the America/New_York SESSION conf below — but Spark
+# collect() renders TIMESTAMP instants as naive datetimes in the
+# *process* TZ while DuckDB's naive timestamps never shift, so invoking
+# this script with e.g. `TZ=America/New_York` in the environment
+# false-reds every instant-emitting query with a uniform -05:00 skew.
+# (Observed round 12: 15 spurious FAILs, all exactly the NY offset.)
+os.environ["TZ"] = "UTC"
+time.tzset()
+
 from pyspark.sql import SparkSession
 
 # hostile driver session: non-UTC tz, NTZ-preferring timestamp semantics
