@@ -124,7 +124,13 @@ def dedup_summary(docs: DataFrame, pairs: DataFrame,
                   id_col: str = "doc_id") -> DataFrame:
     """One-row dedup plan summary: total docs, docs in some near-dup
     cluster, number of clusters, and docs surviving keep-one-per-cluster."""
-    clusters = dedup_clusters(pairs)
+    return summary_from_clusters(docs, dedup_clusters(pairs))
+
+
+def summary_from_clusters(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """dedup_summary's aggregate over an already-computed (doc_id,
+    cluster_id) assignment — the seam that lets quotient-clustered
+    callers (dedup.minhash_text_clusters) share the arithmetic."""
     return clusters.agg(
         F.count(F.lit(1)).alias("n_clustered_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),

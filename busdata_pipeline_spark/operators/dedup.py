@@ -241,26 +241,143 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
                      F.round(inter / union, 6).alias("jaccard"))
 
 
+def _minhash_rep_pairs(docs: DataFrame, threshold: float, k: int,
+                       bands: int, id_col: str):
+    """Shared quotient core for the MinHash near-dup family: the LSH +
+    verify kernel runs once per DISTINCT trimmed text (rep = the text's
+    minimum member doc id).  Returns (hdocs, reps, rep_pairs, nonempty):
+    (id, text-hash) map, checkpointed rep table with member counts,
+    verified rep pairs at >= threshold, and the shingleable text-hash
+    set.  Exactness: ``with_shingles`` trims before splitting, so
+    identical TRIM(text) implies identical shingles, signature, bands,
+    and jaccard — a rep's verdict holds for every member, and docs with
+    empty shingle sets never acquire a signature on either formulation.
+    """
+    th = F.md5(F.trim("text"))
+    hdocs = docs.select(F.col(id_col), th.alias("h"))
+    # eager localCheckpoint: the rep table (one row per DISTINCT text,
+    # bounded by corpus diversity) feeds signatures, the verify's
+    # shingle passes, the shingleability gate, and the expansion maps.
+    reps = (
+        hdocs.groupBy("h").agg(
+            F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("cnt")
+        )
+        .join(docs.select(id_col, "text"), id_col)
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures(reps, k=k, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    rep_pairs = jaccard_pairs(
+        reps, cands, id_col=id_col, pairs_small=False
+    ).where(F.col("jaccard") >= threshold)
+    nonempty = (
+        with_shingles(reps)
+        .where(F.size("shingles") > 0)
+        .select("h", F.col(id_col).alias("rid"), "cnt")
+    )
+    return hdocs, reps, rep_pairs, nonempty
+
+
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
                             k: int = 32, bands: int = 8,
                             id_col: str = "doc_id") -> DataFrame:
     """Full near-dup pipeline: signatures -> banded candidates -> exact
     Jaccard verify -> pairs over threshold.
 
-    The verify stage uses the corpus-centric (shuffle) strategy, NOT the
-    broadcast pair-centric one: candidate cardinality scales with the
-    corpus's true duplicate density, which the engine cannot know
-    statically — on a dense-duplicate corpus (10× replica ladder: every
-    doc has ≥10 copies) candidates grow ~density², and broadcasting
-    them measured 41.6 s vs 6.6 s for the shuffle plan at sf~1.  The
-    shuffle plan's worst case is two extra shingle passes; the broadcast
-    plan's worst case is an executor OOM.  Callers with *known-sparse*
-    pair sets can still invoke jaccard_pairs(pairs_small=True) directly.
+    Round-12 (ORACLES.md rule 16, engine-side — the same quotient the
+    family's oracles already state): the whole kernel runs once per
+    DISTINCT trimmed text and verdicts expand back to doc pairs.
+    Same-text pairs are exactly 1.0 when the text is shingleable (the
+    doc-level formulation produced the identical 1.0 via identical
+    shingle arrays, and dropped unshingleable pairs via the 0/0-null
+    verify — mirrored here by the nonempty gate); cross-text verdicts
+    are functions of the text pair alone.  Pre-quotient, candidates and
+    the verify shuffle scale with text replication SQUARED: the 100x
+    replica (100 copies of every text) measured 150 s in the ladder
+    bench, while distinct-text candidates are bounded by corpus
+    diversity.
+
+    The rep-level verify keeps the corpus-centric (shuffle) strategy,
+    NOT the broadcast pair-centric one: rep-pair cardinality scales
+    with the corpus's true near-dup density among DISTINCT texts, which
+    the engine cannot know statically — broadcasting a dense rep-pair
+    set risks an executor OOM, while the shuffle plan's worst case is
+    two extra shingle passes over the (diversity-bounded) rep table.
     """
-    sigs = minhash_signatures(docs, k=k, id_col=id_col)
-    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
-    return jaccard_pairs(docs, cands, id_col=id_col, pairs_small=False).where(
-        F.col("jaccard") >= threshold
+    hdocs, reps, rep_pairs, nonempty = _minhash_rep_pairs(
+        docs, threshold, k, bands, id_col
+    )
+    rep_h = reps.select(F.col(id_col).alias("rid"), "h")
+    rp_h = (
+        rep_pairs
+        .join(rep_h.withColumnRenamed("rid", "a")
+              .withColumnRenamed("h", "ha"), "a")
+        .join(rep_h.withColumnRenamed("rid", "b")
+              .withColumnRenamed("h", "hb"), "b")
+        .select("ha", "hb", "jaccard")
+    )
+    # symmetrize in ONE pass (no self-union: it would re-execute the
+    # rep-pair kernel lineage — same finding as the setsim kernel)
+    sym = rp_h.select(
+        F.explode(F.array(
+            F.struct(F.col("ha"), F.col("hb"), F.col("jaccard")),
+            F.struct(F.col("hb").alias("ha"), F.col("ha").alias("hb"),
+                     F.col("jaccard")),
+        )).alias("s")
+    ).select("s.ha", "s.hb", "s.jaccard")
+    xa, xb = hdocs.alias("xa"), hdocs.alias("xb")
+    within = (
+        xa.join(F.broadcast(nonempty.select("h")), "h")
+        .join(xb, (F.col("xa.h") == F.col("xb.h"))
+              & (F.col(f"xa.{id_col}") < F.col(f"xb.{id_col}")))
+        .select(F.col(f"xa.{id_col}").alias("a"),
+                F.col(f"xb.{id_col}").alias("b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    cross = (
+        sym.join(xa, F.col("xa.h") == F.col("ha"))
+        .join(xb, (F.col("xb.h") == F.col("hb"))
+              & (F.col(f"xb.{id_col}") > F.col(f"xa.{id_col}")))
+        .select(F.col(f"xa.{id_col}").alias("a"),
+                F.col(f"xb.{id_col}").alias("b"), "jaccard")
+    )
+    return within.unionByName(cross)
+
+
+def minhash_text_clusters(docs: DataFrame, threshold: float = 0.7,
+                          k: int = 32, bands: int = 8,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Near-dup connected components as (doc_id, cluster_id), computed
+    on the DISTINCT-text quotient graph (ORACLES.md rule 16 — the
+    formulation the family's ``_CLUSTER_CTE`` oracles already state,
+    and the rel_entity_resolution engine already uses for names).
+
+    Equivalent to ``dedup_clusters(minhash_near_duplicates(docs))``
+    but label propagation runs over one vertex per distinct text (plus
+    a clique self-loop for shingleable multi-member texts) instead of
+    one per document — at the 100x replica that is a ~5k-vertex graph
+    instead of ~25M doc-level edges.  cluster_id is exact: the rep id
+    is each text's MINIMUM member doc id, so the component-min rep id
+    IS the component-wide minimum doc id."""
+    from busdata_pipeline_spark.operators.clustering import (
+        connected_components,
+    )
+
+    hdocs, reps, rep_pairs, nonempty = _minhash_rep_pairs(
+        docs, threshold, k, bands, id_col
+    )
+    loops = nonempty.where(F.col("cnt") >= 2).select(
+        F.col("rid").alias("a"), F.col("rid").alias("b")
+    )
+    edges = rep_pairs.select("a", "b").unionByName(loops)
+    rep_clusters = connected_components(edges).select(
+        F.col("id").alias("rid"), F.col("component").alias("cluster_id")
+    )
+    rep_h = reps.select(F.col(id_col).alias("rid"), "h")
+    return (
+        hdocs.join(rep_h.join(rep_clusters, "rid").select("h", "cluster_id"),
+                   "h")
+        .select(F.col(id_col).alias("doc_id"), "cluster_id")
     )
 
 

@@ -900,8 +900,8 @@ def td_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from busdata_pipeline_spark.operators import clustering, dedup
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
-    clusters = clustering.dedup_clusters(pairs)
+    # rule-16 quotient clusters: CC on the distinct-text rep graph
+    clusters = dedup.minhash_text_clusters(docs, threshold=0.5)
     grouped = docs.select("doc_id").join(clusters, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("group_id"),

@@ -611,8 +611,8 @@ def td_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     q = docs.where(quality_score("text") >= 0.5)
     ex = dedup.drop_exact_duplicates(q)
-    pairs = dedup.minhash_near_duplicates(ex, threshold=0.5)
-    clusters = clustering.dedup_clusters(pairs)
+    # rule-16 quotient clusters: CC on the distinct-text rep graph
+    clusters = dedup.minhash_text_clusters(ex, threshold=0.5)
     nd = ex.join(clusters, "doc_id", "left").where(
         F.col("cluster_id").isNull()
         | (F.col("cluster_id") == F.col("doc_id"))
@@ -714,8 +714,8 @@ def td_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     q = docs.where(quality_score("text") >= 0.5)
     ex = dedup.drop_exact_duplicates(q)
-    pairs = dedup.minhash_near_duplicates(ex, threshold=0.5)
-    clusters = clustering.dedup_clusters(pairs)
+    # rule-16 quotient clusters: CC on the distinct-text rep graph
+    clusters = dedup.minhash_text_clusters(ex, threshold=0.5)
     nd = ex.join(clusters, "doc_id", "left").where(
         F.col("cluster_id").isNull()
         | (F.col("cluster_id") == F.col("doc_id"))
@@ -1141,6 +1141,9 @@ SELECT a, b, jaccard FROM crossp
 )
 def td_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidates + exact-Jaccard verify >= 0.5.
+    Since round 12 the operator itself is quotiented by distinct
+    trimmed text (rule 16, matching this oracle's own factoring — see
+    minhash_near_duplicates and tests/test_quotient_identities.py).
     Ground-truth recall/precision is asserted in
     tests/test_training_data.py on planted near-duplicates."""
     docs = table(spark, sf_dir, "documents")
@@ -1220,8 +1223,11 @@ def td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cluster id is the minimum doc_id in the component, so assignment is
     deterministic and engine-independent."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
-    return clustering.dedup_clusters(pairs)
+    # rule-16 quotient: CC runs on the distinct-text rep graph and
+    # membership expands through the text hash — the oracle's own
+    # formulation, and the difference between a ~5k-vertex closure and
+    # ~25M doc-level edges at the 100x replica.
+    return dedup.minhash_text_clusters(docs, threshold=0.5)
 
 
 @query(
@@ -1238,8 +1244,10 @@ FROM clusters
 def td_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dedup plan: keep-one-per-cluster survivor count."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
-    return clustering.dedup_summary(docs, pairs)
+    # rule-16 quotient clusters (see td_dup_clusters); the summary
+    # aggregate is unchanged arithmetic over (doc_id, cluster_id).
+    clusters = dedup.minhash_text_clusters(docs, threshold=0.5)
+    return clustering.summary_from_clusters(docs, clusters)
 
 
 @query(
@@ -2174,8 +2182,8 @@ def td_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
-    clusters = clustering.dedup_clusters(pairs)
+    # rule-16 quotient clusters: CC on the distinct-text rep graph
+    clusters = dedup.minhash_text_clusters(docs, threshold=0.5)
     members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.col("doc_id")

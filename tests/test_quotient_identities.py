@@ -334,3 +334,86 @@ def test_embed_near_dups_quotient_equals_doc_level_definition(spark):
     # and the planted near-dup pair across distinct vectors (cross)
     assert any(c == 1.0 for _, _, c in got)
     assert any(c < 1.0 for _, _, c in got)
+
+
+# ---------------------------------------------------------------------------
+# round-12: MinHash near-dup family quotient (pairs + clusters)
+
+# Two near-dup families (drop-last-word variants: word-trigram jaccard
+# ~0.9 across distinct texts), one isolated shingleable clique, and an
+# UNSHINGLEABLE (<3 words) text with 3 copies that must stay invisible
+# to both formulations (no signature doc-level; nonempty-gated in the
+# quotient).  Every distinct text has >= 3 copies so the expansion legs
+# do real work.
+_MH_BASE_A = ("the quick brown fox jumps over the lazy dog near the "
+              "river bank today")
+_MH_BASE_B = ("pack my box with five dozen liquor jugs before the "
+              "long winter night falls")
+_MH_TEXTS = [
+    _MH_BASE_A,
+    _MH_BASE_A.rsplit(" ", 1)[0],       # near-dup of A (j ~ 0.92)
+    _MH_BASE_B,
+    _MH_BASE_B.rsplit(" ", 1)[0],       # near-dup of B
+    "isolated clique sentence with enough words to shingle cleanly",
+    "tiny doc",                          # unshingleable, 3 copies
+]
+_MH_COPIES = [3, 3, 3, 4, 4, 3]
+
+
+@pytest.fixture(scope="module")
+def mh_dup_docs(spark):
+    rows, doc_id = [], 0
+    for text, n in zip(_MH_TEXTS, _MH_COPIES):
+        for _ in range(n):
+            rows.append((doc_id, text))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _definitional_minhash_pairs(docs, threshold=0.5):
+    """minhash_near_duplicates written out at DOC level, no quotient —
+    verbatim the pre-round-12 implementation (signatures for every doc,
+    banded candidates over all docs, corpus-centric verify)."""
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    return dedup.jaccard_pairs(docs, cands, pairs_small=False).where(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def test_minhash_quotient_equals_doc_level_definition(spark, mh_dup_docs):
+    got = sorted(
+        tuple(r) for r in
+        dedup.minhash_near_duplicates(mh_dup_docs, threshold=0.5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in
+        _definitional_minhash_pairs(mh_dup_docs).collect()
+    )
+    assert got == want
+    # both expansion legs fire: exact-copy pairs at 1.0 AND cross-text
+    # near-dup pairs strictly below 1.0
+    js = {j for _, _, j in got}
+    assert 1.0 in js and js - {1.0}, js
+    # the unshingleable 3-copy group contributes nothing
+    tiny_ids = {r[0] for r in mh_dup_docs.where(
+        F.col("text") == "tiny doc").collect()}
+    assert not any(a in tiny_ids or b in tiny_ids for a, b, _ in got)
+
+
+def test_minhash_cluster_quotient_equals_doc_level_definition(
+    spark, mh_dup_docs
+):
+    got = sorted(
+        tuple(r) for r in
+        dedup.minhash_text_clusters(mh_dup_docs, threshold=0.5).collect()
+    )
+    doc_pairs = _definitional_minhash_pairs(mh_dup_docs).select("a", "b")
+    want = sorted(
+        tuple(r) for r in clustering.dedup_clusters(doc_pairs).collect()
+    )
+    assert got == want
+    # fixture sanity: the two near-dup families merge across texts and
+    # the isolated clique clusters on the self-loop alone
+    n_clusters = len({c for _, c in got})
+    assert n_clusters == 3, got
