@@ -143,8 +143,17 @@ def cosine_topk_vectorized(embeddings: DataFrame, queries: DataFrame,
                     "cos": S.ravel(),
                 })
 
+    # fanout (dedup.py's under-partitioning guard): a small single-file
+    # parquet corpus arrives as ONE input partition and would serialize
+    # the whole GEMM on one core (measured 6.6 s -> sub-second for the
+    # sf0.1 recall-eval chain on local[32]); at real scale the corpus
+    # already has thousands of partitions and this is a no-op.  Output-
+    # identical under any partitioning: each batch emits a superset of
+    # its true per-query top-(k+1) and the global window is exact.
+    from busdata_pipeline_spark.operators.dedup import fanout
+
     scored = (
-        embeddings.select(id_col, vec_col)
+        fanout(embeddings.select(id_col, vec_col), id_col)
         .mapInPandas(score, f"{id_col} long, {qid_col} long, cos double")
         .where(F.col(qid_col) != F.col(id_col))
     )
@@ -550,11 +559,17 @@ def ivf_kmeans_ann_topk(embeddings: DataFrame, queries: DataFrame,
     per session (td_ivf_ann then td_ann_recall_eval in the same bench
     run) share one Lloyd run instead of re-training identical
     centroids."""
+    from busdata_pipeline_spark.operators.dedup import fanout
+
     cents = centroids if centroids is not None else kmeans_centroids(
         embeddings, n_clusters, n_iter, id_col, vec_col)
-    emb = embeddings.select(
+    # fanout before the per-row assignment/rescore projections — a
+    # single-file corpus otherwise runs the whole probe scan on one
+    # core (see cosine_topk_vectorized); row-wise ops are partition-
+    # count independent, so the output is unchanged.
+    emb = fanout(embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
-    )
+    ), id_col)
     assigned = assign_to_centroids_auto(emb, cents, vec_col)
     q = queries.select(
         qid_col, F.col(qvec_col).cast("array<double>").alias(qvec_col)
