@@ -374,21 +374,9 @@ def assign_to_centroids_auto(df: DataFrame, centroids: list[list[float]],
     return _assign_gemm(df, centroids, vec_col, out_col)
 
 
-# Trained spherical-Lloyd state, memoized per caller-supplied corpus
-# key (VERDICT-r11 task 7, same pattern as training_data's
-# _IVF_CODEBOOK_CACHE): training is deterministic — identical input +
-# (n_clusters, n_iter) always yields bit-identical centroids — so
-# repeat runs over an immutable corpus (bench min-of-3, queries
-# composing the same chain twice in one session) share ONE training
-# pass.  Bounded memory: n_clusters x dim floats per key.  Callers opt
-# in by passing cache_key; a fresh driver process starts empty.
-_LLOYD_CACHE: dict[tuple, list] = {}
-
-
 def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
                      n_iter: int = 2, id_col: str = "vec_id",
-                     vec_col: str = "embedding",
-                     cache_key: str | None = None) -> list[list[float]]:
+                     vec_col: str = "embedding") -> list[list[float]]:
     """Spherical k-means (Lloyd) with bit-reproducible arithmetic.
 
     - Deterministic init: the ``n_clusters`` lowest-id vectors.
@@ -425,10 +413,6 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
     """
     from pyspark.sql import Window
 
-    memo = (cache_key, n_clusters, n_iter) if cache_key is not None else None
-    if memo is not None and memo in _LLOYD_CACHE:
-        return _LLOYD_CACHE[memo]
-
     emb = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -464,8 +448,6 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
                 if c in new else cents[c]
                 for c in range(n_clusters)
             ]
-        if memo is not None:
-            _LLOYD_CACHE[memo] = cents
         return cents
     books = (
         emb.orderBy(id_col).limit(n_clusters)
@@ -536,8 +518,6 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
     cents: list[list[float]] = [None] * n_clusters
     for r in books.collect():
         cents[r["c"]] = [float(x) for x in r["cv"]]
-    if memo is not None:
-        _LLOYD_CACHE[memo] = cents
     return cents
 
 
@@ -607,8 +587,7 @@ def ivf_kmeans_ann_topk(embeddings: DataFrame, queries: DataFrame,
 def semdedup_flags(corpus: DataFrame, threshold: float = 0.98,
                    n_clusters: int = 8, n_iter: int = 2,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding",
-                   cache_key: str | None = None) -> DataFrame:
+                   vec_col: str = "embedding") -> DataFrame:
     """Semantic dedup over an embedding column (SemDeDup, Abbas et al.
     2023): k-means-cluster the corpus, then within each cluster mark as
     duplicates every vector whose cosine to a LOWER-id cluster-mate is
@@ -632,7 +611,7 @@ def semdedup_flags(corpus: DataFrame, threshold: float = 0.98,
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     cents = kmeans_centroids(
-        emb, n_clusters, n_iter, id_col, vec_col, cache_key=cache_key
+        emb, n_clusters, n_iter, id_col, vec_col
     )
     assigned = assign_to_centroids_auto(emb, cents, vec_col)
 
@@ -797,18 +776,9 @@ def kmeans_centroids_l2(embeddings: DataFrame, n_clusters: int = 4,
     return cents
 
 
-# PQ code books memoized per caller-supplied corpus key — the same
-# opt-in pattern (and justification) as _LLOYD_CACHE above: training is
-# deterministic, so repeat runs over an immutable corpus (bench
-# min-of-3; a session composing PQ search twice) share one training
-# pass.  Bounded memory: m x ksub x (dim/m) doubles per key.
-_PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
-
-
 def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
                        dim: int = 64, n_iter: int = 2,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       cache_key: str | None = None
                        ) -> list[list[list[float]]]:
     """Train the M per-subspace code books — mathematically M
     independent L2 Lloyd runs over the corpus's ``dim/m`` coordinate
@@ -832,11 +802,6 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
     barrier, and locally the fused plan measured 2.1 s → 1.2 s at
     sf0.1.  Returns codebooks[m][j] = centroid j of subspace m."""
     from pyspark.sql import Window
-
-    memo = (cache_key, m, ksub, dim, n_iter) if cache_key is not None \
-        else None
-    if memo is not None and memo in _PQ_CODEBOOK_CACHE:
-        return _PQ_CODEBOOK_CACHE[memo]
 
     dsub = dim // m
     emb = embeddings.select(
@@ -917,16 +882,13 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
     out: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
     for r in books.collect():
         out[r["mi"]][r["c"]] = [float(x) for x in r["cv"]]
-    if memo is not None:
-        _PQ_CODEBOOK_CACHE[memo] = out
     return out
 
 
 def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 m: int = 4, ksub: int = 4, dim: int = 64, n_iter: int = 2,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                qid_col: str = "qid", qvec_col: str = "qvec",
-                cache_key: str | None = None) -> DataFrame:
+                qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
     """Product-quantization search with asymmetric distance computation
     (Jégou et al. 2011): encode every corpus vector as M sub-codes
     (nearest L2 centroid per subspace — a pure projection over literal
@@ -945,7 +907,7 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     SQL oracle replays training, encoding, tables, and ranking."""
     dsub = dim // m
     books = pq_train_codebooks(embeddings, m, ksub, dim, n_iter,
-                               id_col, vec_col, cache_key=cache_key)
+                               id_col, vec_col)
 
     enc = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias("v")
@@ -1034,8 +996,7 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 def knn_graph(embeddings: DataFrame, k: int = 5, n_clusters: int = 8,
               n_iter: int = 2, id_col: str = "vec_id",
-              vec_col: str = "embedding",
-              cache_key: str | None = None) -> DataFrame:
+              vec_col: str = "embedding") -> DataFrame:
     """IVF-blocked k-nearest-neighbor graph over the WHOLE corpus — the
     substrate of graph-based curation (SemDeDup-style cluster pruning,
     connectivity filtering, label propagation): every vector's k nearest
@@ -1056,7 +1017,7 @@ def knn_graph(embeddings: DataFrame, k: int = 5, n_clusters: int = 8,
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     cents = kmeans_centroids(
-        emb, n_clusters, n_iter, id_col, vec_col, cache_key=cache_key
+        emb, n_clusters, n_iter, id_col, vec_col
     )
     assigned = assign_to_centroids_auto(emb, cents, vec_col)
 

@@ -826,13 +826,9 @@ def td_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from busdata_pipeline_spark.plans.training_data import _queries_df
 
     emb = table(spark, sf_dir, "embeddings")
-    # cache_key: the embeddings table is immutable per sf_dir and PQ
-    # training is deterministic, so repeat runs share one training pass
-    # (same opt-in justification as the Lloyd/IVF caches).
     return similarity.pq_adc_topk(
         emb, _queries_df(spark, sf_dir), k=10,
         m=_PQ_M, ksub=_PQ_KSUB, dim=_PQ_DIM, n_iter=_PQ_ITER,
-        cache_key=f"{os.path.abspath(sf_dir)}:embeddings:pq",
     )
 
 

@@ -1452,29 +1452,14 @@ def td_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, _queries_df(spark, sf_dir), dim=64, k=10)
 
 
-# The Lloyd training inside the IVF chain is deterministic — same
-# (sf_dir, n_clusters, n_iter) always yields the same codebook — so
-# queries that run the chain more than once per session (td_ivf_ann,
-# then td_ann_recall_eval composing it with the exact scorer) share ONE
-# training run.  Bounded memory: n_clusters×dim floats per key.  Keyed
-# by sf_dir, not the session — the testdata under an sf_dir is
-# immutable for a round, and a fresh driver process starts empty.
-_IVF_CODEBOOK_CACHE: dict[tuple, list] = {}
-
-
 def _ivf_codebook(spark: SparkSession, sf_dir: str,
                   n_clusters: int, n_iter: int) -> list:
-    key = (os.path.abspath(sf_dir), n_clusters, n_iter)
-    if key not in _IVF_CODEBOOK_CACHE:
-        # cache_key routes through similarity._LLOYD_CACHE too, so the
-        # IVF chain and td_knn_graph (same plain-embeddings corpus,
-        # same default (8, 2) config) share ONE training pass per
-        # session (VERDICT-r11 task 7)
-        _IVF_CODEBOOK_CACHE[key] = similarity.kmeans_centroids(
-            table(spark, sf_dir, "embeddings"), n_clusters, n_iter,
-            cache_key=f"{os.path.abspath(sf_dir)}:embeddings",
-        )
-    return _IVF_CODEBOOK_CACHE[key]
+    # Trains fresh on every call: each query invocation must compute
+    # from the parquet inputs (no cross-run memo).  A query that needs
+    # the codebook more than once in ONE run threads the returned list
+    # through `centroids=` instead of re-calling this.
+    return similarity.kmeans_centroids(
+        table(spark, sf_dir, "embeddings"), n_clusters, n_iter)
 
 
 @query(
@@ -1725,12 +1710,8 @@ def td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
     corpus = base.unionByName(planted)
-    # cache_key: the corpus (embeddings + planted copies) is a pure
-    # function of sf_dir, so the trained Lloyd state is reusable across
-    # repeat runs in one session (bench min-of-3)
     return similarity.semdedup_flags(
         corpus, threshold=0.98, n_clusters=_SEMDEDUP_K,
-        cache_key=f"{os.path.abspath(sf_dir)}:semdedup_corpus",
     )
 
 
@@ -2813,7 +2794,6 @@ def td_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.knn_graph(
         emb, k=5, n_clusters=_KNN_CELLS,
-        cache_key=f"{os.path.abspath(sf_dir)}:embeddings",
     )
 
 

@@ -222,34 +222,28 @@ def test_knn_distinct_row_gemm_equals_per_pair_definition(spark):
             assert all(t[1] == 1.0 for t in top)
 
 
-def test_lloyd_cache_reuses_trained_centroids(spark):
-    """VERDICT-r11 task 7: kmeans_centroids memoizes trained state per
-    caller-supplied corpus key — a second call with the same key
-    returns the cached centroids without retraining (bench min-of-3
-    and the IVF/knn chain share one pass), different keys or no key
-    retrain, and cached values equal a fresh training bit-for-bit."""
+def test_lloyd_training_is_deterministic(spark):
+    """Round-12 (optimization): the cross-run codebook memos were
+    removed — every query invocation must compute from the parquet
+    inputs.  What remains load-bearing is the property the memos relied
+    on and that intra-run `centroids=` threading still relies on:
+    training is a pure function of (corpus, k, n_iter), so two
+    independent runs return bit-identical centroids."""
     from busdata_pipeline_spark.operators import similarity
 
     rng = np.random.default_rng(3)
     rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(40)]
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
-    similarity._LLOYD_CACHE.clear()
-    try:
-        fresh = similarity.kmeans_centroids(emb, 4, 2)
-        c1 = similarity.kmeans_centroids(emb, 4, 2, cache_key="k1")
-        assert c1 == fresh  # caching never changes the trained values
-        assert ("k1", 4, 2) in similarity._LLOYD_CACHE
-        c2 = similarity.kmeans_centroids(
-            emb.limit(0), 4, 2, cache_key="k1"
-        )
-        assert c2 is c1  # cache hit: the empty frame was never touched
-        # a different key (or config) retrains
-        c3 = similarity.kmeans_centroids(emb, 4, 1, cache_key="k1")
-        assert ("k1", 4, 1) in similarity._LLOYD_CACHE
-        assert c3 != c1
-    finally:
-        similarity._LLOYD_CACHE.clear()
+    c1 = similarity.kmeans_centroids(emb, 4, 2)
+    c2 = similarity.kmeans_centroids(emb, 4, 2)
+    assert c1 == c2  # bit-identical retrain
+    # and the public entry points no longer accept a memo key at all
+    import inspect
+    for fn in (similarity.kmeans_centroids, similarity.pq_train_codebooks,
+               similarity.semdedup_flags, similarity.knn_graph,
+               similarity.pq_adc_topk):
+        assert "cache_key" not in inspect.signature(fn).parameters
 
 
 def test_setsim_quotient_equals_doc_level_kernel(spark):
