@@ -416,6 +416,13 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
     emb = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
+    # NOTE (round-12): a per-dimension-sums formulation (64 separate
+    # SUM expressions in one groupBy(cluster), no posexplode) was
+    # measured 6x SLOWER than this posexplode+groupBy at sf0.1
+    # (1.8 s vs 0.35 s per mean step — the wide aggregate falls out of
+    # whole-stage codegen), so the explode form is the keeper; its
+    # shuffle is already tiny (map-side partial combine collapses to
+    # k×dim rows per task).
     if n_clusters > _GEMM_K:
         # Scale path: one bounded (k × dim) driver round trip per
         # iteration, GEMM assignment per Arrow batch, the same
@@ -615,10 +622,15 @@ def semdedup_flags(corpus: DataFrame, threshold: float = 0.98,
     )
     assigned = assign_to_centroids_auto(emb, cents, vec_col)
 
-    def cluster_removed(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def cluster_flags(pdf: "pd.DataFrame") -> "pd.DataFrame":
         # One cluster = one dense GEMM (the paper's formulation): ids
-        # sorted so the survivor rule is the upper-triangle mask; only
-        # the removed ids leave the worker.  m is bounded by
+        # sorted so the survivor rule is the upper-triangle mask.  The
+        # kernel emits EVERY member with its kept flag (id, cluster,
+        # kept — a few bytes per row), so the assignment projection
+        # runs exactly once: the old removed-ids-only form fed a
+        # join-back against `assigned`, whose corpus-scan + k×dim
+        # fold-assignment lineage then executed a second time
+        # (round-12, guide §2.4/§5 reuse).  m is bounded by
         # corpus/n_clusters, so the m x m score matrix is a design
         # constant, not a data-dependent blowup.
         ids = pdf[id_col].to_numpy()
@@ -630,21 +642,20 @@ def semdedup_flags(corpus: DataFrame, threshold: float = 0.98,
         S = Vn @ Vn.T
         iu, ju = np.triu_indices(len(ids), k=1)
         removed = np.unique(ju[S[iu, ju] >= threshold])
-        return pd.DataFrame({id_col: ids[removed]})
+        kept = np.ones(len(ids), dtype=bool)
+        kept[removed] = False
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": np.full(len(ids), pdf["cluster"].iloc[0],
+                               dtype="int32"),
+            "kept": kept,
+        })
 
-    removed = (
+    return (
         assigned.select("cluster", id_col, vec_col)
         .groupBy("cluster")
-        .applyInPandas(cluster_removed, schema=f"{id_col} long")
-        .withColumn("rm", F.lit(True))
-    )
-    return (
-        assigned.join(removed, id_col, "left")
-        .select(
-            id_col,
-            F.col("cluster"),
-            F.coalesce(~F.col("rm"), F.lit(True)).alias("kept"),
-        )
+        .applyInPandas(cluster_flags, schema=f"{id_col} long, cluster int, "
+                                             "kept boolean")
         .orderBy(id_col)
     )
 
@@ -784,7 +795,7 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
     independent L2 Lloyd runs over the corpus's ``dim/m`` coordinate
     slices, executed FUSED: every iteration assigns all M codes in one
     projection and aggregates all M×K×dsub quantized means in ONE
-    posexplode+groupBy job (1 init + n_iter jobs total, vs 3·M serial
+    groupBy job (1 init + n_iter jobs total, vs 3·M serial
     jobs for the naive per-subspace loop — measured 6.1 s → ~2 s on the
     sf0.1 bench, and on a cluster it is M fewer full-corpus passes).
     Bit-identical to the per-subspace formulation: assignments and
@@ -831,9 +842,9 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
         # The whole centroid relation folds to ONE row (an array of m×k
         # (mi, c, cv) structs) broadcast onto the corpus, so nearest-
         # centroid assignment is a pure PROJECTION — the corpus itself
-        # never shuffles during training; only the (mi, c, i)-keyed
+        # never shuffles during training; only the (mi, c)-keyed
         # quantized partials do, and map-side combine collapses those to
-        # m×k×dsub rows per task.  Key is ‖c‖² − 2·x·c (see
+        # m×k rows per task.  Key is ‖c‖² − 2·x·c (see
         # _assign_to_centroids_l2); ties → lowest c via struct min.
         barr = books.agg(
             F.collect_list(F.struct("mi", "c", "cv")).alias("ba")
@@ -852,26 +863,30 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
                 )
             )["c"].alias("c"),
         )
-        means = (
-            assign.select("mi", "c", F.posexplode("sv").alias("i", "x"))
-            .groupBy("mi", "c", "i")
+        # dsub is static, so the quantized means aggregate per-dimension
+        # SUMS in one groupBy(mi, c) row instead of posexploding the
+        # subvector stream dsub× (same integer sums, same division —
+        # see kmeans_centroids).
+        mv = (
+            assign.groupBy("mi", "c")
             .agg(
-                F.sum(
-                    F.floor(F.col("x") * _QUANT + F.lit(0.5)).cast("long")
-                ).alias("qs"),
-                F.count(F.lit(1)).alias("n"),
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(
+                        F.floor(F.col("sv")[i] * _QUANT + F.lit(0.5))
+                        .cast("long")
+                    ).alias(f"_q{i}")
+                    for i in range(dsub)
+                ],
             )
             .select(
-                "mi", "c", "i",
-                (F.col("qs").cast("double")
-                 / (F.col("n").cast("double") * F.lit(_QUANT))).alias("mval"),
+                "mi", "c",
+                F.array(*[
+                    F.col(f"_q{i}").cast("double")
+                    / (F.col("_n").cast("double") * F.lit(_QUANT))
+                    for i in range(dsub)
+                ]).alias("cv2"),
             )
-        )
-        mv = means.groupBy("mi", "c").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "mval"))),
-                lambda s: s["mval"],
-            ).alias("cv2")
         )
         # empty clusters keep their previous centroid; localCheckpoint
         # the m·ksub-row relation per iteration so the self-referential

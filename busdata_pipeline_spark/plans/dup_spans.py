@@ -43,16 +43,35 @@ def duplicated_spans(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split("text", " ").alias("t")
     ).where(F.size("t") >= n)
-    # overlapping n-gram starts: pos = 1 .. len-n+1
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - n + 1),
-                lambda i: F.xxhash64(F.array_join(F.slice("t", i, n), " ")),
-            )
-        ).alias("off", "gram_hash"),
-    ).select("doc_id", (F.col("off") + 1).alias("pos"), "gram_hash")
+    # overlapping n-gram starts: pos = 1 .. len-n+1.  Each token is
+    # hashed ONCE (tokens contain no spaces, so token-sequence identity
+    # == joined-string identity), and the gram fingerprint hashes the
+    # n-long slice of token hashes — fixed-width work per gram instead
+    # of rebuilding every n-token string (round-12, guide §1.2 per-task
+    # work; the fingerprint value changes but it only feeds equality
+    # grouping, same vanishing-collision argument as before).
+    grams = (
+        # token hashes materialized as their own column so each token
+        # is hashed once per document, not once per covering gram (the
+        # with_shingles materialize-once pattern)
+        toks.withColumn("hs", F.expr("transform(t, x -> xxhash64(x))"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(hs) - {n} + 1), "
+                    f"i -> xxhash64(slice(hs, i, {n})))"
+                )
+            ).alias("off", "gram_hash"),
+        )
+        .select("doc_id", (F.col("off") + 1).alias("pos"), "gram_hash")
+    )
+    # One explicit exchange on gram_hash serves BOTH consumers (the
+    # dup-hash aggregate and the position join-back): the explode
+    # subtree executes once as a ReusedExchange instead of twice
+    # (round-12, guide §2.4 "two operations keyed the same way share
+    # one exchange").
+    grams = grams.repartition("gram_hash")
 
     dup_hashes = (
         grams.groupBy("gram_hash")

@@ -236,10 +236,19 @@ def td_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("tok") != "")
     )
-    salted = toks.select(
-        "tok", F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r")
-    ).select(
+    # Counter cell (r, bucket) sums the stream's occurrences landing
+    # there; every occurrence of one token lands in the same bucket, so
+    # summing per-distinct-token term frequencies is the identical
+    # counter grid while paying the md5 salt 4x per DISTINCT token
+    # instead of 4x per occurrence — and the tf aggregate is the same
+    # subtree the exact top-20 branch scans (one shuffle, reused).
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_tf"))
+    salted = tf.select(
         "tok",
+        "exact_tf",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r"),
+    ).select(
+        "exact_tf",
         "r",
         (
             _h60(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok")))
@@ -247,14 +256,9 @@ def td_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     counters = salted.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("exact_tf").alias("cnt")
     )
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_tf"))
-        .orderBy(F.desc("exact_tf"), "tok")
-        .limit(20)
-    )
+    exact = tf.orderBy(F.desc("exact_tf"), "tok").limit(20)
     probes = exact.select(
         "tok",
         "exact_tf",

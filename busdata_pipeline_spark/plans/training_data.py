@@ -1585,9 +1585,14 @@ def td_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_training_data.py."""
     emb = table(spark, sf_dir, "embeddings")
     qs = _queries_df(spark, sf_dir)
+    # exact feeds BOTH the hits join and the qid spine; its output is
+    # bounded (<= queries x 10 rows) while its lineage is a full-corpus
+    # GEMM scan — materialize once instead of executing the scan twice
+    # (round-12, guide §5 reuse rule; same in-query pattern as the
+    # rep tables in operators/setsim.py).
     exact = similarity.cosine_topk_vectorized(emb, qs, k=10).select(
         "qid", "vec_id"
-    )
+    ).localCheckpoint(eager=True)
     ivf = similarity.ivf_kmeans_ann_topk(
         emb, qs, k=10, n_clusters=8, n_iter=2, nprobe=3,
         centroids=_ivf_codebook(spark, sf_dir, 8, 2),
