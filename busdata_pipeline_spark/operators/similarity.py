@@ -331,8 +331,78 @@ def _assign_to_centroids(df: DataFrame, centroids: list[list[float]],
 
 
 #: above this cluster count, nearest-centroid assignment routes through
-#: the Arrow/BLAS GEMM path instead of per-row fold expressions.
+#: the Arrow/BLAS GEMM path instead of the fold-order-exact path.
 _GEMM_K = 16
+
+
+def _seqfold_dots(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n, k) dot-product matrix computed with the exact LEFT-TO-RIGHT
+    fold order of ``F.aggregate(zip_with(...))`` (and DuckDB's list
+    fold): the i-th update is ``acc = acc + V[:, i] * C[:, i]`` with i
+    ascending, so every scalar accumulator sees the identical
+    IEEE-double operation sequence as the engine fold — bit-equal by
+    construction, unlike a BLAS GEMM whose blocked summation is
+    position-dependent in the last ulp (the round-11 tie-break bug
+    class).  Vectorization is across (row, centroid) pairs only; the
+    reduction order per pair is untouched."""
+    D = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(V.shape[1]):
+        D += V[:, i, None] * C[None, :, i]
+    return D
+
+
+def _seqfold_sqnorm(V: "np.ndarray") -> "np.ndarray":
+    """Per-row Σx² with the same left-to-right fold order (the
+    ``_dot(v, v)`` the engine computes for ``_norm``)."""
+    s = np.zeros(V.shape[0], dtype=np.float64)
+    for i in range(V.shape[1]):
+        s += V[:, i] * V[:, i]
+    return s
+
+
+def _py_sqnorm(values) -> float:
+    """Driver-side Σx² over a centroid — the identical left-to-right
+    fold the engine evaluates for ``_dot(cv, cv)``."""
+    acc = 0.0
+    for x in values:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def _assign_seqfold(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str, out_col: str = "cluster") -> DataFrame:
+    """Bit-identical replacement for ``_assign_to_centroids``: the same
+    fold-order doubles (``_seqfold_dots``), the same score expression
+    shape (dot / (vnorm * cnorm), centroid norms folded on the driver),
+    and the same argmax rule (np.argmax returns the FIRST maximum — the
+    struct array_max's tie-to-lowest-index — and the first NaN when one
+    is present, matching Spark's NaN-greatest total order).  Executed as
+    one vectorized NumPy pass per Arrow batch instead of k × dim
+    interpreted HOF expressions per row (round-12, guide §4.2: the fold
+    expressions are interpreted, not codegen'd, and dominated every
+    trainer/assignment pass)."""
+    import math
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    C = np.array(centroids, dtype=np.float64)
+    cn = np.array([math.sqrt(_py_sqnorm(cent)) for cent in centroids])
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} int"
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.sqrt(_seqfold_sqnorm(V))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _seqfold_dots(V, C) / (vn[:, None] * cn[None, :])
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmax(S, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(go, schema)
 
 
 def _assign_gemm(df: DataFrame, centroids: list[list[float]],
@@ -366,12 +436,72 @@ def _assign_gemm(df: DataFrame, centroids: list[list[float]],
 def assign_to_centroids_auto(df: DataFrame, centroids: list[list[float]],
                              vec_col: str,
                              out_col: str = "cluster") -> DataFrame:
-    """Fold-expression assignment (bit-reproducible, SQL-replayable) up
-    to ``_GEMM_K`` centroids; Arrow GEMM beyond (the scale path — see
-    kmeans_centroids docstring)."""
+    """Fold-order-exact assignment (bit-reproducible, SQL-replayable)
+    up to ``_GEMM_K`` centroids — since round 12 via the vectorized
+    ``_assign_seqfold`` kernel, which is bit-identical to the
+    ``_assign_to_centroids`` fold expressions it replaces (pinned in
+    tests/test_quotient_identities.py); Arrow/BLAS GEMM beyond (the
+    scale path — see kmeans_centroids docstring)."""
     if len(centroids) <= _GEMM_K:
-        return _assign_to_centroids(df, centroids, vec_col, out_col)
+        return _assign_seqfold(df, centroids, vec_col, out_col)
     return _assign_gemm(df, centroids, vec_col, out_col)
+
+
+def _lloyd_quantized_partials(vec_df: DataFrame,
+                              centroids: list[list[float]],
+                              gemm: bool) -> DataFrame:
+    """One fused Lloyd half-step: assign every vector to its nearest
+    centroid (fold-order-exact seqfold arithmetic below ``_GEMM_K``,
+    BLAS GEMM above — each bit-identical to the assignment it replaces)
+    and emit per-batch QUANTIZED integer partial sums per (cluster, i)
+    plus member counts.  The integer partials are order-independent, so
+    any downstream summation grouping reproduces the exact mean the
+    posexplode + groupBy formulation computed — but the corpus-side work
+    is one NumPy pass per Arrow batch and the shuffle carries k × dim
+    partial rows per batch instead of the dim-fold row explosion
+    (round-12, guide §2.3 "aggregate before you shuffle" + §4.2)."""
+    import math
+    import pandas as pd
+
+    C = np.array(centroids, dtype=np.float64)
+    k, dim = C.shape
+    if gemm:
+        _cnm = np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = C / np.where(_cnm == 0, 1.0, _cnm)  # zero vec -> cos 0
+    else:
+        cn = np.array([math.sqrt(_py_sqnorm(cent)) for cent in centroids])
+    vec_col = vec_df.columns[0]
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if gemm:
+                _vn = np.linalg.norm(V, axis=1, keepdims=True)
+                Vn = V / np.where(_vn == 0, 1.0, _vn)
+                idx = np.argmax(Vn @ Cn.T, axis=1)
+            else:
+                vn = np.sqrt(_seqfold_sqnorm(V))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = _seqfold_dots(V, C) / (vn[:, None] * cn[None, :])
+                idx = np.argmax(S, axis=1)
+            # F.floor(x * _QUANT + 0.5).cast("long"), elementwise — the
+            # identical double expression, then exact int64 sums.
+            Q = np.floor(V * _QUANT + 0.5).astype(np.int64)
+            acc = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(acc, idx, Q)
+            counts = np.bincount(idx, minlength=k).astype(np.int64)
+            seen = counts > 0
+            cl = np.nonzero(seen)[0]
+            yield pd.DataFrame({
+                "cluster": np.repeat(cl, dim).astype("int32"),
+                "i": np.tile(np.arange(dim, dtype="int32"), len(cl)),
+                "qs": acc[cl].ravel(),
+                "n": np.repeat(counts[cl], dim),
+            })
+
+    return vec_df.mapInPandas(go, "cluster int, i int, qs long, n long")
 
 
 def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
@@ -411,120 +541,42 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 8,
     SQL-replay gate configurations (k ≤ 16) keep the fold path — same
     split as cosine_topk vs cosine_topk_vectorized.
     """
-    from pyspark.sql import Window
-
+    # NOTE (round-12): two earlier formulations of the mean step were
+    # measured and rejected — a 64-wide per-dimension SUM aggregate
+    # (6x slower: falls out of whole-stage codegen) and the original
+    # posexplode + groupBy (0.35 s/step, but the ASSIGNMENT feeding it
+    # was k × dim interpreted HOF expressions per row).  The shipped
+    # form fuses assignment + quantized integer partial sums into one
+    # NumPy pass per Arrow batch (`_lloyd_quantized_partials`); the
+    # int64 partials are order-independent, so the means — and with the
+    # fold-order-exact seqfold assignment below _GEMM_K, the trained
+    # centroids — are bit-identical to both old forms (pinned in
+    # tests/test_quotient_identities.py; the td_ivf_ann oracle replays
+    # training verbatim and hash-checks it).
     emb = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
-    # NOTE (round-12): a per-dimension-sums formulation (64 separate
-    # SUM expressions in one groupBy(cluster), no posexplode) was
-    # measured 6x SLOWER than this posexplode+groupBy at sf0.1
-    # (1.8 s vs 0.35 s per mean step — the wide aggregate falls out of
-    # whole-stage codegen), so the explode form is the keeper; its
-    # shuffle is already tiny (map-side partial combine collapses to
-    # k×dim rows per task).
-    if n_clusters > _GEMM_K:
-        # Scale path: one bounded (k × dim) driver round trip per
-        # iteration, GEMM assignment per Arrow batch, the same
-        # quantized-integer means (order-independent, so the GEMM path
-        # changes ASSIGNMENT float order only, never the mean of a
-        # given assignment).
-        init = emb.orderBy(id_col).limit(n_clusters).collect()
-        cents = [[float(x) for x in r["v"]] for r in init]
-        for _ in range(n_iter):
-            assigned = _assign_gemm(emb, cents, "v")
-            rows = (
-                assigned.select("cluster", F.posexplode("v").alias("i", "x"))
-                .groupBy("cluster", "i")
-                .agg(
-                    F.sum(
-                        F.floor(F.col("x") * _QUANT + F.lit(0.5))
-                        .cast("long")
-                    ).alias("qs"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()
-            )
-            new: dict = {}
-            for r in rows:
-                new.setdefault(r["cluster"], {})[r["i"]] = (
-                    float(r["qs"]) / (float(r["n"]) * _QUANT)
-                )
-            cents = [
-                [new[c][i] for i in range(len(cents[c]))]
-                if c in new else cents[c]
-                for c in range(n_clusters)
-            ]
-        return cents
-    books = (
-        emb.orderBy(id_col).limit(n_clusters)
-        .select(F.col(id_col).alias("vid"), "v")
-        .withColumn(
-            "c",
-            (F.row_number().over(Window.orderBy("vid")) - 1).cast("int"),
-        )
-        .select("c", F.col("v").alias("cv"))
-    )
-    vnorm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    init = emb.orderBy(id_col).limit(n_clusters).collect()
+    cents = [[float(x) for x in r["v"]] for r in init]
+    vec_only = emb.select("v")
     for _ in range(n_iter):
-        barr = books.agg(
-            F.collect_list(F.struct("c", "cv")).alias("ba")
-        )
-        assigned = (
-            emb.withColumn("_vnorm", vnorm)
-            .join(F.broadcast(barr))
-            .select(
-                "v",
-                F.array_max(
-                    F.transform(
-                        F.col("ba"),
-                        lambda b: F.struct(
-                            (_dot(F.col("v"), b["cv"])
-                             / (F.col("_vnorm")
-                                * F.sqrt(_dot(b["cv"], b["cv"]))))
-                            .alias("s"),
-                            (-b["c"]).alias("negc"),
-                        ),
-                    )
-                )["negc"].alias("negc"),
-            )
-            .select("v", (-F.col("negc")).cast("int").alias("cluster"))
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+        rows = (
+            _lloyd_quantized_partials(vec_only, cents,
+                                      gemm=n_clusters > _GEMM_K)
             .groupBy("cluster", "i")
-            .agg(
-                F.sum(
-                    F.floor(F.col("x") * _QUANT + F.lit(0.5)).cast("long")
-                ).alias("qs"),
-                F.count(F.lit(1)).alias("n"),
+            .agg(F.sum("qs").alias("qs"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new: dict = {}
+        for r in rows:
+            new.setdefault(r["cluster"], {})[r["i"]] = (
+                float(r["qs"]) / (float(r["n"]) * _QUANT)
             )
-            .select(
-                "cluster", "i",
-                (F.col("qs").cast("double")
-                 / (F.col("n").cast("double") * F.lit(_QUANT))).alias("m"),
-            )
-        )
-        mv = means.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))),
-                lambda s: s["m"],
-            ).alias("cv2")
-        )
-        # empty clusters keep their previous centroid.  localCheckpoint
-        # the k-row relation each iteration: the self-referential
-        # books.join(mv(assigned(books))) fold otherwise doubles the
-        # unresolved plan per iteration (O(2^n_iter) subtrees) — the
-        # relation is tiny (k rows), so this keeps the plan linear in
-        # n_iter with bounded driver traffic.
-        books = (
-            books.join(mv, books.c == mv.cluster, "left")
-            .select("c", F.coalesce("cv2", "cv").alias("cv"))
-            .localCheckpoint(eager=True)
-        )
-    cents: list[list[float]] = [None] * n_clusters
-    for r in books.collect():
-        cents[r["c"]] = [float(x) for x in r["cv"]]
+        cents = [
+            [new[c][i] for i in range(len(cents[c]))]
+            if c in new else cents[c]
+            for c in range(len(cents))
+        ]
     return cents
 
 
