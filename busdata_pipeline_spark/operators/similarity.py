@@ -839,6 +839,90 @@ def kmeans_centroids_l2(embeddings: DataFrame, n_clusters: int = 4,
     return cents
 
 
+def _pq_quantized_partials(vec_df: DataFrame,
+                           books: list[list[list[float]]],
+                           dsub: int) -> DataFrame:
+    """One fused PQ Lloyd half-step over ALL M subspaces: per Arrow
+    batch, assign every vector's M coordinate slices to their nearest
+    sub-centroids (squared-L2 key ``‖c‖² − 2·x·c`` with the exact
+    left-to-right fold order of the ``_dot`` expressions it replaces;
+    ``np.argmin`` returns the FIRST minimum — the struct array_min's
+    tie-to-lowest-index rule; the key is polynomial in finite doubles,
+    so no NaN can enter the comparison) and emit QUANTIZED int64
+    partial sums per (mi, c, i) plus member counts.  Integer partials
+    are order-independent, so any downstream summation grouping
+    reproduces the exact means of the broadcast-join + HOF-projection
+    formulation this replaces (round-12, guide §2.3 + §4.2 — the
+    filter/transform/array_min HOF chain was interpreted per exploded
+    sub-row and dominated the trainer)."""
+    import pandas as pd
+
+    m, ksub = len(books), len(books[0])
+    C = np.array(books, dtype=np.float64)                  # (m, ksub, dsub)
+    A = np.array([[_sq_norm_lit(cent) for cent in bm] for bm in books])
+    vec_col = vec_df.columns[0]
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            frames = []
+            for mi in range(m):
+                sv = V[:, mi * dsub:(mi + 1) * dsub]
+                key = A[mi][None, :] - 2.0 * _seqfold_dots(sv, C[mi])
+                idx = np.argmin(key, axis=1)
+                Q = np.floor(sv * _QUANT + 0.5).astype(np.int64)
+                acc = np.zeros((ksub, dsub), dtype=np.int64)
+                np.add.at(acc, idx, Q)
+                counts = np.bincount(idx, minlength=ksub).astype(np.int64)
+                cl = np.nonzero(counts > 0)[0]
+                frames.append(pd.DataFrame({
+                    "mi": np.full(len(cl) * dsub, mi, dtype="int32"),
+                    "c": np.repeat(cl, dsub).astype("int32"),
+                    "i": np.tile(np.arange(dsub, dtype="int32"), len(cl)),
+                    "qs": acc[cl].ravel(),
+                    "n": np.repeat(counts[cl], dsub),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return vec_df.mapInPandas(go, "mi int, c int, i int, qs long, n long")
+
+
+def _pq_encode(df: DataFrame, books: list[list[list[float]]], dsub: int,
+               vec_col: str, id_col: str) -> DataFrame:
+    """Encode every corpus vector as M sub-codes in ONE Arrow pass —
+    bit-identical to the M sequential ``_assign_to_centroids_l2``
+    projections it replaces (same ``‖c‖² − 2·x·c`` fold-order key per
+    subspace, same first-minimum tie rule), but one Python-boundary
+    crossing instead of M interpreted (ksub × dsub)-fold expression
+    evaluations per row (round-12, guide §4.2).  Emits ``id_col`` +
+    ``code0..code{M-1}``."""
+    import pandas as pd
+
+    m = len(books)
+    C = np.array(books, dtype=np.float64)
+    A = np.array([[_sq_norm_lit(cent) for cent in bm] for bm in books])
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"code{mi} int" for mi in range(m)
+    )
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out = pdf[[id_col]].copy()
+            for mi in range(m):
+                sv = V[:, mi * dsub:(mi + 1) * dsub]
+                key = A[mi][None, :] - 2.0 * _seqfold_dots(sv, C[mi])
+                out[f"code{mi}"] = np.argmin(key, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(go, schema)
+
+
 def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
                        dim: int = 64, n_iter: int = 2,
                        id_col: str = "vec_id", vec_col: str = "embedding",
@@ -855,101 +939,56 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 4,
     division are the same sequential-fold IEEE double expressions, and
     ties break to the lowest centroid index via struct-min ordering.
 
-    Execution shape: the WHOLE training loop is ONE lazy plan collected
-    once — init, every iteration's assignment (a broadcast join against
-    the k×m-row centroid relation instead of centroid literals) and its
-    quantized-mean aggregate chain inside a single job, with only the
-    final m×ksub centroid rows crossing to the driver.  The previous
-    form collected after every iteration (1 + n_iter driver round trips
-    and job launches); at 100 TB each of those is a full cluster
-    barrier, and locally the fused plan measured 2.1 s → 1.2 s at
-    sf0.1.  Returns codebooks[m][j] = centroid j of subspace m."""
-    from pyspark.sql import Window
-
+    Execution shape (round-12, guide §2.3 + §4.2): each iteration is
+    one ``_pq_quantized_partials`` Arrow pass over the corpus — all M
+    assignments and the quantized int64 partial sums computed inside
+    the batch kernel — feeding an (mi, c, i)-keyed hash aggregate whose
+    ≤ m×ksub×dsub rows are collected per iteration.  Two earlier
+    formulations are recorded for the measurement trail: the original
+    per-subspace serial loop (3·M jobs), and the fused lazy-plan form
+    (broadcast join + interpreted filter/transform/array_min HOFs per
+    posexploded sub-row + per-dimension SUM expressions) — the HOF
+    assignment was the dominant cost at sf0.1 exactly as in the
+    spherical ``kmeans_centroids``.  Bit-identity to both is by the
+    same argument as `_lloyd_quantized_partials` (fold-order key,
+    first-min ties, order-independent integer means) and is pinned by
+    the td_pq_ann oracle, which replays training verbatim in SQL and
+    hash-checks it.  Returns codebooks[m][j] = centroid j of
+    subspace m."""
     dsub = dim // m
     emb = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
-    slices = F.array(*[
-        F.slice("v", mi * dsub + 1, dsub) for mi in range(m)
-    ])
-    subs = emb.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(slices).alias("mi", "sv"),
-    )
-    # init: the ksub lowest-id vectors, centroid index = their id rank
-    # (the window sorts 4 rows — it runs over the LIMIT output, not the
-    # corpus).
-    books = (
-        emb.orderBy(id_col).limit(ksub)
-        .select(F.col(id_col).alias("vid"), "v")
-        .withColumn(
-            "c",
-            (F.row_number().over(Window.orderBy("vid")) - 1).cast("int"),
-        )
-        .select("c", F.posexplode(slices).alias("mi", "cv"))
-        .select("mi", "c", "cv")
-    )
+    # init: the ksub lowest-id vectors; centroid index = id rank.
+    init = emb.orderBy(id_col).limit(ksub).collect()
+    books = [
+        [[float(x) for x in r["v"][mi * dsub:(mi + 1) * dsub]]
+         for r in init]
+        for mi in range(m)
+    ]
+    vec_only = emb.select("v")
     for _ in range(n_iter):
-        # The whole centroid relation folds to ONE row (an array of m×k
-        # (mi, c, cv) structs) broadcast onto the corpus, so nearest-
-        # centroid assignment is a pure PROJECTION — the corpus itself
-        # never shuffles during training; only the (mi, c)-keyed
-        # quantized partials do, and map-side combine collapses those to
-        # m×k rows per task.  Key is ‖c‖² − 2·x·c (see
-        # _assign_to_centroids_l2); ties → lowest c via struct min.
-        barr = books.agg(
-            F.collect_list(F.struct("mi", "c", "cv")).alias("ba")
+        rows = (
+            _pq_quantized_partials(vec_only, books, dsub)
+            .groupBy("mi", "c", "i")
+            .agg(F.sum("qs").alias("qs"), F.sum("n").alias("n"))
+            .collect()
         )
-        assign = subs.join(F.broadcast(barr)).select(
-            "mi", "sv",
-            F.array_min(
-                F.transform(
-                    F.filter(F.col("ba"), lambda b: b["mi"] == F.col("mi")),
-                    lambda b: F.struct(
-                        (_dot(b["cv"], b["cv"])
-                         - F.lit(2.0) * _dot(F.col("sv"), b["cv"])
-                         ).alias("d"),
-                        b["c"].alias("c"),
-                    ),
-                )
-            )["c"].alias("c"),
-        )
-        # dsub is static, so the quantized means aggregate per-dimension
-        # SUMS in one groupBy(mi, c) row instead of posexploding the
-        # subvector stream dsub× (same integer sums, same division —
-        # see kmeans_centroids).
-        mv = (
-            assign.groupBy("mi", "c")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(
-                        F.floor(F.col("sv")[i] * _QUANT + F.lit(0.5))
-                        .cast("long")
-                    ).alias(f"_q{i}")
-                    for i in range(dsub)
-                ],
+        new: dict = {}
+        for r in rows:
+            new.setdefault((r["mi"], r["c"]), {})[r["i"]] = (
+                float(r["qs"]) / (float(r["n"]) * _QUANT)
             )
-            .select(
-                "mi", "c",
-                F.array(*[
-                    F.col(f"_q{i}").cast("double")
-                    / (F.col("_n").cast("double") * F.lit(_QUANT))
-                    for i in range(dsub)
-                ]).alias("cv2"),
-            )
-        )
-        # empty clusters keep their previous centroid; localCheckpoint
-        # the m·ksub-row relation per iteration so the self-referential
-        # fold stays linear in n_iter (see kmeans_centroids above).
-        books = books.join(mv, ["mi", "c"], "left").select(
-            "mi", "c", F.coalesce("cv2", "cv").alias("cv")
-        ).localCheckpoint(eager=True)
-    out: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
-    for r in books.collect():
-        out[r["mi"]][r["c"]] = [float(x) for x in r["cv"]]
-    return out
+        # empty clusters keep their previous centroid
+        books = [
+            [
+                [new[(mi, c)][i] for i in range(dsub)]
+                if (mi, c) in new else books[mi][c]
+                for c in range(ksub)
+            ]
+            for mi in range(m)
+        ]
+    return books
 
 
 def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -976,15 +1015,17 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     books = pq_train_codebooks(embeddings, m, ksub, dim, n_iter,
                                id_col, vec_col)
 
-    enc = embeddings.select(
-        id_col, F.col(vec_col).cast("array<double>").alias("v")
+    # one Arrow pass encodes all M codes (round-12 — see _pq_encode);
+    # fanout first: a single-file corpus otherwise runs the whole
+    # encode + ADC scan on one core (same guard as ivf_kmeans_ann_topk).
+    from busdata_pipeline_spark.operators.dedup import fanout
+
+    enc = _pq_encode(
+        fanout(embeddings.select(
+            id_col, F.col(vec_col).cast("array<double>").alias("v")
+        ), id_col),
+        books, dsub, "v", id_col,
     )
-    for mi in range(m):
-        sub = F.slice(F.col("v"), mi * dsub + 1, dsub)
-        enc = _assign_to_centroids_l2(
-            enc.withColumn("_sv", sub), books[mi], "_sv", f"code{mi}"
-        ).drop("_sv")
-    enc = enc.drop("v")
 
     # The query side is bounded (the production retrieval contract —
     # same bounded-collect discipline as cosine_topk_vectorized), so the
