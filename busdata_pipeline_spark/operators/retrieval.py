@@ -54,6 +54,40 @@ def corpus_tokens(docs: DataFrame) -> DataFrame:
     ).where(F.col("tok") != "")
 
 
+def word_ngrams(docs: DataFrame, n: int = 2,
+                id_col: str = "doc_id") -> DataFrame:
+    """Adjacent-word n-gram stream (doc_id, w1..wn) over the
+    empty-filtered token sequence, derived as a per-doc ARRAY projection:
+    zip of n shifted slices of the filtered token array, exploded.
+
+    Round-12 (guide §2.4): this replaces the posexplode + per-doc
+    row_number/lead window formulation — semantically identical
+    (filtering the array FIRST makes adjacency contiguous across
+    dropped empty tokens, exactly the re-ranked window's semantics; a
+    doc with < n tokens emits nothing either way) but with NO exchange:
+    the window shuffled and sorted the entire token stream per
+    consumer, while the array zip is corpus-linear map work inside the
+    scan stage.  The slice length is clamped at 0 so short/empty docs
+    yield empty arrays instead of a negative-length error."""
+    ws = F.filter(F.split(F.trim("text"), " "), lambda x: x != "")
+    tmp = docs.select(id_col, ws.alias("_ws"))
+    ln = F.greatest(F.size("_ws") - (n - 1), F.lit(0))
+    cols = [f"w{i + 1}" for i in range(n)]
+    gram = F.slice("_ws", 1, ln)
+    for i in range(1, n):
+        gram = F.zip_with(
+            gram, F.slice("_ws", i + 1, ln),
+            lambda a, b: F.struct(
+                *([a[c].alias(c) for c in cols[:i]] if i > 1
+                  else [a.alias(cols[0])]),
+                b.alias(cols[i]),
+            ),
+        )
+    return tmp.select(
+        id_col, F.explode(gram).alias("_g")
+    ).select(id_col, *[F.col(f"_g.{c}").alias(c) for c in cols])
+
+
 def bm25_topk(
     docs: DataFrame,
     query_pred,
@@ -69,9 +103,17 @@ def bm25_topk(
     """
     toks = corpus_tokens(docs)
 
+    # Round-12 (guide §1.2/§2.3, the td_countmin pattern): every other
+    # statistic is an exact rollup of the (doc, tok) tf table, so they
+    # all derive from the ONE occurrence-level aggregate — dl = Σ tf per
+    # doc, df = row count per tok (tf is distinct per (doc, tok), so
+    # COUNT(*) == the COUNT(DISTINCT doc_id) Expand it replaces), query
+    # terms = tf rows of the query docs (already distinct).  The raw
+    # token stream is scanned/shuffled once and the identical tf subtree
+    # reuses its exchange across consumers.
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -81,9 +123,8 @@ def bm25_topk(
     # df lookup happens on this dimension-sized side (not against the
     # full posting table), then broadcasts into the probe join.
     qterms = (
-        toks.where(query_pred)
+        tf.where(query_pred)
         .select(F.col("doc_id").alias("qid"), "tok")
-        .distinct()
         .join(dfreq, "tok")
         .join(F.broadcast(stats))
     )

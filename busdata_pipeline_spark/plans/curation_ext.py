@@ -189,17 +189,12 @@ def td_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     token/bigram stream (one window per doc partition), every model
     relation is vocab²-bounded and broadcast; per-bigram log-probs are
     micro-nat-quantized BIGINTs so the per-doc sum is order-free."""
+    from busdata_pipeline_spark.operators.retrieval import word_ngrams
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), " ")).alias("i", "w"),
-    ).where(F.col("w") != "")
-    w_next = Window.partitionBy("doc_id").orderBy("i")
-    big = (
-        toks.withColumn("w2", F.lead("w").over(w_next))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", F.col("w").alias("w1"), "w2")
-    )
+    # round-12 (guide §2.4): bigrams as a per-doc array-zip projection —
+    # no per-doc window exchange+sort; identical stream (see word_ngrams)
+    big = word_ngrams(docs, 2)
     tbig = (
         big.where(F.col("doc_id") % 2 == 0)
         .groupBy("w1", "w2")
@@ -333,105 +328,74 @@ def td_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     no model relation, corpus-linear; the generated input/target pair
     is pinned byte-for-byte by md5 signatures against the oracle's
     independent string assembly."""
+    # Round-12 (guide §2.4 + §4.2): the example generator is a PURE
+    # per-document function of (doc_id, text), so it runs as ONE Arrow
+    # pass with no shuffle at all — the previous form posexploded every
+    # token and paid a per-doc window exchange+sort (row_number + the
+    # fused running-sum) plus a corpus-wide hash aggregate just to
+    # reassemble what the kernel computes in-place.  Bit-identity: the
+    # mask predicate is the same md5("<doc_id>:<block>") arithmetic
+    # (int(hex[:15], 16) == conv(substr(md5, 1, 15), 16, 10) — 60 bits,
+    # exact in int64), token order is the document's own order (what the
+    # array_sort-by-position reassembly reproduced), string assembly is
+    # the same " " join, and the signatures are md5 of the identical
+    # byte sequences (Python md5 over UTF-8 == Spark md5).  A doc whose
+    # filtered token list is empty emits nothing — the explode-side
+    # formulation dropped it identically.  Cross-checked old-vs-new
+    # identical at sf0.1; the oracle re-derives everything in SQL.
+    import hashlib
+
+    import pandas as pd
+
     docs = table(spark, sf_dir, "documents")
-    toks0 = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), " ")).alias("i", "w"),
-    ).where(F.col("w") != "")
-    w_doc = Window.partitionBy("doc_id").orderBy("i")
-    toks = toks0.withColumn(
-        "p", (F.row_number().over(w_doc) - 1).cast("long")
-    )
-    b = F.expr("p div 3")
-    h = F.conv(
-        F.md5(
-            F.concat_ws(
-                ":", F.col("doc_id").cast("string"), b.cast("string")
-            )
-        ).substr(1, 15),
-        16,
-        10,
-    ).cast("long")
-    blk = toks.select(
-        "doc_id", "i", "w", "p", b.alias("b"), (h % 20 < 3).alias("masked")
-    )
-    # Sentinel rank k = running count of masked span HEADS minus one —
-    # over the SAME (doc_id, order-by-position) window that produced p,
-    # so Catalyst fuses both window functions into one sort; a
-    # dense_rank over (doc_id, masked, b) would force a second
-    # exchange+sort of the full token stream.
-    w_run = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    head_flag = F.when(
-        F.col("masked") & (F.col("p") % 3 == 0), 1
-    ).otherwise(0)
-    sent = blk.withColumn(
-        "k", F.when(F.col("masked"), F.sum(head_flag).over(w_run) - 1)
-    )
-    sentinel = F.concat(
-        F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
-    )
-    head = F.col("p") % 3 == 0
 
-    def _assembled(item) -> "F.Column":
-        # collect_list skips NULLs, so the when() acts as the filter;
-        # array_sort on (p, s) structs orders by position.
-        return F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(item)), lambda x: x["s"]
-            ),
-            " ",
-        )
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_tokens": [], "n_masked": [],
+                   "n_spans": [], "inp_sig": [], "tgt_sig": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # NULL text: explode emitted no rows either
+                toks = [w for w in text.strip(" ").split(" ") if w]
+                if not toks:
+                    continue
+                nb = (len(toks) + 2) // 3
+                mask = [
+                    int(hashlib.md5(
+                        f"{doc_id}:{b}".encode()).hexdigest()[:15], 16)
+                    % 20 < 3
+                    for b in range(nb)
+                ]
+                inp_parts, tgt_parts = [], []
+                k = -1
+                n_masked = 0
+                for p, w in enumerate(toks):
+                    head = p % 3 == 0
+                    if mask[p // 3]:
+                        n_masked += 1
+                        if head:
+                            k += 1
+                            inp_parts.append(f"<extra_id_{k}>")
+                            tgt_parts.append(f"<extra_id_{k}> {w}")
+                        else:
+                            tgt_parts.append(w)
+                    else:
+                        inp_parts.append(w)
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(len(toks))
+                out["n_masked"].append(n_masked)
+                out["n_spans"].append(k + 1)
+                out["inp_sig"].append(hashlib.md5(
+                    " ".join(inp_parts).encode()).hexdigest()[:16])
+                out["tgt_sig"].append(hashlib.md5(
+                    " ".join(tgt_parts).encode()).hexdigest()[:16])
+            yield pd.DataFrame(out)
 
-    inp_item = F.when(
-        ~F.col("masked") | head,
-        F.struct(
-            F.col("p").alias("p"),
-            F.when(~F.col("masked"), F.col("w")).otherwise(sentinel)
-            .alias("s"),
-        ),
-    )
-    tgt_item = F.when(
-        F.col("masked"),
-        F.struct(
-            F.col("p").alias("p"),
-            F.when(head, F.concat(sentinel, F.lit(" "), F.col("w")))
-            .otherwise(F.col("w"))
-            .alias("s"),
-        ),
-    )
-    # ONE hash aggregate assembles both strings and all counts — no
-    # re-shuffles, no joins; n_spans counts masked span HEADS (every
-    # masked block contains its p%3==0 head because positions are
-    # contiguous), which avoids a countDistinct Expand.
-    return (
-        sent.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("masked"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_masked"),
-            F.sum(F.when(F.col("masked") & head, 1).otherwise(0))
-            .cast("long")
-            .alias("n_spans"),
-            _assembled(inp_item).alias("inp_s"),
-            _assembled(tgt_item).alias("tgt_s"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_masked",
-            "n_spans",
-            F.substring(
-                F.md5(F.coalesce("inp_s", F.lit(""))), 1, 16
-            ).alias("inp_sig"),
-            F.substring(
-                F.md5(F.coalesce("tgt_s", F.lit(""))), 1, 16
-            ).alias("tgt_sig"),
-        )
-        .orderBy("doc_id")
-    )
+    return docs.select("doc_id", "text").mapInPandas(
+        gen,
+        "doc_id long, n_tokens long, n_masked long, n_spans long, "
+        "inp_sig string, tgt_sig string",
+    ).orderBy("doc_id")
 
 
 @query(
@@ -472,18 +436,12 @@ def td_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the DISTINCT train trigram set (n-gram-type-bounded, which
     at web scale becomes the sharded join td_contamination documents),
     one per-doc hash aggregate."""
+    from busdata_pipeline_spark.operators.retrieval import word_ngrams
+
     docs = table(spark, sf_dir, "documents")
-    toks0 = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), " ")).alias("i", "w"),
-    ).where(F.col("w") != "")
-    w_doc = Window.partitionBy("doc_id").orderBy("i")
-    tri = (
-        toks0.withColumn("w2", F.lead("w", 1).over(w_doc))
-        .withColumn("w3", F.lead("w", 2).over(w_doc))
-        .where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
-        .select("doc_id", F.col("w").alias("w1"), "w2", "w3")
-    )
+    # round-12 (guide §2.4): trigrams as a per-doc array-zip projection
+    # — no per-doc window exchange+sort; identical stream (word_ngrams)
+    tri = word_ngrams(docs, 3)
     ttri = (
         tri.where(F.col("doc_id") % 2 == 0)
         .select("w1", "w2", "w3")

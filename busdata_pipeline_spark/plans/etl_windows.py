@@ -980,19 +980,27 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         after = file_sizes(only_untouched=True)
 
         post = read_version(spark, warehouse)
-        subject_gone = (
-            post.where(F.col("user_id") == subj).count() == 0
-            # ...and purged from history: time travel to v1 cannot
-            # resurrect the subject either
-            and read_version(spark, warehouse, 1)
-            .where(F.col("user_id") == subj).count() == 0
+        # subject_gone (current snapshot AND v1 history both free of the
+        # subject) is folded into the ONE final aggregate job instead of
+        # two standalone .count() actions — two fewer full reads of the
+        # erased table (round-12, guide §1.2: don't compute things
+        # twice).  Both relations are non-empty (other users survive),
+        # so the conditional sums are exact 0/positive longs and the
+        # boolean equals the old count()==0 conjunction.
+        subj_rows = F.sum(
+            F.when(F.col("user_id") == subj, 1).otherwise(0)
+        ).cast("long")
+        v1_check = read_version(spark, warehouse, 1).agg(
+            subj_rows.alias("v1_subj_rows")
         )
         return (
             post.agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows_after"),
                 (sum_exact_units(F.col("value"), 1000000.0)
                  / F.lit(1000000.0)).alias("total_value"),
+                subj_rows.alias("post_subj_rows"),
             )
+            .join(F.broadcast(v1_check))
             .select(
                 "n_rows_after",
                 F.lit(audit["days_rewritten"]).cast("long")
@@ -1000,7 +1008,8 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(audit["rows_removed"]).cast("long")
                 .alias("rows_removed"),
                 "total_value",
-                F.lit(subject_gone).alias("subject_gone"),
+                ((F.col("post_subj_rows") == 0)
+                 & (F.col("v1_subj_rows") == 0)).alias("subject_gone"),
                 F.lit(before == after and len(before) > 0)
                 .alias("untouched_partitions_stable"),
             )

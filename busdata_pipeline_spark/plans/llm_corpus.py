@@ -710,6 +710,14 @@ def _bpe_learn(
             F.desc("cnt"), F.asc("a"), F.asc("b")
         ).limit(1).collect()[0]
         rows.append((step, best["a"], best["b"], int(best["cnt"])))
+        # No per-round checkpoint (round-12, guide §5): the merge count
+        # is FIXED and small, so the accumulated replace chain is a
+        # bounded n_merges-deep PROJECTION over the one checkpointed
+        # word table — re-evaluating k cheap string replaces per round
+        # beats materializing the vocab table every round (measured
+        # 2.0 -> 1.5 s at sf0.1, identical merge rows).  Checkpoint-
+        # per-round remains the rule for UNBOUNDED loops
+        # (operators/clustering.py).
         cur = cur.withColumn(
             "seq",
             F.replace(
@@ -717,7 +725,7 @@ def _bpe_learn(
                 F.lit(f"<{best['a']}><{best['b']}>"),
                 F.lit(f"<{best['a']} {best['b']}>"),
             ),
-        ).localCheckpoint(eager=True)
+        )
 
     return rows, cur
 

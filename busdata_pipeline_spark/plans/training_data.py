@@ -1585,17 +1585,32 @@ def td_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_training_data.py."""
     emb = table(spark, sf_dir, "embeddings")
     qs = _queries_df(spark, sf_dir)
+
     # exact feeds BOTH the hits join and the qid spine; its output is
     # bounded (<= queries x 10 rows) while its lineage is a full-corpus
     # GEMM scan — materialize once instead of executing the scan twice
     # (round-12, guide §5 reuse rule; same in-query pattern as the
-    # rep tables in operators/setsim.py).
-    exact = similarity.cosine_topk_vectorized(emb, qs, k=10).select(
-        "qid", "vec_id"
-    ).localCheckpoint(eager=True)
+    # rep tables in operators/setsim.py).  The exact scorer and the IVF
+    # Lloyd training are INDEPENDENT until the final hits join, and both
+    # are sequences of small jobs on this session — so the checkpoint
+    # runs on a driver thread while training's collect rounds proceed
+    # (guide §2.6 overlap; actions are only sequential because driver
+    # code calls them sequentially).  Result frames are unchanged —
+    # only the job launch order differs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return similarity.cosine_topk_vectorized(emb, qs, k=10).select(
+            "qid", "vec_id"
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        exact_f = pool.submit(_exact)
+        codebook = _ivf_codebook(spark, sf_dir, 8, 2)
+        exact = exact_f.result()
     ivf = similarity.ivf_kmeans_ann_topk(
         emb, qs, k=10, n_clusters=8, n_iter=2, nprobe=3,
-        centroids=_ivf_codebook(spark, sf_dir, 8, 2),
+        centroids=codebook,
     ).select("qid", "vec_id")
     hits = (
         exact.join(ivf, ["qid", "vec_id"])
@@ -2451,25 +2466,24 @@ def td_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one hash aggregate.  Log arguments are integer counts only, so
     both engines take ln of identical doubles (unseen-word fallback
     count 1 keeps the argument integral)."""
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), " ")).alias("i", "w"),
-    ).where(F.col("w") != "")
-    w_next = Window.partitionBy("doc_id").orderBy("i")
-    big = (
-        toks.withColumn("w2", F.lead("w").over(w_next))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", F.col("w").alias("w1"), "w2")
+    from busdata_pipeline_spark.operators.retrieval import (
+        corpus_tokens,
+        word_ngrams,
     )
-    train = toks.where(F.col("doc_id") % 2 == 0)
+
+    docs = table(spark, sf_dir, "documents")
+    # round-12 (guide §2.4): bigrams as a per-doc array-zip projection —
+    # no per-doc window exchange+sort; identical stream (see word_ngrams)
+    big = word_ngrams(docs, 2)
     tbig = (
-        train.withColumn("w2", F.lead("w").over(w_next))
-        .where(F.col("w2").isNotNull())
-        .groupBy(F.col("w").alias("w1"), "w2")
+        big.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
-    uni = train.groupBy("w").agg(F.count("*").alias("c"))
+    train = corpus_tokens(docs).where(F.col("doc_id") % 2 == 0)
+    uni = train.groupBy(F.col("tok").alias("w")).agg(
+        F.count("*").alias("c")
+    )
     n_total = train.count()  # bounded driver scalar (ln N literal)
 
     scored = (
