@@ -84,7 +84,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # was measured here and LOST: on the fuzzy-match graph it did not
         # cut the counted-round total but added a shuffle per round,
         # 1.2 s -> 2.0 s at sf0.1.  Min-propagation alone keeps each
-        # round one shuffle.)
+        # round one shuffle.  Round-12 re-measured the full POINTER-
+        # JUMPING variant — compose the label map with itself from round
+        # 2 on, rounds O(log d) — with an in-session alternating A/B on
+        # the diameter-7 entity-resolution name graph: 4.08 s -> 5.12 s
+        # min-of-4, consistently slower on every run, and a wash on the
+        # near-clique dedup graph (3.36 vs 3.43).  The saved rounds
+        # (8 -> ~5) do not pay for the second shuffle + re-aggregation
+        # each jumping round adds; at truly deep diameters the jump wins
+        # asymptotically, but every graph this engine derives is either
+        # near-clique (LSH dedup) or short-chain (blocked fuzzy names),
+        # so the single-shuffle round stays.)
         # Checkpoint + convergence-count every SECOND round only: each
         # checkpoint and each count is a separate Spark job, and for the
         # near-clique graphs this serves (diameter 2-3) the per-job

@@ -139,32 +139,52 @@ def pagerank_frame(
 ) -> DataFrame:
     """Quantized power iteration over (nodes[v], pairs[u, v, w]) — the
     loop body of rel_pagerank_cosuppliers; returns (v, r) with r at
-    1e-9 quantization (callers round to the output precision)."""
+    1e-9 quantization (callers round to the output precision).
+
+    Contract: edge endpoints are drawn from ``nodes`` (the FK-clean
+    co-supply derivation guarantees it) — the round-12 loop carries
+    ranks over the receiver set instead of re-joining the node table
+    every round, so an edge from OUTSIDE the node set would contribute
+    its base-rank mass rather than being silently dropped the way the
+    old per-round ``nodes`` join happened to."""
     wd = pairs.groupBy("u").agg(F.sum("w").alias("wu")).localCheckpoint(eager=True)
     n = float(nodes.count())
 
-    ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
+    base_expr = lambda m: F.round(  # noqa: E731 - shared round expression
+        F.lit((1 - damping) / n) + F.lit(damping) * m, _QUANT
+    )
+    # Round-12 (guide §2.4): a node's rank departs from the constant
+    # round((1-d)/n + d·0.0) only while it RECEIVES contributions, so
+    # the per-round ``nodes LEFT JOIN contrib`` — five dimension scans
+    # + five joins re-deriving the receiving/non-receiving split — is
+    # replaced by carrying ranks over the receiver set alone:
+    # non-receiving contribution sources coalesce to the constant
+    # (1/n in round 1, the base term after), and the node table is
+    # attached by ONE final left join with the identical expression,
+    # so every emitted double is bit-equal to the old form's.  (On the
+    # co-supply graph the edge relation is symmetric and FK-clean, so
+    # receivers == sources == every connected node and the coalesce
+    # never fires inside the loop; it is the general-graph contract —
+    # pure sources, dangling nodes — that keeps it.)
+    ranks = None  # round 1: r is the 1/n literal everywhere
     contrib_base = pairs.join(wd, "u")
     for _ in range(iters):
+        if ranks is None:
+            scored, r_expr = contrib_base, F.lit(1.0 / n)
+        else:
+            scored = contrib_base.join(
+                ranks.withColumnRenamed("v", "u"), "u", "left"
+            )
+            r_expr = F.coalesce("r", base_expr(F.lit(0.0)))
         contrib = (
-            contrib_base.join(ranks.withColumnRenamed("v", "u"), "u")
-            .groupBy("v")
-            .agg(F.sum(F.col("w") / F.col("wu") * F.col("r")).alias("m"))
+            scored.groupBy("v")
+            .agg(F.sum(F.col("w") / F.col("wu") * r_expr).alias("m"))
         )
-        # No per-round checkpoint: a FIXED iteration count builds a
-        # bounded (iters-deep) plan over the checkpointed graph tables —
-        # one job at the end instead of one materialization per round
-        # (5.2 s → ~2 s on the sf0.1 bench).  Checkpoint-per-round is
-        # for UNBOUNDED convergence loops (operators/clustering.py).
-        ranks = nodes.join(contrib, "v", "left").select(
-            "v",
-            F.round(
-                F.lit((1 - damping) / n)
-                + F.lit(damping) * F.coalesce("m", F.lit(0.0)),
-                _QUANT,
-            ).alias("r"),
-        )
-    return ranks
+        ranks = contrib.select("v", base_expr(F.col("m")).alias("r"))
+    return nodes.join(ranks, "v", "left").select(
+        "v",
+        F.coalesce("r", base_expr(F.lit(0.0))).alias("r"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +346,12 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oku = ok.select(F.col("u").alias("_u"), F.col("okey").alias("oku"))
     okv = ok.select(F.col("u").alias("_v"), F.col("okey").alias("okv"))
+    # Carry the HEAD endpoint's order key on the oriented edge itself
+    # (round-12, guide §2.3): the wedge stage below needs each wedge
+    # arm's okey only to order the two arms, and the wedge stream is
+    # the largest relation in the query — re-attaching okeys there cost
+    # two broadcast-hash probes over every wedge; one extra int column
+    # on the |E|-sized checkpoint is free by comparison.
     eo = (
         und
         .join(F.broadcast(oku), F.col("u") == F.col("_u"))
@@ -335,18 +361,16 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("v")).alias("s"),
             F.when(F.col("oku") < F.col("okv"), F.col("v"))
             .otherwise(F.col("u")).alias("t"),
+            F.greatest("oku", "okv").alias("ot"),
         )
         .localCheckpoint(eager=True)
     )
-    e1 = eo.select(F.col("s"), F.col("t").alias("a"))
-    e2 = eo.select(F.col("s"), F.col("t").alias("b"))
-    oka = ok.select(F.col("u").alias("a"), F.col("okey").alias("oka"))
-    okb = ok.select(F.col("u").alias("b"), F.col("okey").alias("okb"))
+    e1 = eo.select(F.col("s"), F.col("t").alias("a"), F.col("ot").alias("oka"))
+    e2 = eo.select(F.col("s"), F.col("t").alias("b"), F.col("ot").alias("okb"))
     wedges = (
         e1.join(e2, "s")
-        .join(F.broadcast(oka), "a")
-        .join(F.broadcast(okb), "b")
         .where(F.col("oka") < F.col("okb"))
+        .select("a", "b")
     )
     closing = eo.select(F.col("s").alias("a"), F.col("t").alias("b"))
     tri = (
