@@ -1035,9 +1035,31 @@ def td_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="minhash_store_")
     shutil.rmtree(store, ignore_errors=True)
     try:
-        minhash_signatures(store_docs).write.mode("overwrite").parquet(store)
+        # The store write is the query's unavoidable physical job (the
+        # no-reshingle contract) and the DELTA batch's signatures are
+        # independent of it until the banded join — so the delta
+        # signature pass materializes on a driver thread WHILE the
+        # store writes (guide §2.6 overlap; same pattern as
+        # td_ann_recall_eval's exact-scorer checkpoint).  The
+        # checkpoint itself is new, but it runs inside wall-clock the
+        # write already spends; the final job then starts from the
+        # materialized (delta-sized) signature table instead of
+        # re-deriving the shingle -> explode -> 32-min aggregate chain
+        # on its critical path.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _delta_sigs():
+            return minhash_signatures(delta_docs).localCheckpoint(
+                eager=True
+            )
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            delta_f = pool.submit(_delta_sigs)
+            minhash_signatures(store_docs).write.mode(
+                "overwrite"
+            ).parquet(store)
+            delta_sigs = delta_f.result()
         store_sigs = spark.read.parquet(store)
-        delta_sigs = minhash_signatures(delta_docs)
 
         # Round-12 (ORACLES.md rule 16, mirrored engine-side): band-join
         # and exact-verify once per DISTINCT-TEXT pair, then expand
