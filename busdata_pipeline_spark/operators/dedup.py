@@ -105,7 +105,8 @@ def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 # MinHash + banded LSH
 
 def minhash_signatures(docs: DataFrame, k: int = 32,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       shingles_ready: bool = False) -> DataFrame:
     """k-permutation MinHash signature per doc.
 
     Two-level hashing: ONE base string hash per shingle
@@ -126,8 +127,15 @@ def minhash_signatures(docs: DataFrame, k: int = 32,
     # spread.  The outer variant has no pre-filter; the null rows from
     # empty shingle sets are dropped on the generator OUTPUT, which no
     # rule can push below the exchange.  (Measured 3.2s -> 0.6s at sf0.1.)
+    # ``shingles_ready``: the caller materialized the distinct shingle
+    # array (the checkpointed rep tables) — explode it directly instead
+    # of re-running the shingle HOF chain (round-12; scan-level
+    # subtrees have no reuse mechanism, only exchanges do).
+    base = fanout(docs, id_col)
+    if not shingles_ready:
+        base = with_shingles(base)
     exploded = (
-        with_shingles(fanout(docs, id_col))
+        base
         .select(id_col, F.explode_outer("shingles").alias("shingle"))
         .where(F.col("shingle").isNotNull())
         .select(
@@ -179,7 +187,8 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
                   id_col: str = "doc_id",
                   pairs_small: bool = True,
-                  carry: tuple = ()) -> DataFrame:
+                  carry: tuple = (),
+                  shingles_ready: bool = False) -> DataFrame:
     """Exact word-n-gram Jaccard for given (a, b) pairs — the verify
     stage after LSH candidate generation.
 
@@ -224,9 +233,10 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
             n=n, text_col="_text_b",
         ).withColumnRenamed("shingles", "sh_b").drop("n_words")
     else:
-        shc = with_shingles(fanout(docs, id_col), n=n).select(
-            F.col(id_col), F.col("shingles")
-        )
+        shc = fanout(docs, id_col)
+        if not shingles_ready:  # pre-shingled rep tables skip the HOF
+            shc = with_shingles(shc, n=n)
+        shc = shc.select(F.col(id_col), F.col("shingles"))
         a = shc.select(F.col(id_col).alias("a"),
                        F.col("shingles").alias("sh_a"))
         b = shc.select(F.col(id_col).alias("b"),
@@ -246,9 +256,10 @@ def _minhash_rep_pairs(docs: DataFrame, threshold: float, k: int,
     """Shared quotient core for the MinHash near-dup family: the LSH +
     verify kernel runs once per DISTINCT trimmed text (rep = the text's
     minimum member doc id).  Returns (hdocs, reps, rep_pairs, nonempty):
-    (id, text-hash) map, checkpointed rep table with member counts,
-    verified rep pairs at >= threshold, and the shingleable text-hash
-    set.  Exactness: ``with_shingles`` trims before splitting, so
+    (id, text-hash) map, checkpointed rep table (id, h, cnt, shingles —
+    the distinct shingle array materialized once for every downstream
+    consumer), verified rep pairs at >= threshold, and the shingleable
+    text-hash set.  Exactness: ``with_shingles`` trims before splitting, so
     identical TRIM(text) implies identical shingles, signature, bands,
     and jaccard — a rep's verdict holds for every member, and docs with
     empty shingle sets never acquire a signature on either formulation.
@@ -258,21 +269,30 @@ def _minhash_rep_pairs(docs: DataFrame, threshold: float, k: int,
     # eager localCheckpoint: the rep table (one row per DISTINCT text,
     # bounded by corpus diversity) feeds signatures, the verify's
     # shingle passes, the shingleability gate, and the expansion maps.
+    # Round-12: the checkpoint materializes the DISTINCT SHINGLE ARRAY
+    # instead of the text — the signature pass, the verify's two
+    # shingle derivations, and the shingleability gate each re-ran the
+    # shingle HOF chain otherwise (scan-level subtrees have no reuse
+    # mechanism, only exchanges do); exploding a materialized array is
+    # a plain generator over checkpointed rows, and the arrays replace
+    # the text bytes rather than adding to them.
     reps = (
-        hdocs.groupBy("h").agg(
-            F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("cnt")
+        with_shingles(
+            hdocs.groupBy("h").agg(
+                F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("cnt")
+            )
+            .join(docs.select(id_col, "text"), id_col)
         )
-        .join(docs.select(id_col, "text"), id_col)
+        .select(id_col, "h", "cnt", "shingles")
         .localCheckpoint(eager=True)
     )
-    sigs = minhash_signatures(reps, k=k, id_col=id_col)
+    sigs = minhash_signatures(reps, k=k, id_col=id_col, shingles_ready=True)
     cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
     rep_pairs = jaccard_pairs(
-        reps, cands, id_col=id_col, pairs_small=False
+        reps, cands, id_col=id_col, pairs_small=False, shingles_ready=True
     ).where(F.col("jaccard") >= threshold)
     nonempty = (
-        with_shingles(reps)
-        .where(F.size("shingles") > 0)
+        reps.where(F.size("shingles") > 0)
         .select("h", F.col(id_col).alias("rid"), "cnt")
     )
     return hdocs, reps, rep_pairs, nonempty
