@@ -126,12 +126,23 @@ ORDER BY doc_id, term_rank
 )
 def fn_udtf_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow Python UDTF under a lateral join: per-document top-3 terms.
-    One pass per row, no shuffle — the UDTF executes inside the scan
-    stage (plan shape pinned in tests/test_udtf.py)."""
+    One pass per row; the UDTF executes inside its input stage (plan
+    shape pinned in tests/test_udtf.py).
+
+    Round-12 (guide §2.5 input skew): the sf0.1 corpus is ONE parquet
+    file → one scan partition, so the entire per-row Python boundary —
+    the query's whole cost — ran on a single core.  The input now goes
+    through the same under-partitioned-source ``fanout`` the MinHash
+    signature pass uses: a repartition that only fires when the input
+    has fewer partitions than the session's parallelism, so at real
+    scale (thousands of splits) no shuffle is introduced and the
+    UDTF still runs inside the scan stage."""
+    from busdata_pipeline_spark.operators.dedup import fanout
+
     spark.udtf.register("doc_top_terms", DocTopTerms)
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "udtf_documents"
-    )
+    fanout(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    ).createOrReplaceTempView("udtf_documents")
     return spark.sql(
         """
         SELECT d.doc_id, t.term_rank, t.term, t.term_count
