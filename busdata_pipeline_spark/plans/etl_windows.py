@@ -958,12 +958,23 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partition-writer task: co-partition by the layout key.
         write_version(fact.repartition(F.col("event_date")), warehouse,
                       "overwrite", partition_col="event_date")
-        subj = ev.agg(F.min("user_id").alias("s")).collect()[0]["s"]
-        subj_days = {
-            f"event_date={r['d']}"
-            for r in fact.where(F.col("user_id") == subj)
-            .select(F.to_date("ts").alias("d")).distinct().collect()
-        }
+        # subject id + the subject's day set in ONE job (round-12,
+        # guide §1.2): the min-user aggregate broadcasts into the day
+        # scan as a 1-row build side, so the former two sequential
+        # collect jobs (min, then days-of-min) become one.
+        subj_rows_days = (
+            fact.join(
+                F.broadcast(ev.agg(F.min("user_id").alias("s"))),
+                F.col("user_id") == F.col("s"),
+            )
+            .select("s", F.to_date("ts").alias("d"))
+            .distinct()
+            .collect()
+        )
+        # empty-corpus parity with the old two-job form: min over empty
+        # is NULL and NULL never equi-joins, so subj stays None
+        subj = subj_rows_days[0]["s"] if subj_rows_days else None
+        subj_days = {f"event_date={r['d']}" for r in subj_rows_days}
 
         def file_sizes(only_untouched: bool) -> dict:
             out = {}
