@@ -77,6 +77,18 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+#: adaptive-quotient routing threshold: the distinct-text quotient only
+#: pays off when texts are REPLICATED (its candidate bound is corpus
+#: diversity instead of replication²); when the corpus is ~all-distinct
+#: the rep/expand machinery is pure overhead (round-12's worst bench
+#: regression, 2.07 → 2.58 s at sf0.1 where 4,992 of 5,000 texts are
+#: distinct).  Both routes compute the identical relation, so the probe
+#: may be approximate; 0.9 leaves >2σ of margin over the HLL's 5% rsd
+#: on an all-distinct corpus, and heavy replication (the 100× rung sits
+#: at ratio ≈ 0.01) lands far below it.
+_QUOTIENT_BYPASS_RATIO = 0.9
+
+
 def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
     """All (a, b, jaccard) pairs with a < b and Jaccard ≥ TAU_NUM/TAU_DEN
     over distinct shingle sets, via prefix filtering.
@@ -90,8 +102,24 @@ def jaccard_pairs_prefix(docs: DataFrame) -> DataFrame:
     prefix-token equi-join scales with text replication SQUARED: the
     100x replica (100 copies of every text) spilled ~80 GB of shuffle
     and filled the disk — caught by the round-12 100x campaign —
-    while the distinct-text kernel is bounded by corpus diversity."""
+    while the distinct-text kernel is bounded by corpus diversity.
+
+    Round-13 (guide §2.4 — don't shuffle what you don't need): the
+    quotient is ADAPTIVE.  One cheap probe (count + HLL distinct over
+    the text hash — a single scan-and-tiny-agg job at any scale)
+    measures the distinct ratio; when texts are ~all distinct the
+    md5-groupBy rep build, its eager checkpoint, and the four
+    expansion joins are skipped and the kernel runs on the documents
+    directly — the two routes compute the SAME relation on any input
+    (each doc is ~its own rep and ``within`` is ~empty), so an
+    approximate probe cannot change the output, only the plan."""
     th = F.md5(F.trim("text"))
+    probe = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(th).alias("nd"),
+    ).first()
+    if probe["nd"] >= _QUOTIENT_BYPASS_RATIO * probe["n"]:
+        return _prefix_rep_pairs(docs.select("doc_id", "text"))
     hdocs = docs.select("doc_id", th.alias("h"))
     # rep per hash via a doc_id-keyed min + a join to fetch the rep's
     # text: grouping by (h, text) directly would shuffle every doc's

@@ -278,6 +278,34 @@ def test_setsim_quotient_equals_doc_level_kernel(spark):
     assert 1.0 in js and round(18 / 19, 6) in js
 
 
+def test_setsim_quotient_routing_is_adaptive(spark):
+    """Round-13: the quotient is bypassed when texts are ~all distinct
+    (the rep/expand machinery is pure overhead there — r12's worst
+    bench regression) and kept when replication is heavy (its 100×-rung
+    raison d'être).  The md5 text-hash only exists on the quotient
+    route, so the executed plan pins which route fired; both routes
+    compute the identical relation (previous test)."""
+    from busdata_pipeline_spark.operators import setsim
+
+    distinct = spark.createDataFrame(
+        [(i, f"alpha w{i} beta w{i + 1} gamma w{i + 2} delta")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    plan = setsim.jaccard_pairs_prefix(distinct)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "md5" not in plan  # bypass: kernel directly on docs
+
+    base = " ".join(f"w{i}" for i in range(20))
+    heavy = spark.createDataFrame(
+        [(i, base) for i in range(30)] + [(100, "a tiny doc here")],
+        "doc_id bigint, text string",
+    )
+    plan = setsim.jaccard_pairs_prefix(heavy)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "md5" in plan  # quotient: rep build + expansion retained
+
+
 def test_embed_near_dups_quotient_equals_doc_level_definition(spark):
     """Round-12: embedding_near_duplicates quotients by distinct
     vector.  On duplicate-heavy embeddings its output must equal the
