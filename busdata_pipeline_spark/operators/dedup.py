@@ -28,7 +28,7 @@ from busdata_pipeline_spark.functions.text import fingerprint
 # ---------------------------------------------------------------------------
 # parallelism guard
 
-def fanout(df: DataFrame, key: str) -> DataFrame:
+def fanout(df: DataFrame, key: str, min_bytes: int = 0) -> DataFrame:
     """Ensure at least defaultParallelism partitions before CPU-heavy
     per-row work (shingle explode, k hash functions).
 
@@ -37,11 +37,26 @@ def fanout(df: DataFrame, key: str) -> DataFrame:
     4-6 s for 5k docs at sf0.1).  At real scale the source already has
     thousands of partitions and this is a no-op — the repartition only
     fires when the input is UNDER-partitioned, so it never shrinks or
-    reshuffles big data."""
+    reshuffles big data.
+
+    ``min_bytes`` (round-13, VERDICT r12 #4): additionally skip the
+    repartition when the OPTIMIZER-ESTIMATED input is below this size —
+    for cheap-per-byte kernels (the BLAS cosine scorer) a sub-second
+    single-partition input cannot repay a fixed shuffle, while a large
+    single-partition input at scale still fans out.  0 (the default)
+    keeps the pure partition-count guard for expensive-per-byte work
+    (shingle explosion, k hash functions), where even a few MB of text
+    serializes seconds of compute on one core."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if min_bytes:
+        est = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+        if est < min_bytes:
+            return df
     return df.repartition(target, F.col(key))
 
 

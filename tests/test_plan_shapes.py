@@ -204,3 +204,28 @@ def test_funnel_is_one_exchange_three_windows(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange (hash|range)", plan)) == 1
     assert plan.count("Window") == 3
+
+
+def test_fanout_size_gate(spark):
+    """Round-13 (VERDICT r12 #4): fanout's min_bytes gate skips the
+    repartition for a small under-partitioned input (a sub-second
+    corpus cannot repay a fixed shuffle) but still fires when the
+    estimated input exceeds the gate — the single-partition-at-scale
+    guard survives."""
+    from busdata_pipeline_spark.operators.dedup import fanout
+
+    df = spark.range(0, 1000).coalesce(1).selectExpr(
+        "id AS vec_id", "CAST(id AS STRING) AS text"
+    )
+    target = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() < target  # premise: under-partitioned
+
+    # estimated size is tiny -> a large gate skips the repartition
+    gated = fanout(df, "vec_id", min_bytes=1 << 30)
+    assert gated.rdd.getNumPartitions() == df.rdd.getNumPartitions()
+    # a 1-byte gate (estimate always above) fans out exactly as before
+    ungated = fanout(df, "vec_id", min_bytes=1)
+    assert ungated.rdd.getNumPartitions() >= target
+    # default keeps the unconditional round-12 behavior
+    default = fanout(df, "vec_id")
+    assert default.rdd.getNumPartitions() >= target
