@@ -20,13 +20,14 @@ Design for 100 TB:
 - ``localCheckpoint(eager=True)`` after every round truncates the
   lineage, keeping the plan O(1) per round instead of O(rounds) — the
   classic iterative-algorithm failure mode on Spark.
-- Convergence is detected with a count of changed labels (an aggregate,
-  not a collect); the loop runs on the driver but only scalars cross it.
+- Convergence is detected with a count of changed labels, collected as
+  an OBSERVED metric of the checkpoint job itself (no separate count
+  action); the loop runs on the driver but only scalars cross it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -55,12 +56,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
     changed = 1
+    labels = None
     for rnd in range(max_iter):
         # Push each vertex's current label to its neighbors, then take the
         # min of (own label, incoming labels) — one shuffle keyed by id.
@@ -68,18 +65,36 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # own-tagged rows; each vertex has exactly one), so convergence
         # detection is a scan of the checkpointed result instead of an
         # extra join against the previous round.
-        incoming = (
-            sym.join(labels, sym.src == labels.id)
-            .select(F.col("dst").alias("id"), "component",
-                    F.lit(None).cast("long").alias("prev"))
-        )
-        new_labels = (
-            labels.select("id", "component", F.col("component").alias("prev"))
-            .unionByName(incoming)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"),
-                 F.min("prev").alias("prev"))
-        )
+        if labels is None:
+            # Round 1 (round-13, the LPA round-1 shortcut): labels start
+            # as the identity, so incoming(dst) = src verbatim and the
+            # post-round label is min(id, min(incoming src)) — the edge
+            # table IS the round-1 contribution relation.  This removes
+            # both the labels-init ``distinct`` (a full |V| shuffle) and
+            # round 1's join; symmetry of ``sym`` guarantees every
+            # vertex appears as dst, so the vertex set is complete.
+            new_labels = (
+                sym.select(F.col("dst").alias("id"),
+                           F.col("src").alias("component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("m"))
+                .select("id", F.least("id", "m").alias("component"),
+                        F.col("id").alias("prev"))
+            )
+        else:
+            incoming = (
+                sym.join(labels, sym.src == labels.id)
+                .select(F.col("dst").alias("id"), "component",
+                        F.lit(None).cast("long").alias("prev"))
+            )
+            new_labels = (
+                labels.select("id", "component",
+                              F.col("component").alias("prev"))
+                .unionByName(incoming)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"),
+                     F.min("prev").alias("prev"))
+            )
         # (Path halving — an extra label(component) self-join per round —
         # was measured here and LOST: on the fuzzy-match graph it did not
         # cut the counted-round total but added a shuffle per round,
@@ -96,18 +111,24 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # near-clique (LSH dedup) or short-chain (blocked fuzzy names),
         # so the single-shuffle round stays.)
         # Checkpoint + convergence-count every SECOND round only: each
-        # checkpoint and each count is a separate Spark job, and for the
-        # near-clique graphs this serves (diameter 2-3) the per-job
-        # fixed cost dominates the actual shuffle work.  On the
-        # uncounted round the next iteration consumes the one-round-deep
-        # lazy plan (its identical agg subtree is a ReusedExchange, not
-        # a recompute); lineage never exceeds two rounds.
+        # checkpoint is a separate Spark job, and for the near-clique
+        # graphs this serves (diameter 2-3) the per-job fixed cost
+        # dominates the actual shuffle work.  On the uncounted round
+        # the next iteration consumes the one-round-deep lazy plan (its
+        # identical agg subtree is a ReusedExchange, not a recompute);
+        # lineage never exceeds two rounds.  The changed-label count is
+        # an OBSERVED metric collected by the checkpoint job itself
+        # (round-13, guide §1.2 fewer actions: the separate post-
+        # checkpoint count() job is gone — 2 jobs/counted round -> 1).
         counted = (rnd % 2 == 1) or (rnd == max_iter - 1)
         if counted:
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = new_labels.where(
-                F.col("component") < F.col("prev")
-            ).count()
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs,
+                F.sum((F.col("component") < F.col("prev")).cast("long"))
+                .alias("changed"),
+            ).localCheckpoint(eager=True)
+            changed = obs.get["changed"] or 0  # None on an empty graph
         labels = new_labels.select("id", "component")
         if counted and changed == 0:
             break
